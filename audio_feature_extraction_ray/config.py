@@ -1,0 +1,118 @@
+"""Pipeline configuration (reference analog: STFTConfig/FeatureConfig/
+PipelineConfig + YAML load, design.md:2145-2221, tasks.md:549-578).
+
+Plain dataclasses, validated at build time (reference: early config
+validation, design.md:2352-2377). Loadable from YAML (if pyyaml present)
+or JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+
+# Scalar feature columns emitted by the feature pipeline, in the order they
+# are packed into the `features` list<double> vector (fixed-width invariant —
+# the webtext analog of n_freq_bins == n_fft//2+1, design.md:173-204).
+def _default_feature_order(ngram_buckets: int) -> list[str]:
+    return (
+        ["token_count", "char_count"]
+        + [f"ngram_b{i}" for i in range(ngram_buckets)]
+        + [
+            "lang_run_length",
+            "ts_since_prev",
+            "session_id",
+            "session_len",
+            "text_churn",
+            "lag1_token_count",
+            "rw_mean_token_count",
+            "rw_max_token_count",
+            "locf_rank",
+            "locf_fetch_ok",
+        ]
+    )
+
+
+@dataclass
+class FeatureConfig:
+    """Semantics knobs. Engine and oracle both read ONLY this."""
+
+    window_k: int = 5               # rolling window: last k revisits incl. current
+    session_gap_s: float = 7 * 86400.0  # gap STRICTLY greater than this starts a new session
+    ngram_buckets: int = 8          # byte-trigram histogram width
+    # as-of right side (signals table); None disables locf_* columns
+    signals_path: str | None = None
+    # lead features (labels) — emitted under label_ prefix, never packed into
+    # the feature vector (leakage discipline, SURVEY §4.3)
+    emit_labels: bool = False
+
+    @property
+    def feature_order(self) -> list[str]:
+        cols = _default_feature_order(self.ngram_buckets)
+        if self.signals_path is None:
+            cols = [c for c in cols if not c.startswith("locf_")]
+        return cols
+
+
+@dataclass
+class EngineConfig:
+    """Physical execution knobs (Ray Data side only; oracle ignores these)."""
+
+    num_partitions: int = 64        # the ONE wide shuffle's fan-out
+    partitioner: str = "hash"       # "hash" (url-hash) | "range" (sampled url ranges + hot-range salting)
+    range_sample_size: int = 10_000  # driver-side url sample for range bounds
+    hot_salt: int = 4               # salts applied to ranges holding > 2x median rows
+    batch_size: int = 4096          # map_batches batch size for stateless stages
+    broadcast_signals_max_rows: int = 5_000_000  # above this, co-partition instead of broadcast
+    output_dir: str | None = None   # when set, partition kernels write parquet + manifest
+    resume: bool = False            # skip partitions with a valid manifest in output_dir
+
+
+@dataclass
+class PipelineConfig:
+    input_path: str = ""
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+    def validate(self) -> None:
+        f, e = self.features, self.engine
+        if f.window_k < 1:
+            raise ValueError("window_k must be >= 1")
+        if f.session_gap_s <= 0:
+            raise ValueError("session_gap_s must be > 0")
+        if f.ngram_buckets < 1:
+            raise ValueError("ngram_buckets must be >= 1")
+        if e.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        if e.partitioner not in ("hash", "range"):
+            raise ValueError(f"unknown partitioner {e.partitioner!r}")
+        if e.resume and not e.output_dir:
+            raise ValueError("resume=True requires output_dir")
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PipelineConfig":
+        cfg = cls(
+            input_path=d.get("input_path", ""),
+            features=FeatureConfig(**d.get("features", {})),
+            engine=EngineConfig(**d.get("engine", {})),
+        )
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_file(cls, path: str | Path) -> "PipelineConfig":
+        text = Path(path).read_text()
+        if str(path).endswith((".yaml", ".yml")):
+            try:
+                import yaml  # type: ignore
+
+                return cls.from_dict(yaml.safe_load(text))
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError("pyyaml not installed; use JSON config") from e
+        return cls.from_dict(json.loads(text))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

@@ -1,0 +1,115 @@
+"""Per-partition lineage + metrics checkpoint manifests (north rule; reference
+analog: CheckpointManager TASK-025 tasks.md:789-810 + ProcessingState
+design.md:243-253).
+
+Layout (resumable output, SURVEY §4.2):
+
+    out_dir/
+      part=00042/data.parquet      # written to a temp name, atomic rename
+      _manifests/part-00042.json   # written AFTER the data rename (atomic)
+
+A partition is "completed" iff its manifest exists and parses; a rerun with
+resume=True skips completed partitions without recomputing them. Kernels are
+deterministic, so a retried/resumed partition emits byte-identical output —
+the checksum in the manifest makes silent divergence detectable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .partition import url_hash64
+
+MANIFEST_DIR = "_manifests"
+
+
+def partition_checksum(tbl: pa.Table) -> int:
+    """Order-independent 64-bit checksum over (url, warc_ts) plus the feature
+    vectors: xor of per-row hashes."""
+    if tbl.num_rows == 0:
+        return 0
+    uh = url_hash64(tbl.column("url").to_pylist())
+    ts = tbl.column("warc_ts").cast(pa.int64()).to_numpy().view(np.uint64)
+    h = uh ^ (ts * np.uint64(0x9E3779B97F4A7C15))
+    if "features" in tbl.column_names:
+        feats = np.asarray(tbl.column("features").combine_chunks().flatten().to_numpy(zero_copy_only=False))
+        width = feats.size // tbl.num_rows if tbl.num_rows else 0
+        if width:
+            fv = feats.reshape(tbl.num_rows, width)
+            # NaN-stable: hash the raw bit patterns
+            bits = fv.view(np.uint64)
+            h = h ^ bits.sum(axis=1, dtype=np.uint64)
+    return int(np.bitwise_xor.reduce(h))
+
+
+def write_partition(
+    out_dir: str | Path,
+    partition_id: int,
+    tbl: pa.Table,
+    metrics: dict,
+) -> dict:
+    """Atomically write one partition's parquet + manifest. Returns manifest."""
+    out = Path(out_dir)
+    part_dir = out / f"part={partition_id:05d}"
+    mdir = out / MANIFEST_DIR
+    part_dir.mkdir(parents=True, exist_ok=True)
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    tmp = part_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+    pq.write_table(tbl, tmp)
+    data_path = part_dir / "data.parquet"
+    os.replace(tmp, data_path)
+
+    watermark = None
+    if tbl.num_rows and "warc_ts" in tbl.column_names:
+        watermark = int(pa.compute.max(tbl.column("warc_ts").cast(pa.int64())).as_py())
+    manifest = {
+        "partition_id": int(partition_id),
+        "rows_out": int(tbl.num_rows),
+        "watermark_us": watermark,
+        "checksum": f"{partition_checksum(tbl):016x}",
+        "bytes_out": int(data_path.stat().st_size),
+        "completed_at": time.time(),
+        "output": str(data_path),
+        **metrics,
+    }
+    mtmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
+    mtmp.write_text(json.dumps(manifest))
+    os.replace(mtmp, mdir / f"part-{partition_id:05d}.json")
+    return manifest
+
+
+def load_completed(out_dir: str | Path) -> dict[int, dict]:
+    """partition_id -> manifest for every completed (manifest present) partition."""
+    mdir = Path(out_dir) / MANIFEST_DIR
+    done: dict[int, dict] = {}
+    if not mdir.is_dir():
+        return done
+    for p in sorted(mdir.glob("part-*.json")):
+        try:
+            m = json.loads(p.read_text())
+            done[int(m["partition_id"])] = m
+        except (ValueError, KeyError):
+            continue  # torn manifest -> treat as incomplete
+    return done
+
+
+def job_report(manifests: list[dict]) -> dict:
+    """Global report = reduce over partition manifests (reference analog:
+    ExecutionReport, design.md:1786-1792)."""
+    return {
+        "partitions": len(manifests),
+        "rows_in": sum(m.get("rows_in", 0) for m in manifests),
+        "rows_out": sum(m.get("rows_out", 0) for m in manifests),
+        "dup_dropped": sum(m.get("dup_dropped", 0) for m in manifests),
+        "bytes_out": sum(m.get("bytes_out", 0) for m in manifests),
+        "watermark_us": max((m.get("watermark_us") or 0) for m in manifests) if manifests else None,
+    }

@@ -1,0 +1,94 @@
+"""Partitioners: url-hash (default) and sampled url-range with hot-range salting.
+
+The ONE wide shuffle of the feature pipeline routes rows to `partition_id`
+(SURVEY §7.3). Both partitioners guarantee the invariant every downstream
+kernel relies on: ALL rows of a url land in exactly ONE partition (salting
+splits hot *ranges* by url-hash, never a single url).
+
+Skew story: hash partitioning spreads hot domains across partitions by
+construction (key = url, not host). Range partitioning preserves url
+locality/order across partitions (useful for sorted output layouts) and
+handles hot domains by salting ranges whose sampled share exceeds
+`hot_factor` x the median — each salted range becomes `hot_salt`
+hash-sub-partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from zlib import crc32
+
+import numpy as np
+
+
+def url_hash64(urls: list[str] | np.ndarray) -> np.ndarray:
+    out = np.empty(len(urls), dtype=np.uint64)
+    for i, u in enumerate(urls):
+        b = u.encode("utf-8")
+        out[i] = (np.uint64(crc32(b)) << np.uint64(32)) | np.uint64(crc32(b[::-1]))
+    return out
+
+
+@dataclass
+class HashPartitioner:
+    num_partitions: int
+
+    def partition_ids(self, urls: list[str] | np.ndarray) -> np.ndarray:
+        return (url_hash64(urls) % np.uint64(self.num_partitions)).astype(np.int32)
+
+
+@dataclass
+class RangePartitioner:
+    """Range partitioner over url strings with salted hot ranges.
+
+    bounds: sorted url cut points (len = num_ranges - 1); range r holds urls
+    in [bounds[r-1], bounds[r]). salts[r] >= 1; partition id layout is the
+    cumulative sum of salts so ids stay dense.
+    """
+
+    bounds: list[str]
+    salts: list[int]
+
+    def __post_init__(self):
+        self._offsets = np.concatenate([[0], np.cumsum(self.salts)]).astype(np.int64)
+
+    @property
+    def num_partitions(self) -> int:
+        return int(self._offsets[-1])
+
+    def partition_ids(self, urls: list[str] | np.ndarray) -> np.ndarray:
+        u = np.asarray(urls, dtype=object)
+        ranges = np.searchsorted(np.asarray(self.bounds, dtype=object), u, side="right")
+        out = self._offsets[ranges].astype(np.int32)
+        salts = np.asarray(self.salts)[ranges]
+        hot = salts > 1
+        if hot.any():
+            h = url_hash64(u[hot]) % salts[hot].astype(np.uint64)
+            out[hot] += h.astype(np.int32)
+        return out
+
+    @classmethod
+    def from_sample(
+        cls,
+        sample_urls: list[str],
+        num_ranges: int,
+        hot_salt: int = 4,
+        hot_factor: float = 2.0,
+    ) -> "RangePartitioner":
+        """Build bounds from a driver-side url sample; ranges holding more
+        than hot_factor x the median sample mass get `hot_salt` salts."""
+        s = np.sort(np.asarray(sample_urls, dtype=object))
+        if s.size == 0 or num_ranges <= 1:
+            return cls(bounds=[], salts=[1])
+        qs = np.linspace(0, s.size, num_ranges + 1).astype(int)[1:-1]
+        bounds: list[str] = []
+        for q in qs:
+            b = str(s[min(q, s.size - 1)])
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+        # measure sample mass per resulting range -> salt the hot ones
+        ranges = np.searchsorted(np.asarray(bounds, dtype=object), s, side="right")
+        counts = np.bincount(ranges, minlength=len(bounds) + 1)
+        med = max(1.0, float(np.median(counts)))
+        salts = [hot_salt if c > hot_factor * med else 1 for c in counts]
+        return cls(bounds=bounds, salts=salts)

@@ -1,0 +1,169 @@
+"""Distributed pipeline vs single-process oracle: the north-rule check.
+
+allclose at every (url, warc_ts), byte-identical extracted text, zero temporal
+leakage, deterministic across runs, resumable from per-partition checkpoints.
+"""
+
+import glob
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from audio_feature_extraction_ray.config import EngineConfig, FeatureConfig, PipelineConfig
+from audio_feature_extraction_ray.oracle import oracle_features
+from audio_feature_extraction_ray.pipelines.features import feature_dataset, run
+
+
+def _collect(ds) -> pa.Table:
+    tbl = pa.concat_tables(
+        b for b in ds.iter_batches(batch_size=1_000_000, batch_format="pyarrow")
+    )
+    return tbl.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+
+
+def _features_matrix(tbl: pa.Table, width: int) -> np.ndarray:
+    return np.array(
+        tbl.column("features").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, width)
+
+
+def _cfg(pages_dir, signals_path, partitioner="hash", out=None, resume=False):
+    return PipelineConfig(
+        input_path=str(pages_dir),
+        features=FeatureConfig(signals_path=str(signals_path)),
+        engine=EngineConfig(
+            num_partitions=8, partitioner=partitioner, output_dir=out, resume=resume
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_small(small_fixture):
+    pages, signals = small_fixture
+    cfg = FeatureConfig(signals_path="enabled")
+    return oracle_features(pages, cfg, signals)
+
+
+@pytest.mark.parametrize("partitioner", ["hash", "range"])
+def test_engine_matches_oracle(ray_session, small_fixture_dir, oracle_small, partitioner):
+    pages_dir, signals_path = small_fixture_dir
+    cfg = _cfg(pages_dir, signals_path, partitioner=partitioner)
+    tbl = _collect(feature_dataset(cfg))
+    oracle = oracle_small
+
+    assert tbl.num_rows == len(oracle)
+    assert tbl.column("url").to_pylist() == list(oracle["url"])
+    assert tbl.column("warc_ts").cast(pa.int64()).to_pylist() == list(
+        oracle["warc_ts"].astype("int64")
+    )
+    # per-row invariant: byte-identical extracted text
+    assert tbl.column("text").to_pylist() == list(oracle["text"])
+    # allclose at every entity x timestamp
+    W = len(cfg.features.feature_order)
+    fa = _features_matrix(tbl, W)
+    fb = np.stack(oracle["features"].to_numpy())
+    np.testing.assert_allclose(fa, fb, equal_nan=True)
+
+
+def test_determinism_across_runs(ray_session, small_fixture_dir):
+    pages_dir, signals_path = small_fixture_dir
+    cfg = _cfg(pages_dir, signals_path)
+    W = len(cfg.features.feature_order)
+    a = _features_matrix(_collect(feature_dataset(cfg)), W)
+    b = _features_matrix(_collect(feature_dataset(cfg)), W)
+    np.testing.assert_array_equal(
+        a.view(np.uint64), b.view(np.uint64)
+    )  # bit-identical, incl. NaN patterns
+
+
+def test_zero_temporal_leakage(ray_session, small_fixture, tmp_path):
+    """Mutate every row with ts > t0; features at ts <= t0 must be unchanged."""
+    pages, signals = small_fixture
+    ts = pages.column("warc_ts").cast(pa.int64()).to_numpy()
+    t0 = int(np.quantile(ts, 0.5))
+    future = ts > t0
+
+    mutated_text = [
+        ("MUTATED " + t if f else t)
+        for t, f in zip(pages.column("text").to_pylist(), future)
+    ]
+    from audio_feature_extraction_ray.testdata import _make_html
+
+    mutated = pa.table(
+        {
+            "url": pages.column("url"),
+            "warc_ts": pages.column("warc_ts"),
+            "html": pa.array([_make_html(t, "x") for t in mutated_text], pa.binary()),
+            "text": pa.array(mutated_text, pa.string()),
+            "lang": pages.column("lang"),
+        }
+    )
+
+    d1 = tmp_path / "orig"
+    d2 = tmp_path / "mut"
+    for d, tbl in ((d1, pages), (d2, mutated)):
+        d.mkdir()
+        pq.write_table(tbl, d / "pages.parquet")
+    sig_path = tmp_path / "signals.parquet"
+    pq.write_table(signals, sig_path)
+
+    cfg1 = _cfg(d1, sig_path)
+    cfg2 = _cfg(d2, sig_path)
+    a = _collect(feature_dataset(cfg1))
+    b = _collect(feature_dataset(cfg2))
+    W = len(cfg1.features.feature_order)
+
+    past_a = a.filter(pa.compute.less_equal(a.column("warc_ts").cast(pa.int64()), t0))
+    past_b = b.filter(pa.compute.less_equal(b.column("warc_ts").cast(pa.int64()), t0))
+    assert past_a.num_rows == past_b.num_rows and past_a.num_rows > 0
+    np.testing.assert_array_equal(
+        _features_matrix(past_a, W).view(np.uint64),
+        _features_matrix(past_b, W).view(np.uint64),
+    )
+
+
+def test_resume_skips_completed(ray_session, small_fixture_dir, tmp_path):
+    pages_dir, signals_path = small_fixture_dir
+    out = str(tmp_path / "ckpt")
+
+    cfg = _cfg(pages_dir, signals_path, out=out)
+    rep1 = run(cfg)
+    assert rep1["partitions"] == 8 and rep1["dup_dropped"] > 0
+
+    # simulate a partial failure: delete 3 manifests (+ their data)
+    import json, os
+    from pathlib import Path
+
+    manifests = sorted(glob.glob(out + "/_manifests/*.json"))
+    kept_checksums = {}
+    for m in manifests:
+        kept_checksums[m] = json.loads(Path(m).read_text())["checksum"]
+    for m in manifests[:3]:
+        pid = json.loads(Path(m).read_text())["partition_id"]
+        os.remove(m)
+        shutil.rmtree(out + f"/part={pid:05d}")
+
+    cfg2 = _cfg(pages_dir, signals_path, out=out, resume=True)
+    rep2 = run(cfg2)
+    assert rep2["resumed_partitions"] == 5
+    assert rep2["rows_out"] == rep1["rows_out"]
+    # recomputed partitions reproduce byte-identical output (checksum match)
+    for m in manifests:
+        assert json.loads(Path(m).read_text())["checksum"] == kept_checksums[m]
+
+
+def test_skew_partition_balance(ray_session, small_fixture):
+    """Hot domain (~50% of rows) must not blow up partition sizes (range
+    partitioner with hot-range salting; SURVEY §7.4)."""
+    pages, _ = small_fixture
+    from audio_feature_extraction_ray.state.partition import RangePartitioner
+
+    urls = pages.column("url").to_pylist()
+    part = RangePartitioner.from_sample(urls, 8, hot_salt=4)
+    pids = part.partition_ids(urls)
+    counts = np.bincount(pids, minlength=part.num_partitions)
+    counts = counts[counts > 0]
+    assert counts.max() <= 3.0 * np.median(counts), counts
