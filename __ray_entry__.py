@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship point-in-time feature pipeline (as-of + LOCF + lag +
+  rolling + sessionize) over the deterministic synthetic `pages` fixture
+  (FIXTURES.md) sized for sf0.001, plus a sanity read of the sf0.001 events
+  table through the same operator family.
+- queries(): one entry per operator family from SURVEY.md §2 over the
+  driver's parquet tables.
+- oracle_sql(): DuckDB-equivalent SQL with IDENTICAL column names; money
+  aggregates are computed in integer cents on both sides so values match
+  bit-exactly. Non-SQL-expressible ops omit the oracle (rows-only check).
 """
 
 from __future__ import annotations
@@ -20,25 +21,55 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from audio_feature_extraction_ray.config import EngineConfig, FeatureConfig, PipelineConfig
+    from audio_feature_extraction_ray.pipelines.features import feature_dataset
+    from audio_feature_extraction_ray.testdata import materialize_fixture
+
+    pages_dir, signals_path = materialize_fixture("/tmp/afe_fixtures/entry", 2_000, n_files=2)
+    cfg = PipelineConfig(
+        input_path=pages_dir,
+        features=FeatureConfig(signals_path=signals_path),
+        engine=EngineConfig(num_partitions=8),
+    )
+    return feature_dataset(cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from audio_feature_extraction_ray.pipelines import events, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
+        "events_lag_lead": events.lag_lead,
+        "events_sessionize": events.sessionize,
+        "events_rolling": events.rolling,
+        "events_locf": events.locf,
+        "events_asof_join": events.asof_join,
+        "events_dedup_first": events.dedup_first,
+        "events_window_agg": events.window_agg,
+        # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
+        "q1_pricing": relational.q1_pricing,
+        "revenue_by_segment": relational.revenue_by_segment,
+        "topk_parts": relational.topk_parts,
+        "filter_project": relational.filter_project,
+        "segment_stats": relational.segment_stats,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from audio_feature_extraction_ray.pipelines import events, relational
+
+    return {
+        "events_lag_lead": events.LAG_LEAD_SQL,
+        "events_sessionize": events.SESSIONIZE_SQL,
+        "events_rolling": events.ROLLING_SQL,
+        "events_locf": events.LOCF_SQL,
+        "events_asof_join": events.ASOF_JOIN_SQL,
+        "events_dedup_first": events.DEDUP_FIRST_SQL,
+        "events_window_agg": events.WINDOW_AGG_SQL,
+        "q1_pricing": relational.Q1_SQL,
+        "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
+        "topk_parts": relational.TOPK_PARTS_SQL,
+        "filter_project": relational.FILTER_PROJECT_SQL,
+        "segment_stats": relational.SEGMENT_STATS_SQL,
+    }
