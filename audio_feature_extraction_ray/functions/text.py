@@ -25,10 +25,12 @@ import pyarrow.compute as pc
 # extract_text: html -> text. Tag strip -> entity unescape -> ws normalize.
 # Entities handled (in this order; && last so "&amp;lt;" -> "&lt;" literal):
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
-_BLOCK_RE_STR = r"(?is)<(head|script|style)[^>]*>.*?</\1\s*>"
+# Non-text block strip: ONE alternation pass (deliberate simplification: the
+# span ends at the FIRST closing head/script/style tag — nested cases resolve
+# identically in the scalar and Arrow implementations, which is the contract;
+# leftover close tags are removed by the tag pass).
+_BLOCK_RE_STR = r"(?is)<(?:head|script|style)[^>]*>.*?</(?:head|script|style)\s*>"
 _BLOCK_RE = re.compile(_BLOCK_RE_STR)
-# re2 (Arrow) has no backreferences — expand the alternation per tag:
-_BLOCK_RE2_PATTERNS = [rf"(?is)<{t}[^>]*>.*?</{t}\s*>" for t in ("head", "script", "style")]
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
@@ -49,8 +51,7 @@ def extract_text_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.Chunked
     s = col
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = pc.cast(s, pa.string())
-    for pat in _BLOCK_RE2_PATTERNS:
-        s = pc.replace_substring_regex(s, pattern=pat, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_BLOCK_RE_STR, replacement=" ")
     s = pc.replace_substring_regex(s, pattern="<[^>]*>", replacement=" ")
     for ent, ch in _ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=ch)
@@ -98,7 +99,39 @@ def ngram_bucket_hist(text: str, buckets: int = 8) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
-# token hash sets (for churn / jaccard / shingles): crc32 of token bytes.
+# 64-bit token hash (for churn): polynomial hash of the first 16 utf-8 bytes
+# plus full-byte-length mixing, mod 2^64. Chosen because it vectorizes over
+# Arrow buffers with bounded scratch (see state/kernels._token_hashes64_batch,
+# which MUST agree with this scalar definition bit-for-bit).
+
+_TOK_K = 16
+_TOK_BASE = np.uint64(1099511628211)
+with np.errstate(over="ignore"):
+    _TOK_W = np.empty(_TOK_K, dtype=np.uint64)
+    _TOK_W[0] = _TOK_BASE
+    for _j in range(1, _TOK_K):
+        _TOK_W[_j] = _TOK_W[_j - 1] * _TOK_BASE
+_TOK_LMIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_hashes64(text: str) -> np.ndarray:
+    """Unique sorted uint64 hashes of the whitespace tokens (scalar ref)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            L = b.size
+            h = np.uint64(L) * _TOK_LMIX
+            h = h + (b[:_TOK_K].astype(np.uint64) * _TOK_W[: min(L, _TOK_K)]).sum(dtype=np.uint64)
+            out[i] = h
+    return np.unique(out)
+
+
+# --------------------------------------------------------------------------
+# token hash sets (for shingles / simhash): crc32 of token bytes.
 
 def token_hashes(text: str) -> np.ndarray:
     """Unique sorted uint32 crc32 hashes of the whitespace tokens."""

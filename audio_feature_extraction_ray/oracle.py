@@ -24,7 +24,7 @@ from .functions.text import (
     jaccard,
     ngram_bucket_hist,
     token_count,
-    token_hashes,
+    token_hashes64,
 )
 
 
@@ -83,7 +83,7 @@ def oracle_features(
 
     # text churn vs previous revisit: 1 - jaccard(token hash sets)
     churn = np.full(len(df), np.nan)
-    hashes = [token_hashes(t) for t in df["text"]]
+    hashes = [token_hashes64(t) for t in df["text"]]
     url_arr = df["url"].to_numpy()
     for i in range(len(df)):
         if i > 0 and url_arr[i] == url_arr[i - 1]:
@@ -108,6 +108,19 @@ def oracle_features(
         merged = merged.sort_values("index")
         df["locf_rank"] = merged["locf_rank"].to_numpy(dtype="float64", na_value=np.nan)
         df["locf_fetch_ok"] = merged["locf_fetch_ok"].to_numpy(dtype="float64", na_value=np.nan)
+
+    # 5b. plugin extractors (same registered pure functions as the engine —
+    # the oracle checks the distribution, ordering and state logic, which is
+    # where the two implementations are independent)
+    if cfg.extra_features:
+        import pyarrow as _pa
+
+        from .functions.registry import get_feature
+
+        tbl = _pa.Table.from_pandas(df, preserve_index=False)
+        for name in cfg.extra_features:
+            for cname, arr in get_feature(name)(tbl).items():
+                df[cname] = np.asarray(arr, dtype="float64")
 
     # 6. pack the fixed-width feature vector (nulls -> NaN)
     order = cfg.feature_order

@@ -310,3 +310,40 @@ SELECT user_id,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# exact distinct aggregate with map-side set partials (SURVEY §2.6; "emit one
+# partial per batch, merge in a tiny second stage" — the mergeable-sketch
+# shape, here with exact sets since user-id cardinality is bounded per type).
+
+
+def distinct_users(sf_dir: str) -> ray.data.Dataset:
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": tbl.column("event_type").to_pylist(),
+                "user_id": tbl.column("user_id").to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = read_events(sf_dir, ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [np.int64(g["user_id"].nunique())],
+            }
+        )
+
+    return partials.groupby("event_type").map_groups(count_distinct, batch_format="pandas")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""

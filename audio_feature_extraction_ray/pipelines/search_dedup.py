@@ -1,0 +1,245 @@
+"""sf_dir-facing queries for the dedup family and similarity search
+(documents + embeddings tables), with DuckDB oracles where exactly
+SQL-expressible."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from ..stages import ann, dedup
+
+N_QUERIES = 8
+TOP_K = 5
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# --- exact dedup: keep min doc_id per identical text ------------------------
+
+
+def dedup_exact_docs(sf_dir: str) -> ray.data.Dataset:
+    out = dedup.exact_dedup(_docs(sf_dir), id_col="doc_id", text_col="text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_md5"]), batch_format="pyarrow"
+    )
+
+
+DEDUP_EXACT_DOCS_SQL = """
+SELECT doc_id, md5(text) AS content_md5
+FROM (
+  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# --- keep-first-per-key over a coarser key (real drops on this data) --------
+
+
+def docs_first_per_key(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    return ds.groupby(["lang", "source"]).map_groups(first, batch_format="pandas")
+
+
+DOCS_FIRST_PER_KEY_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+# --- exact token-set Jaccard pairs over a small sample (SQL-checkable) ------
+
+JACCARD_SAMPLE_N = 40
+JACCARD_MIN = 0.05
+
+
+def jaccard_pairs_sample(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), JACCARD_SAMPLE_N)),
+        batch_format="pyarrow",
+    )
+    return dedup.jaccard_pairs(ds, min_jaccard=JACCARD_MIN)
+
+
+# token-set jaccard: distinct tokens (crc32-hash free: set semantics on the
+# token strings gives the same cardinalities as the unique-hash sets modulo
+# crc32 collisions, which the fixture vocabulary cannot produce)
+JACCARD_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {JACCARD_SAMPLE_N}
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= {JACCARD_MIN}
+"""
+
+
+# --- near-dup candidates (rows-only checks: not SQL-expressible) ------------
+
+
+def minhash_lsh_docs(sf_dir: str) -> ray.data.Dataset:
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+
+def simhash_pairs_docs(sf_dir: str) -> ray.data.Dataset:
+    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=6)
+
+
+def doc_signatures(sf_dir: str) -> ray.data.Dataset:
+    """SimHash + rolling-fingerprint + MinHash-first-perm signature table
+    (rows-only check: the hash functions are not SQL-expressible; determinism
+    and self-consistency are pinned in pytest)."""
+    from ..functions.hashing import minhash_signature, shingle_hashes, simhash64
+    from ..functions.text import fingerprint64
+    from ..stages.dedup import _u64_to_i64
+    from ..state.kernels import _token_hash_set
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        texts = tbl.column("text").to_pylist()
+        sh = [_u64_to_i64(simhash64(_token_hash_set(t))) for t in texts]
+        fp = [_u64_to_i64(fingerprint64(t)) for t in texts]
+        mh0 = [
+            _u64_to_i64(int(minhash_signature(shingle_hashes(t), num_perm=16)[0])) for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "simhash": pa.array(sh, pa.int64()),
+                "fp64": pa.array(fp, pa.int64()),
+                "minhash0": pa.array(mh0, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    sel = np.nonzero(ids < N_QUERIES)[0]
+    sub = t.take(pa.array(sel))
+    q = ann._emb_matrix(sub)
+    return q, sub.column("vec_id").to_numpy()
+
+
+def ann_bruteforce(sf_dir: str) -> ray.data.Dataset:
+    q, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.brute_force_topk(ds, q, qids, k=TOP_K)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings
+), s AS (
+  SELECT qid, nid,
+         list_dot_product(qe, ne)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS sim
+  FROM q CROSS JOIN c
+  WHERE qid != nid
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM s
+)
+SELECT qid AS query_id, rank, nid AS neighbor_id,
+       floor(sim * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM r WHERE rank <= {TOP_K}
+"""
+
+
+EMB_DUP_N = 200
+EMB_DUP_THRESHOLD = 0.35
+
+
+def embedding_dups(sf_dir: str) -> ray.data.Dataset:
+    """Embedding-cosine near-dup pairs (a < b, cos >= threshold) over the
+    first EMB_DUP_N vectors — blocked matmul per batch against a broadcast
+    candidate matrix; SQL oracle does the exact pairwise form."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sel = np.nonzero(t.column("vec_id").to_numpy() < EMB_DUP_N)[0]
+    sub = t.take(pa.array(sel))
+    cand = ann._norm_rows(ann._emb_matrix(sub))
+    cand_ids = sub.column("vec_id").to_numpy().astype(np.int64)
+    ref = _ray.put((cand, cand_ids))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        lambda tb: tb.filter(pc.less(tb.column("vec_id"), EMB_DUP_N)), batch_format="pyarrow"
+    )
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        cm, cids = _ray.get(ref)
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        m = ann._norm_rows(ann._emb_matrix(tbl))
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        sims = m @ cm.T
+        ii, jj = np.nonzero((sims >= EMB_DUP_THRESHOLD) & (ids[:, None] < cids[None, :]))
+        if ii.size == 0:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(cids[jj], pa.int64()),
+                "cos_sim": pa.array(np.floor(sims[ii, jj] * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+EMBEDDING_DUPS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {EMB_DUP_N}
+), s AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a, b, floor(sim * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM s WHERE sim >= {EMB_DUP_THRESHOLD}
+"""
+
+
+def ann_ivf(sf_dir: str) -> ray.data.Dataset:
+    q, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=4)

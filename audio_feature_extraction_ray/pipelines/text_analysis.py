@@ -1,0 +1,260 @@
+"""Text-analysis operators over the `documents` table: token stats,
+fingerprinting, quality scoring, language-ID — the per-record scalar feature
+family (reference analog: ZCR / spectral-centroid per-window scalar summaries,
+tasks.md:713-735) plus the training-data-pipeline text ops the north rule adds.
+
+All stages are vectorized Arrow/numpy map_batches; where the semantics are
+SQL-expressible the DuckDB oracle reproduces values bit-exactly (fixed-point
+rounding on both sides where float formulas are involved).
+
+Tokenizer contract for this table: documents.text is single-space separated
+(no leading/trailing/double spaces — asserted in tests), so
+token_count = spaces + 1 and the SQL string_split(text, ' ') agrees with
+Python str.split().
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.text import _LANG_ORDER, _STOPWORDS
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _token_lists(text: pa.Array):
+    """(ntok int64, flat lowercase tokens, offsets int64) for a string column."""
+    lower = pc.utf8_lower(text)
+    toks = pc.split_pattern(lower, " ")
+    ntok_raw = pc.list_value_length(toks).cast(pa.int64())
+    empty = pc.equal(pc.utf8_length(text), 0)
+    ntok = pc.if_else(empty, pa.scalar(0, pa.int64()), ntok_raw)
+    flat = pc.list_flatten(toks)
+    offs = np.concatenate([[0], np.cumsum(ntok_raw.to_numpy())])
+    return ntok, flat, offs
+
+
+def _segment_sums(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat 0/1 mask given row offsets."""
+    c = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return c[offs[1:]] - c[offs[:-1]]
+
+
+# ---------------------------------------------------------------------------
+# token / char stats
+
+
+def token_stats(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        ntok = pc.if_else(nonempty, pc.add(pc.count_substring(text, " "), 1), 0).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "token_count": ntok,
+                "char_count": pc.utf8_length(text).cast(pa.int64()),
+                "lang": tbl.column("lang"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS token_count,
+       length(text) AS char_count,
+       lang
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting (north-rule text-analysis item): counts
+# word-piece-style units (letter runs / digit runs / single non-space symbols)
+# — RE2 semantics on both sides, so engine and oracle agree exactly.
+
+_BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        n = pc.count_substring_regex(text, _BPEISH_PATTERN).cast(pa.int64())
+        return pa.table({"doc_id": tbl.column("doc_id"), "bpe_tokens": n})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{_BPEISH_PATTERN}')) AS bpe_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (md5; SQL-checkable). The rolling-hash fingerprint64
+# variant is in signatures() below (rows-only).
+
+
+def fingerprint(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in tbl.column("text").to_pylist()]
+        return pa.table({"doc_id": tbl.column("doc_id"), "fp_md5": pa.array(fps, pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# quality score — deterministic arithmetic; fixed-point floor(x*1e6+0.5)/1e6
+# on BOTH sides so distributed/SQL values are identical.
+
+_PUNCT_RE = r"[^.,;:!?'\"()\-]"
+_EN_STOP = sorted(_STOPWORDS["en"])
+
+
+def quality(sf_dir: str) -> ray.data.Dataset:
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        n = len(text)
+        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy().astype(np.float64)
+        # sum of token lengths == chars - (ntok - 1) for single-space text
+        sum_tok_len = np.where(ntok > 0, charc - (ntok - 1), 0.0)
+        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+        stop_cnt = _segment_sums(stop_mask, offs).astype(np.float64)
+        punct_cnt = charc - pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
+        ).cast(pa.int64()).to_numpy().astype(np.float64)
+
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_tok_len = sum_tok_len / ntok
+            punct_ratio = punct_cnt / charc
+            stop_ratio = stop_cnt / ntok
+            len_score = np.minimum(ntok, 256.0) / 256.0
+            wl_score = np.maximum(0.0, 1.0 - np.abs(mean_tok_len - 5.0) / 5.0)
+            q = (
+                0.4 * len_score
+                + 0.3 * wl_score
+                + 0.2 * stop_ratio
+                + 0.1 * (1.0 - np.minimum(punct_ratio * 4.0, 1.0))
+            )
+        q = np.where((charc == 0) | (ntok == 0), 0.0, np.floor(q * 1e6 + 0.5) / 1e6)
+        return pa.table({"doc_id": tbl.column("doc_id"), "quality": pa.array(q, pa.float64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _stoplist_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS charc,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) END AS ntok,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> list_contains({_stoplist_sql(_EN_STOP)}, x))) AS DOUBLE) AS stop_cnt,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) AS punct_cnt
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN charc = 0 OR ntok = 0 THEN 0.0 ELSE
+    floor((0.4 * (least(ntok, 256.0) / 256.0)
+         + 0.3 * greatest(0.0, 1.0 - abs((charc - (ntok - 1)) / ntok - 5.0) / 5.0)
+         + 0.2 * (stop_cnt / ntok)
+         + 0.1 * (1.0 - least(punct_cnt / charc * 4.0, 1.0))) * 1e6 + 0.5) / 1e6
+  END AS quality
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic (functions.text.langid, vectorized): CJK-ratio gate
+# then stopword vote, ties broken by _LANG_ORDER; 'und' with no evidence.
+
+_CJK_STRIP = "[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"
+
+
+def langid_docs(sf_dir: str) -> ray.data.Dataset:
+    stop_sets = {lang: pa.array(sorted(_STOPWORDS[lang]), pa.string()) for lang in _LANG_ORDER}
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        n = len(text)
+        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
+        cjk = charc - pc.utf8_length(
+            pc.replace_substring_regex(text, pattern=_CJK_STRIP, replacement="")
+        ).cast(pa.int64()).to_numpy().astype(np.float64)
+        _, flat, offs = _token_lists(text)
+        votes = np.zeros((len(_LANG_ORDER), n), dtype=np.int64)
+        for i, lang in enumerate(_LANG_ORDER):
+            mask = pc.is_in(flat, value_set=stop_sets[lang]).to_numpy(zero_copy_only=False)
+            votes[i] = _segment_sums(mask, offs)
+        best = np.full(n, "und", dtype=object)
+        m = votes.max(axis=0)
+        # first lang in order achieving the max (strict-greater update rule)
+        winner = votes.argmax(axis=0)  # argmax returns FIRST max index == order rule
+        has_vote = m > 0
+        best[has_vote] = np.asarray(_LANG_ORDER, dtype=object)[winner[has_vote]]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            is_cjk = (charc > 0) & (cjk / charc > 0.30)
+        best[is_cjk] = "zh"
+        best[charc == 0] = "und"
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "pred_lang": pa.array(best.tolist(), pa.string())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _votes_sql() -> str:
+    parts = []
+    for lang in _LANG_ORDER:
+        parts.append(
+            f"len(list_filter(toks, x -> list_contains({_stoplist_sql(sorted(_STOPWORDS[lang]))}, x))) AS s_{lang}"
+        )
+    return ",\n         ".join(parts)
+
+
+LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS charc,
+         length(text) - length(regexp_replace(text, '{_CJK_STRIP}', '', 'g')) AS cjk,
+         string_split(lower(text), ' ') AS toks
+  FROM documents
+), v AS (
+  SELECT doc_id, charc, cjk,
+         {_votes_sql()}
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN charc = 0 THEN 'und'
+    WHEN CAST(cjk AS DOUBLE) / charc > 0.30 THEN 'zh'
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+    ELSE 'es'
+  END AS pred_lang
+FROM v
+"""

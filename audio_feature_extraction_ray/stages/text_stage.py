@@ -20,15 +20,48 @@ _P1 = np.uint64(0x100000001B3)
 _P2 = np.uint64(0x1000193)
 
 
+# Per-process scratch-buffer pool. This sandbox (and many container runtimes)
+# has very slow first-touch page faults, so a fresh >128KB numpy temporary per
+# op costs orders of magnitude more than the arithmetic. Buffers are faulted
+# once per worker and reused across batches (the actor-pool/worker-reuse
+# idiom: pay setup once, design.md:1743).
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, size: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+        cap = max(size, 1 << 16)
+        if buf is not None and buf.dtype == np.dtype(dtype):
+            cap = max(cap, buf.size * 2)
+        buf = np.empty(cap, dtype=dtype)
+        buf[:] = 0  # fault all pages now
+        _SCRATCH[name] = buf
+    return buf[:size]
+
+
+_NGRAM_ROW_CHUNK = 2048  # bounds scratch size: fault once per worker, reuse
+
+
 def ngram_hist_batch(arr: pa.Array | pa.ChunkedArray, buckets: int) -> np.ndarray:
     """Vectorized byte-trigram bucket histograms for a whole string column.
 
-    Operates directly on the Arrow offsets/data buffers (no per-row Python);
-    row-identical to functions.text.ngram_bucket_hist.
+    Operates directly on the Arrow offsets/data buffers (no per-row Python).
+    Processes in fixed-size row chunks so the per-worker scratch buffers stay
+    small and warm regardless of batch size (slow-page-fault environments
+    price every fresh large allocation). Row-identical to
+    functions.text.ngram_bucket_hist.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
+    if n > _NGRAM_ROW_CHUNK:
+        return np.vstack(
+            [
+                ngram_hist_batch(arr.slice(i, _NGRAM_ROW_CHUNK), buckets)
+                for i in range(0, n, _NGRAM_ROW_CHUNK)
+            ]
+        )
     out = np.zeros((n, buckets), dtype=np.float64)
     if n == 0:
         return out
@@ -36,19 +69,47 @@ def ngram_hist_batch(arr: pa.Array | pa.ChunkedArray, buckets: int) -> np.ndarra
     off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1].astype(np.int64)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     g0, g1 = int(off[0]), int(off[-1])
-    if g1 - g0 < 3:
+    L = g1 - g0
+    if L < 3:
         return out
-    d = data[g0:g1].astype(np.uint64)
+    m = L - 2  # number of trigram start positions (incl. row-crossing ones)
+    d = _scratch("ngram_d", L, np.uint64)
+    d[:] = data[g0:g1]
+    h = _scratch("ngram_h", m, np.uint64)
+    t = _scratch("ngram_t", m, np.uint64)
     with np.errstate(over="ignore"):
-        h = d[:-2] * _P1 + d[1:-1] * _P2 + d[2:]
-    bucket = (h % np.uint64(buckets)).astype(np.int64)
-    gpos = np.arange(g0, g1 - 2, dtype=np.int64)  # global start byte of each trigram
-    row = np.searchsorted(off, gpos, side="right") - 1
-    valid = gpos + 3 <= off[row + 1]
-    counts = np.bincount(row[valid] * buckets + bucket[valid], minlength=n * buckets)
-    out = counts.reshape(n, buckets).astype(np.float64)
-    sums = out.sum(axis=1, keepdims=True)
-    np.divide(out, sums, out=out, where=sums > 0)
+        np.multiply(d[:m], _P1, out=h)
+        np.multiply(d[1 : m + 1], _P2, out=t)
+        np.add(h, t, out=h)
+        np.add(h, d[2 : m + 2], out=h)
+    np.mod(h, np.uint64(buckets), out=h)
+    # row id per position via cumsum of boundary indicators (no searchsorted)
+    row = _scratch("ngram_row", m, np.int64)
+    row[:] = 0
+    inner = off[1:-1] - g0  # row boundaries strictly inside the data span
+    inner = inner[inner < m]
+    np.add.at(row, inner, 1)
+    np.cumsum(row, out=row)
+    # combined key = row * buckets + bucket; count everything, then subtract
+    # the <=2 row-crossing trigrams at each boundary
+    key = _scratch("ngram_key", m, np.int64)
+    np.multiply(row, buckets, out=key)
+    np.add(key, h.view(np.int64), out=key)  # h already < buckets, view is safe
+    counts = np.bincount(key, minlength=n * buckets).astype(np.float64)
+    lens = off[1:] - off[:-1]
+    # invalid positions: for each row r (except the last), positions
+    # off[r+1]-2, off[r+1]-1 when they lie within row r's byte span
+    for j in (1, 2):
+        p = off[1:] - j - g0  # candidate invalid start position in row r
+        sel = (p >= off[:-1] - g0) & (p < m) & (p >= 0)
+        if sel.any():
+            rows_sel = np.nonzero(sel)[0]
+            bads = rows_sel * buckets + h[p[sel]].astype(np.int64)
+            np.subtract.at(counts, bads, 1.0)
+    counts = counts[: n * buckets].reshape(n, buckets)
+    tri = np.maximum(lens - 2, 0).astype(np.float64)
+    np.divide(counts, tri[:, None], out=counts, where=tri[:, None] > 0)
+    out = counts
     return out
 
 

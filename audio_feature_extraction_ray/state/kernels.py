@@ -33,6 +33,76 @@ from ..config import FeatureConfig
 
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
+# --- vectorized 64-bit token hashing (must agree bit-for-bit with
+# functions.text.token_hashes64) ------------------------------------------
+
+from ..functions.text import _TOK_K, _TOK_LMIX, _TOK_W  # noqa: E402
+
+
+def _token_hashes64_batch(text_arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row sorted-unique uint64 token hashes for a string column.
+
+    Returns (hashes, row_offsets): hashes concatenated per row in ascending
+    order; row r's set is hashes[row_offsets[r]:row_offsets[r+1]]. Fully
+    vectorized over the Arrow buffers of the flattened token list."""
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    n = len(text_arr)
+    toks = pc.split_pattern(text_arr, " ")
+    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    m = len(flat)
+    if m == 0:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off = np.frombuffer(flat.buffers()[1], dtype=off_dtype)[flat.offset : flat.offset + m + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+    h = lens.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h *= _TOK_LMIX
+        hi = data.size - 1
+        for j in range(_TOK_K if data.size else 0):
+            idx = np.minimum(starts + j, hi)
+            contrib = data[idx].astype(np.uint64)
+            contrib *= lens > j
+            contrib *= _TOK_W[j]
+            h += contrib
+    row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    keep = lens > 0  # python str.split() drops empty tokens
+    h, row_of = h[keep], row_of[keep]
+    order = np.lexsort((h, row_of))
+    rs, hs = row_of[order], h[order]
+    uniq = np.ones(rs.size, dtype=bool)
+    uniq[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+    rs, hs = rs[uniq], hs[uniq]
+    counts = np.bincount(rs, minlength=n)
+    row_off = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return hs, row_off
+
+
+def _pairwise_intersections(hs: np.ndarray, row_off: np.ndarray, pair_mask: np.ndarray) -> np.ndarray:
+    """For each row p with pair_mask[p] True, |set(p-1) ∩ set(p)|.
+
+    One global sort over the doubled entry array — no per-row Python."""
+    n = row_off.size - 1
+    sizes = np.diff(row_off)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    # entries participate in pair p=row (as current) and p=row+1 (as previous)
+    cur_keep = pair_mask[row_of]
+    nxt = row_of + 1
+    nxt_keep = (nxt < n) & pair_mask[np.minimum(nxt, n - 1)]
+    tags = np.concatenate([row_of[cur_keep], nxt[nxt_keep]])
+    vals = np.concatenate([hs[cur_keep], hs[nxt_keep]])
+    if tags.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    order = np.lexsort((vals, tags))
+    t, v = tags[order], vals[order]
+    dup = np.zeros(t.size, dtype=bool)
+    dup[1:] = (t[1:] == t[:-1]) & (v[1:] == v[:-1])
+    return np.bincount(t[dup], minlength=n)
+
 
 def _token_hash_set(text: str) -> np.ndarray:
     toks = text.split()
@@ -110,17 +180,21 @@ class _UrlCarry:
     session_id: float = 0.0
     session_len: float = 0.0
     run_len: float = 0.0
-    token_hashes: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint32))
+    token_hashes: np.ndarray = field(default_factory=lambda: np.empty(0, dtype=np.uint64))
     # trailing token counts, most recent LAST, at most window_k-1 entries
     recent_tok: list[float] = field(default_factory=list)
 
 
-def _segment_bounds(url_arr: np.ndarray) -> np.ndarray:
-    """Indices where a new url segment starts (input sorted by url)."""
-    n = url_arr.size
-    head = np.ones(n, dtype=bool)
-    head[1:] = url_arr[1:] != url_arr[:-1]
-    return head
+def _neq_prev_mask(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """mask[i] = col[i] != col[i-1], mask[0] = True — Arrow string compare,
+    no Python string materialization."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    out = np.ones(n, dtype=bool)
+    if n > 1:
+        out[1:] = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    return out
 
 
 def _propagate_last(head_vals: np.ndarray, head_mask: np.ndarray) -> np.ndarray:
@@ -132,11 +206,11 @@ def _propagate_last(head_vals: np.ndarray, head_mask: np.ndarray) -> np.ndarray:
 
 
 def _history_features(
-    url_arr: np.ndarray,
+    url_col: pa.Array,
     ts_us: np.ndarray,
-    lang_arr: np.ndarray,
+    lang_col: pa.Array,
     tokc: np.ndarray,
-    texts: list[str],
+    texts: pa.Array,  # text column (Arrow)
     cfg: FeatureConfig,
     carry: _UrlCarry | None,
 ) -> tuple[dict[str, np.ndarray], _UrlCarry]:
@@ -145,11 +219,12 @@ def _history_features(
     `carry` holds the state of the last url of the PREVIOUS chunk; only the
     first segment of this chunk can continue it. Returns (columns, new_carry).
     """
-    n = url_arr.size
+    n = len(url_col)
     gap_s = cfg.session_gap_s
     k = cfg.window_k
-    head = _segment_bounds(url_arr)
-    cont = carry is not None and n > 0 and url_arr[0] == carry.url  # first segment continues
+    head = _neq_prev_mask(url_col)
+    first_url = url_col[0].as_py() if n else ""
+    cont = carry is not None and n > 0 and first_url == carry.url  # first segment continues
 
     # --- ts_since_prev -----------------------------------------------------
     dt = np.full(n, np.nan)
@@ -183,11 +258,10 @@ def _history_features(
             session_len[:sub_end] += carry.session_len
 
     # --- lang run length ---------------------------------------------------
-    lang_change = np.ones(n, dtype=bool)
-    lang_change[1:] = lang_arr[1:] != lang_arr[:-1]
+    lang_change = _neq_prev_mask(lang_col)
     run_head = head | lang_change
     run_len = ar - _propagate_last(np.where(run_head, ar, 0), run_head) + 1.0
-    if cont and lang_arr[0] == carry.lang:
+    if cont and n > 0 and lang_col[0].as_py() == carry.lang:
         seg0 = int(np.argmax(head[1:]) + 1) if n > 1 and head[1:].any() else n
         run_end = seg0
         changes = np.nonzero(lang_change[1:seg0])[0]
@@ -225,18 +299,21 @@ def _history_features(
         rw_mean = np.nanmean(shifted, axis=0)
         rw_max = np.nanmax(shifted, axis=0)
 
-    # --- text churn (1 - jaccard vs previous revisit) ----------------------
+    # --- text churn (1 - jaccard vs previous revisit), fully vectorized ----
+    hs_all, row_off = _token_hashes64_batch(texts)
+    sizes = np.diff(row_off)
+    pair_mask = ~head
+    inter = _pairwise_intersections(hs_all, row_off, pair_mask)
     churn = np.full(n, np.nan)
-    hset_prev: np.ndarray | None = carry.token_hashes if cont else None
-    prev_url_ok = cont
-    hsets = [None] * n
-    for i in range(n):
-        hs = _token_hash_set(texts[i])
-        hsets[i] = hs
-        if i > 0 and not head[i]:
-            churn[i] = 1.0 - _jaccard(hs, hsets[i - 1])
-        elif i == 0 and prev_url_ok and hset_prev is not None:
-            churn[0] = 1.0 - _jaccard(hs, hset_prev)
+    if n > 1:
+        union = sizes[:-1] + sizes[1:] - inter[1:]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = 1.0 - inter[1:] / union
+        c[union == 0] = 0.0  # both empty -> jaccard 1 -> churn 0
+        churn[1:][pair_mask[1:]] = c[pair_mask[1:]]
+    if cont and carry.token_hashes is not None:
+        row0 = hs_all[row_off[0] : row_off[1]]
+        churn[0] = 1.0 - _jaccard(row0, carry.token_hashes)
 
     # --- new carry (state of the last url in this chunk) -------------------
     if n:
@@ -248,13 +325,13 @@ def _history_features(
         else:
             new_recent = list(tokc[max(n - (k - 1), last_seg) : n]) if k > 1 else []
         new_carry = _UrlCarry(
-            url=str(url_arr[-1]),
+            url=url_col[n - 1].as_py(),
             ts_us=int(ts_us[-1]),
-            lang=str(lang_arr[-1]),
+            lang=lang_col[n - 1].as_py(),
             session_id=float(session_id[-1]),
             session_len=float(session_len[-1]),
             run_len=float(run_len[-1]),
-            token_hashes=hsets[-1],
+            token_hashes=hs_all[row_off[n - 1] : row_off[n]],
             recent_tok=new_recent,
         )
     else:
@@ -277,10 +354,9 @@ def _history_features(
 
 def _sort_dedup(tbl: pa.Table) -> pa.Table:
     tbl = tbl.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
-    url = np.asarray(tbl.column("url").to_pylist(), dtype=object)
     ts = tbl.column("warc_ts").cast(pa.int64()).to_numpy()
-    keep = np.ones(len(url), dtype=bool)
-    keep[1:] = (url[1:] != url[:-1]) | (ts[1:] != ts[:-1])
+    keep = _neq_prev_mask(tbl.column("url"))
+    keep[1:] |= ts[1:] != ts[:-1]
     if keep.all():
         return tbl
     return tbl.filter(pa.array(keep))
@@ -301,33 +377,36 @@ class StreamingMerger:
     def process_chunk(self, tbl: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = tbl.num_rows
-        url_arr = np.asarray(tbl.column("url").to_pylist(), dtype=object)
+        url_col = tbl.column("url").combine_chunks() if isinstance(tbl.column("url"), pa.ChunkedArray) else tbl.column("url")
+        lang_col = tbl.column("lang").combine_chunks() if isinstance(tbl.column("lang"), pa.ChunkedArray) else tbl.column("lang")
         ts_us = tbl.column("warc_ts").cast(pa.int64()).to_numpy()
-        lang_arr = np.asarray(tbl.column("lang").to_pylist(), dtype=object)
         tokc = tbl.column("token_count").to_numpy(zero_copy_only=False).astype(np.float64)
-        texts = tbl.column("text").to_pylist()
+        texts = tbl.column("text")
 
-        cols, self._carry = _history_features(url_arr, ts_us, lang_arr, tokc, texts, cfg, self._carry)
+        cols, self._carry = _history_features(url_col, ts_us, lang_col, tokc, texts, cfg, self._carry)
 
         out = tbl
         for name, arr in cols.items():
             out = out.append_column(name, pa.array(arr, pa.float64()))
 
         if self.signals is not None and cfg.signals_path is not None:
-            hosts = tbl.column("host").to_pylist()
+            host_col = tbl.column("host")
+            host_change = _neq_prev_mask(host_col)
+            run_starts = np.concatenate([np.nonzero(host_change)[0], [n]])
             rank = np.empty(n)
             ok = np.empty(n)
-            start = 0
-            for i in range(1, n + 1):
-                # hosts come in runs within the url-sorted order only per url;
-                # group contiguous equal hosts (urls of one host sort together)
-                if i == n or hosts[i] != hosts[start]:
-                    r, o = self.signals.locf(hosts[start], ts_us[start:i])
-                    rank[start:i] = r
-                    ok[start:i] = o
-                    start = i
+            for s_, e_ in zip(run_starts[:-1], run_starts[1:]):
+                # hosts form contiguous runs in url-sorted order
+                r, o = self.signals.locf(host_col[int(s_)].as_py(), ts_us[s_:e_])
+                rank[s_:e_] = r
+                ok[s_:e_] = o
             out = out.append_column("locf_rank", pa.array(rank, pa.float64()))
             out = out.append_column("locf_fetch_ok", pa.array(ok, pa.float64()))
+
+        if cfg.extra_features:
+            from ..functions.registry import apply_extra_features
+
+            out = apply_extra_features(out, list(cfg.extra_features))
 
         # pack the fixed-width feature vector (null -> NaN), declared order
         order = cfg.feature_order

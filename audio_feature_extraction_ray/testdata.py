@@ -205,8 +205,12 @@ def materialize_fixture(
     pages_dir = out / "pages"
     signals_path = out / "signals.parquet"
     done_marker = out / "_DONE"
-    if done_marker.exists():
+    stamp = f"{target_rows}:{seed}:{n_files}:{session_gap_s}"
+    if done_marker.exists() and done_marker.read_text() == stamp:
         return str(pages_dir), str(signals_path)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     pages, signals = generate_pages(target_rows, seed=seed, session_gap_s=session_gap_s)
     # shuffle rows so ordering never comes for free from the files
     rng = np.random.default_rng(seed + 1)
@@ -217,7 +221,7 @@ def materialize_fixture(
     for i, idx in enumerate(splits):
         pq.write_table(pages.take(idx), pages_dir / f"part-{i:04d}.parquet")
     pq.write_table(signals, signals_path)
-    done_marker.write_text("ok")
+    done_marker.write_text(stamp)
     return str(pages_dir), str(signals_path)
 
 
@@ -225,7 +229,7 @@ def default_fixture_dir(scale: str) -> str:
     return os.path.join("/tmp/afe_fixtures", scale)
 
 
-_SCALE_ROWS = {"small": 2_000, "medium": 60_000, "bench": 600_000}
+_SCALE_ROWS = {"small": 2_000, "medium": 60_000, "bench": 1_800_000}
 
 
 def ensure_fixture(scale: str = "small", n_files: int | None = None) -> tuple[str, str]:
