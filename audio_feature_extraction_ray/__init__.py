@@ -19,3 +19,18 @@ the caller (driver / bench.py / test fixture).
 """
 
 __version__ = "0.1.0"
+
+# The package is used from a plain checkout (no site-packages install), so Ray
+# worker processes may not be able to import it by name when the driver's cwd
+# is elsewhere. Registering the package for cloudpickle pickle-by-value makes
+# every UDF/actor class defined here ship inside the task spec instead of being
+# re-imported on the worker — the idiomatic way to run un-installed code on a
+# cluster without runtime_env py_modules.
+try:  # pragma: no cover - environment guard
+    import sys as _sys
+
+    from ray import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort; cwd-importable envs still work
+    pass

@@ -120,7 +120,8 @@ WITH g AS (
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g
 )
-SELECT event_id, user_id, ts, ts_since_prev_s, session_id,
+SELECT event_id, user_id, ts, ts_since_prev_s,
+       CAST(session_id AS BIGINT) AS session_id,
        row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id)
          AS session_len
 FROM s

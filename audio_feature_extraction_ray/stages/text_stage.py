@@ -25,12 +25,21 @@ _P2 = np.uint64(0x1000193)
 # op costs orders of magnitude more than the arithmetic. Buffers are faulted
 # once per worker and reused across batches (the actor-pool/worker-reuse
 # idiom: pay setup once, design.md:1743).
-_SCRATCH: dict[str, np.ndarray] = {}
+class _ScratchPool(dict):
+    """Pickles as EMPTY: the package ships to workers by value (cloudpickle),
+    and serializing driver-side buffer contents would both bloat task specs and
+    arrive as read-only object-store memory."""
+
+    def __reduce__(self):
+        return (_ScratchPool, ())
+
+
+_SCRATCH: dict[str, np.ndarray] = _ScratchPool()
 
 
 def _scratch(name: str, size: int, dtype) -> np.ndarray:
     buf = _SCRATCH.get(name)
-    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+    if buf is None or not buf.flags.writeable or buf.size < size or buf.dtype != np.dtype(dtype):
         cap = max(size, 1 << 16)
         if buf is not None and buf.dtype == np.dtype(dtype):
             cap = max(cap, buf.size * 2)
