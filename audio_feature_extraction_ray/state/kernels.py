@@ -320,10 +320,13 @@ def _history_features(
         last_seg = int(_propagate_last(np.where(head, ar, 0), head)[-1])
         new_recent: list[float]
         seg_len_tail = n - last_seg
+        # keep at least ONE entry even when k == 1: lag1 needs the previous
+        # revisit's count across chunk boundaries regardless of window size
+        keep = max(k - 1, 1)
         if cont and last_seg == 0:
-            new_recent = (list(carry.recent_tok) + list(tokc))[-(k - 1) :] if k > 1 else []
+            new_recent = (list(carry.recent_tok) + list(tokc))[-keep:]
         else:
-            new_recent = list(tokc[max(n - (k - 1), last_seg) : n]) if k > 1 else []
+            new_recent = list(tokc[max(n - keep, last_seg) : n])
         new_carry = _UrlCarry(
             url=url_col[n - 1].as_py(),
             ts_us=int(ts_us[-1]),
