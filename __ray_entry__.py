@@ -39,10 +39,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         relational,
         search_dedup,
+        splits,
         text_analysis,
     )
 
     q: dict[str, Callable[[str], Any]] = {
+        # split / augment family (SURVEY §2.1 S6, §2.2 M6)
+        "docs_split_stats": splits.docs_split_stats,
+        "docs_augment": splits.docs_augment,  # rows-only (seeded RNG)
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -84,10 +88,12 @@ def oracle_sql() -> dict[str, str]:
         events,
         relational,
         search_dedup,
+        splits,
         text_analysis,
     )
 
     return {
+        "docs_split_stats": splits.DOCS_SPLIT_STATS_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,

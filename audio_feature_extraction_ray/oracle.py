@@ -122,10 +122,19 @@ def oracle_features(
             for cname, arr in get_feature(name)(tbl).items():
                 df[cname] = np.asarray(arr, dtype="float64")
 
+    # 5c. lead labels (reversed pass; label_ prefix, never packed as features)
+    label_cols: list[str] = []
+    if cfg.emit_labels:
+        df["label_lead1_token_count"] = g["token_count"].shift(-1)
+        df["label_ts_to_next"] = (
+            g["warc_ts"].shift(-1) - df["warc_ts"]
+        ).dt.total_seconds()
+        label_cols = ["label_lead1_token_count", "label_ts_to_next"]
+
     # 6. pack the fixed-width feature vector (nulls -> NaN)
     order = cfg.feature_order
     mat = df[order].to_numpy(dtype="float64", na_value=np.nan)
     df["features"] = list(mat)
 
-    out_cols = ["url", "warc_ts", "host", "text", "lang"] + order + ["features"]
+    out_cols = ["url", "warc_ts", "host", "text", "lang"] + order + label_cols + ["features"]
     return df[out_cols].reset_index(drop=True)

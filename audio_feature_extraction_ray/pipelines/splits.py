@@ -1,0 +1,91 @@
+"""Driver-contract queries for the split/augment family (SURVEY §2.1 S6 /
+§2.2 M6; reference analogs: DatasetSplitter tasks.md:688-709, DataAugmentation
+tasks.md:662-684).
+
+`docs_split_stats` uses an id-modulus bucket so the assignment is exactly
+SQL-expressible (the url-hash split used by stages.split_augment is pinned by
+pytest instead — crc32 is not available in DuckDB). `docs_augment` is the
+seeded deterministic token-dropout (rows-only check: per-row RNG is not SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+TRAIN_PCT, VAL_PCT = 80, 90  # bucket boundaries on id % 100
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def docs_split_stats(sf_dir: str) -> ray.data.Dataset:
+    """train/val/test split by doc_id % 100 -> per-split counts + char sums.
+    Pre-aggregated inside map_batches (combiner) before the tiny groupby."""
+
+    def assign_and_partial(tbl: pa.Table) -> pa.Table:
+        bucket = tbl.column("doc_id").to_numpy() % 100
+        split = np.where(bucket < TRAIN_PCT, "train", np.where(bucket < VAL_PCT, "val", "test"))
+        tbl = tbl.append_column("split", pa.array(split.tolist(), pa.string()))
+        # partial aggregate: one row per split per batch
+        out = (
+            tbl.group_by("split")
+            .aggregate([("doc_id", "count"), ("n_chars", "sum")])
+            .rename_columns(["split", "n_docs", "sum_chars"])
+        )
+        return out
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        assign_and_partial, batch_format="pyarrow"
+    )
+
+    import pandas as pd
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "split": [g["split"].iloc[0]],
+                "n_docs": [np.int64(g["n_docs"].sum())],
+                "sum_chars": [np.int64(g["sum_chars"].sum())],
+            }
+        )
+
+    return ds.groupby("split").map_groups(combine, batch_format="pandas")
+
+
+DOCS_SPLIT_STATS_SQL = f"""
+SELECT CASE WHEN doc_id % 100 < {TRAIN_PCT} THEN 'train'
+            WHEN doc_id % 100 < {VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+def docs_augment(sf_dir: str) -> ray.data.Dataset:
+    """Seeded deterministic token dropout over documents (rows-only check);
+    returns per-doc token counts before/after so determinism is observable."""
+    from ..stages.split_augment import augment_texts
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = augment_texts(ds, text_col="text", key_col="doc_id", drop_prob=0.1)
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        def ntok(col):
+            s = pc.count_substring(col, " ")
+            return pc.if_else(pc.equal(pc.utf8_length(col), 0), 0, pc.add(s, 1))
+
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "tokens_before": pc.cast(ntok(tbl.column("text")), pa.int64()),
+                "tokens_after": pc.cast(ntok(tbl.column("text_aug")), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(counts, batch_format="pyarrow")

@@ -54,7 +54,7 @@ def augment_texts(
     (key-hash, salt) so the same row always augments identically."""
 
     def fn(tbl: pa.Table) -> pa.Table:
-        keys = url_hash64(tbl.column(key_col).to_pylist())
+        keys = url_hash64([str(v) for v in tbl.column(key_col).to_pylist()])
         out = []
         for k, t in zip(keys, tbl.column(text_col).to_pylist()):
             rng = np.random.default_rng(int(k) ^ salt)

@@ -49,7 +49,12 @@ def _scratch(name: str, size: int, dtype) -> np.ndarray:
     return buf[:size]
 
 
-_NGRAM_ROW_CHUNK = 2048  # bounds scratch size: fault once per worker, reuse
+# Row-chunk size for the trigram kernel. Sized so the uint64 scratch arrays
+# (~8x the chunk's text bytes, x4 arrays) stay L2-resident: this machine's
+# DRAM bandwidth saturates near 8 concurrent streaming workers (measured:
+# chunk=2048 scales 4.2x at 32 procs; chunk<=512 scales ~25-30x), so cache
+# residency — not allocation reuse — is what buys multi-worker scaling.
+_NGRAM_ROW_CHUNK = 256
 
 
 def ngram_hist_batch(arr: pa.Array | pa.ChunkedArray, buckets: int) -> np.ndarray:
@@ -142,9 +147,23 @@ def validate_pages_batch(tbl: pa.Table) -> None:
             raise SchemaError(f"column {col!r} has {nulls} nulls")
 
 
+# Row-chunk for the whole per-row prepare path: every pass (re2 replace,
+# entity substitution, ws normalize) allocates an output the size of its
+# input, so a 16k-row block streams >100MB of temporaries through DRAM.
+# 256-row slices keep each pass's working set cache-resident — the same
+# bandwidth-saturation fix as _NGRAM_ROW_CHUNK (results are identical:
+# everything in prepare_batch is per-row).
+_PREPARE_ROW_CHUNK = 256
+
+
 def prepare_batch(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
     """extract_text -> host -> per-row text features; drops the heavy `html`
     column BEFORE the shuffle (SURVEY §7.4: wide rows are dead weight)."""
+    if tbl.num_rows > _PREPARE_ROW_CHUNK:
+        return pa.concat_tables(
+            prepare_batch(tbl.slice(i, _PREPARE_ROW_CHUNK), cfg)
+            for i in range(0, tbl.num_rows, _PREPARE_ROW_CHUNK)
+        ).combine_chunks()
     validate_pages_batch(tbl)
     text = extract_text_arrow(tbl.column("html"))
     if isinstance(text, pa.ChunkedArray):

@@ -39,15 +39,32 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 from ..functions.text import _TOK_K, _TOK_LMIX, _TOK_W  # noqa: E402
 
 
+# Row-chunk size: keeps the uint64 hash/index temporaries L2-resident. This
+# machine's DRAM bandwidth saturates near 8 concurrent streaming workers, so
+# cache residency is what buys 32-worker scaling (same finding as the trigram
+# kernel in stages/text_stage.py).
+_TOKHASH_ROW_CHUNK = 512
+
+
 def _token_hashes64_batch(text_arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row sorted-unique uint64 token hashes for a string column.
 
     Returns (hashes, row_offsets): hashes concatenated per row in ascending
-    order; row r's set is hashes[row_offsets[r]:row_offsets[r+1]]. Fully
-    vectorized over the Arrow buffers of the flattened token list."""
+    order; row r's set is hashes[row_offsets[r]:row_offsets[r+1]]. Processed
+    in fixed row chunks (rows are independent, results concatenate exactly)."""
     if isinstance(text_arr, pa.ChunkedArray):
         text_arr = text_arr.combine_chunks()
     n = len(text_arr)
+    if n > _TOKHASH_ROW_CHUNK:
+        hs_parts: list[np.ndarray] = []
+        off_parts: list[np.ndarray] = [np.zeros(1, np.int64)]
+        base = np.int64(0)
+        for i in range(0, n, _TOKHASH_ROW_CHUNK):
+            hs_i, off_i = _token_hashes64_batch(text_arr.slice(i, _TOKHASH_ROW_CHUNK))
+            hs_parts.append(hs_i)
+            off_parts.append(off_i[1:] + base)
+            base += off_i[-1]
+        return np.concatenate(hs_parts), np.concatenate(off_parts)
     toks = pc.split_pattern(text_arr, " ")
     ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
@@ -428,6 +445,31 @@ def merge_partition(
 ) -> pa.Table:
     """One-shot partition merge: sort -> dedup-keep-first -> history features
     -> as-of LOCF -> packed vector. Equivalent to StreamingMerger over the
-    whole partition in one chunk."""
+    whole partition in one chunk.
+
+    With cfg.emit_labels, lead columns are added by a reversed second pass
+    over the full partition (SURVEY §4.3): they carry the label_ prefix and
+    are NEVER packed into the feature vector — leads are training labels, not
+    features (reference analog: delta frames as targets, tasks.md:637-658)."""
     tbl = _sort_dedup(tbl)
-    return StreamingMerger(cfg, signals).process_chunk(tbl)
+    out = StreamingMerger(cfg, signals).process_chunk(tbl)
+    if cfg.emit_labels:
+        n = out.num_rows
+        url_col = out.column("url")
+        head = _neq_prev_mask(url_col)
+        tail = np.zeros(n, dtype=bool)  # last row of each url
+        if n:
+            tail[:-1] = head[1:]
+            tail[-1] = True
+        tokc = out.column("token_count").to_numpy(zero_copy_only=False).astype(np.float64)
+        ts_us = out.column("warc_ts").cast(pa.int64()).to_numpy()
+        lead_tok = np.full(n, np.nan)
+        lead_dt = np.full(n, np.nan)
+        if n > 1:
+            lead_tok[:-1] = tokc[1:]
+            lead_dt[:-1] = (ts_us[1:] - ts_us[:-1]) / 1e6
+        lead_tok[tail] = np.nan
+        lead_dt[tail] = np.nan
+        out = out.append_column("label_lead1_token_count", pa.array(lead_tok, pa.float64()))
+        out = out.append_column("label_ts_to_next", pa.array(lead_dt, pa.float64()))
+    return out

@@ -167,3 +167,26 @@ def test_skew_partition_balance(ray_session, small_fixture):
     counts = np.bincount(pids, minlength=part.num_partitions)
     counts = counts[counts > 0]
     assert counts.max() <= 3.0 * np.median(counts), counts
+
+
+def test_lead_labels_match_oracle_and_stay_out_of_features(
+    ray_session, small_fixture, small_fixture_dir
+):
+    """emit_labels: lead columns arrive under label_ prefix (reversed pass),
+    match the oracle, and are never packed into the feature vector."""
+    pages, signals = small_fixture
+    pages_dir, signals_path = small_fixture_dir
+    fcfg = FeatureConfig(signals_path=str(signals_path), emit_labels=True)
+    assert not any(c.startswith("label_") for c in fcfg.feature_order)
+    cfg = PipelineConfig(
+        input_path=str(pages_dir), features=fcfg, engine=EngineConfig(num_partitions=8)
+    )
+    tbl = _collect(feature_dataset(cfg))
+    oracle = oracle_features(pages, FeatureConfig(signals_path="enabled", emit_labels=True), signals)
+    assert tbl.num_rows == len(oracle)
+    for col in ("label_lead1_token_count", "label_ts_to_next"):
+        np.testing.assert_allclose(
+            tbl.column(col).to_numpy(zero_copy_only=False),
+            oracle[col].to_numpy(dtype="float64", na_value=np.nan),
+            equal_nan=True,
+        )
