@@ -157,8 +157,14 @@ _PREPARE_ROW_CHUNK = 256
 
 
 def prepare_batch(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
-    """extract_text -> host -> per-row text features; drops the heavy `html`
-    column BEFORE the shuffle (SURVEY §7.4: wide rows are dead weight)."""
+    """extract_text -> host; drops the heavy `html` column BEFORE the shuffle
+    (SURVEY §7.4: wide rows are dead weight).
+
+    Derivable per-row numerics (token/char counts, ngram histograms) are NOT
+    computed here: they are pure functions of `text`, so shipping them through
+    the exchange would add ~80 bytes/row of shuffle volume for nothing — the
+    merge kernel attaches them post-shuffle (per_row_text_features), after
+    dedup has already dropped re-fetches."""
     if tbl.num_rows > _PREPARE_ROW_CHUNK:
         return pa.concat_tables(
             prepare_batch(tbl.slice(i, _PREPARE_ROW_CHUNK), cfg)
@@ -170,28 +176,41 @@ def prepare_batch(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
         text = text.combine_chunks()
     host = _host_from_url(tbl.column("url"))
     lang = tbl.column("lang") if "lang" in tbl.column_names else pa.nulls(tbl.num_rows, pa.string())
+    return pa.table(
+        {
+            "url": tbl.column("url"),
+            "warc_ts": tbl.column("warc_ts"),
+            "host": host,
+            "text": text,
+            "lang": lang,
+        }
+    )
 
-    # token_count: extract_text output is single-space normalized & stripped,
-    # so count = spaces + 1 (0 for empty) — vectorized, matches str.split()
+
+def per_row_text_features(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
+    """Append token_count/char_count/ngram_b* (pure functions of `text`).
+
+    Runs post-shuffle inside the merge kernel; chunked for cache residency.
+    token_count: extract_text output is single-space normalized & stripped,
+    so count = spaces + 1 (0 for empty) — matches str.split()."""
+    if tbl.num_rows > _PREPARE_ROW_CHUNK:
+        return pa.concat_tables(
+            per_row_text_features(tbl.slice(i, _PREPARE_ROW_CHUNK), cfg)
+            for i in range(0, tbl.num_rows, _PREPARE_ROW_CHUNK)
+        ).combine_chunks()
+    text = tbl.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
     nonempty = pc.not_equal(pc.utf8_length(text), 0)
     spaces = pc.count_substring(text, " ")
     tokc = pc.if_else(nonempty, pc.add(spaces, 1), 0)
     charc = pc.utf8_length(text)
-
     hists = ngram_hist_batch(text, cfg.ngram_buckets)
-
-    cols: dict[str, pa.Array | pa.ChunkedArray] = {
-        "url": tbl.column("url"),
-        "warc_ts": tbl.column("warc_ts"),
-        "host": host,
-        "text": text,
-        "lang": lang,
-        "token_count": pc.cast(tokc, pa.float64()),
-        "char_count": pc.cast(charc, pa.float64()),
-    }
+    tbl = tbl.append_column("token_count", pc.cast(tokc, pa.float64()))
+    tbl = tbl.append_column("char_count", pc.cast(charc, pa.float64()))
     for i in range(cfg.ngram_buckets):
-        cols[f"ngram_b{i}"] = pa.array(hists[:, i], pa.float64())
-    return pa.table(cols)
+        tbl = tbl.append_column(f"ngram_b{i}", pa.array(hists[:, i], pa.float64()))
+    return tbl
 
 
 def assign_partition_batch(tbl: pa.Table, partitioner) -> pa.Table:

@@ -37,6 +37,7 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 # functions.text.token_hashes64) ------------------------------------------
 
 from ..functions.text import _TOK_K, _TOK_LMIX, _TOK_W  # noqa: E402
+from ..stages.text_stage import per_row_text_features as _per_row_text_features  # noqa: E402
 
 
 # Row-chunk size: keeps the uint64 hash/index temporaries L2-resident. This
@@ -386,8 +387,9 @@ class StreamingMerger:
     """Chunk-at-a-time merger carrying per-url state across chunk boundaries
     (the reference's StreamBuffer/process_chunk shape, design.md:1794-1846).
 
-    Chunks must arrive sorted by (url, warc_ts) and already deduped, with
-    per-row text features attached (token_count, char_count, ngram_b*)."""
+    Chunks must arrive sorted by (url, warc_ts) and already deduped. Per-row
+    text features (token_count, char_count, ngram_b*) are attached on entry if
+    absent — they are pure functions of `text` and deliberately NOT shuffled."""
 
     def __init__(self, cfg: FeatureConfig, signals: SignalsLookup | None = None):
         self.cfg = cfg
@@ -396,6 +398,11 @@ class StreamingMerger:
 
     def process_chunk(self, tbl: pa.Table) -> pa.Table:
         cfg = self.cfg
+        if "token_count" not in tbl.column_names:
+            # per-row numerics are computed HERE (post-shuffle, post-dedup)
+            # rather than shipped through the exchange — pure functions of
+            # `text`, ~80B/row of shuffle volume saved (SURVEY §7.4)
+            tbl = _per_row_text_features(tbl, cfg)
         n = tbl.num_rows
         url_col = tbl.column("url").combine_chunks() if isinstance(tbl.column("url"), pa.ChunkedArray) else tbl.column("url")
         lang_col = tbl.column("lang").combine_chunks() if isinstance(tbl.column("lang"), pa.ChunkedArray) else tbl.column("lang")

@@ -81,10 +81,14 @@ def run_bench() -> dict:
     out_dir = f"{out_root}/afe_bench_out"
     # fixed partition count at every parallelism level so the scaling runs
     # execute the identical plan (only the worker count varies)
+    # partitions ~= 2x cores at the highest parallelism level (the production
+    # sizing rule: 2-4x total cores); batch_size sized so a block is ~13MB —
+    # fewer, bigger tasks amortize per-task scheduling + object-store overhead,
+    # while the kernels keep cache residency via their internal 256-row chunks
     cfg = PipelineConfig(
         input_path=pages_dir,
         features=FeatureConfig(signals_path=signals_path),
-        engine=EngineConfig(num_partitions=128, batch_size=8192, output_dir=out_dir),
+        engine=EngineConfig(num_partitions=64, batch_size=32768, output_dir=out_dir),
     )
 
     timings: dict[str, float] = {}
