@@ -31,8 +31,8 @@ import ray
 import ray.data
 
 from ..config import FeatureConfig, PipelineConfig
-from ..state.checkpoint import job_report, load_completed, write_partition
-from ..state.kernels import SignalsLookup, merge_partition
+from ..state.checkpoint import job_report, load_completed, write_partition, write_partition_stream
+from ..state.kernels import SignalsLookup, merge_partition, merge_partition_chunks
 from ..state.partition import HashPartitioner, RangePartitioner
 from ..stages.text_stage import assign_partition_batch, prepare_batch
 
@@ -61,6 +61,18 @@ def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None):
         rows_in = tbl.num_rows
         tbl = tbl.drop_columns(["partition_id"])
         signals = ray.get(signals_ref) if signals_ref is not None else None
+        if output_dir is not None and not fcfg.emit_labels:
+            # bounded-memory path: stream chunks straight into the parquet
+            # writer — the partition's output is never resident at once
+            manifest = write_partition_stream(
+                output_dir,
+                pid,
+                merge_partition_chunks(tbl, fcfg, signals),
+                {"rows_in": rows_in},
+            )
+            manifest["dup_dropped"] = rows_in - manifest["rows_out"]
+            manifest["wall_s"] = round(time.time() - t0, 4)
+            return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
         out = merge_partition(tbl, fcfg, signals)
         dup_dropped = rows_in - out.num_rows
         if output_dir is not None:

@@ -87,6 +87,59 @@ def write_partition(
     return manifest
 
 
+def write_partition_stream(
+    out_dir: str | Path,
+    partition_id: int,
+    chunks,
+    metrics: dict,
+) -> dict:
+    """Incremental variant of write_partition: consumes an ITERATOR of feature
+    tables (merge_partition_chunks) into a single parquet file via
+    ParquetWriter, folding rows/watermark/checksum chunk-by-chunk — the whole
+    partition output is never resident at once. The checksum is an xor-reduce
+    of per-row hashes, so chunk-wise folding equals the one-shot value."""
+    out = Path(out_dir)
+    part_dir = out / f"part={partition_id:05d}"
+    mdir = out / MANIFEST_DIR
+    part_dir.mkdir(parents=True, exist_ok=True)
+    mdir.mkdir(parents=True, exist_ok=True)
+
+    tmp = part_dir / f".tmp-{uuid.uuid4().hex}.parquet"
+    writer: pq.ParquetWriter | None = None
+    rows = 0
+    watermark: int | None = None
+    checksum = 0
+    try:
+        for chunk in chunks:
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, chunk.schema)
+            writer.write_table(chunk)
+            rows += chunk.num_rows
+            checksum ^= partition_checksum(chunk)
+            if chunk.num_rows and "warc_ts" in chunk.column_names:
+                wm = int(pa.compute.max(chunk.column("warc_ts").cast(pa.int64())).as_py())
+                watermark = wm if watermark is None else max(watermark, wm)
+    finally:
+        if writer is not None:
+            writer.close()
+    data_path = part_dir / "data.parquet"
+    os.replace(tmp, data_path)
+    manifest = {
+        "partition_id": int(partition_id),
+        "rows_out": rows,
+        "watermark_us": watermark,
+        "checksum": f"{checksum:016x}",
+        "bytes_out": int(data_path.stat().st_size),
+        "completed_at": time.time(),
+        "output": str(data_path),
+        **metrics,
+    }
+    mtmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
+    mtmp.write_text(json.dumps(manifest))
+    os.replace(mtmp, mdir / f"part-{partition_id:05d}.json")
+    return manifest
+
+
 def load_completed(out_dir: str | Path) -> dict[int, dict]:
     """partition_id -> manifest for every completed (manifest present) partition."""
     mdir = Path(out_dir) / MANIFEST_DIR

@@ -447,6 +447,32 @@ class StreamingMerger:
         return out
 
 
+def merge_partition_chunks(
+    tbl: pa.Table,
+    cfg: FeatureConfig,
+    signals: SignalsLookup | None = None,
+    chunk_rows: int = 65536,
+):
+    """Bounded-memory partition merge: sort -> dedup once, then stream the
+    partition through a StreamingMerger in `chunk_rows` slices, yielding one
+    feature table per slice. Peak memory = input partition + O(chunk), vs
+    input + full output for the one-shot path — at 10^12-doc scale a single
+    partition's output need never be resident at once (the checkpoint writer
+    consumes this iterator into an incremental parquet write).
+
+    Chunked == one-shot exactly (pinned by tests). Lead labels need one-row
+    lookahead across chunk boundaries, so emit_labels uses merge_partition.
+    """
+    if cfg.emit_labels:
+        raise ValueError("emit_labels requires the one-shot merge_partition path")
+    tbl = _sort_dedup(tbl)
+    merger = StreamingMerger(cfg, signals)
+    for i in range(0, max(tbl.num_rows, 1), chunk_rows):
+        chunk = tbl.slice(i, chunk_rows)
+        if chunk.num_rows or i == 0:
+            yield merger.process_chunk(chunk)
+
+
 def merge_partition(
     tbl: pa.Table, cfg: FeatureConfig, signals: SignalsLookup | None = None
 ) -> pa.Table:

@@ -190,3 +190,40 @@ def test_lead_labels_match_oracle_and_stay_out_of_features(
             oracle[col].to_numpy(dtype="float64", na_value=np.nan),
             equal_nan=True,
         )
+
+
+def test_streamed_write_equals_oneshot(ray_session, small_fixture, tmp_path):
+    """The bounded-memory chunked write path (merge_partition_chunks +
+    write_partition_stream) must produce byte-equivalent partitions (rows,
+    checksum, values) to the one-shot merge + write."""
+    import pyarrow.compute as pc
+
+    from audio_feature_extraction_ray.stages.text_stage import prepare_batch
+    from audio_feature_extraction_ray.state.checkpoint import (
+        partition_checksum,
+        write_partition,
+        write_partition_stream,
+    )
+    from audio_feature_extraction_ray.state.kernels import (
+        SignalsLookup,
+        merge_partition,
+        merge_partition_chunks,
+    )
+
+    pages, signals = small_fixture
+    fcfg = FeatureConfig(signals_path="enabled")
+    prep = prepare_batch(pages, fcfg)
+    sig = SignalsLookup(signals)
+
+    one = merge_partition(prep, fcfg, sig)
+    m1 = write_partition(tmp_path / "one", 0, one, {})
+    m2 = write_partition_stream(
+        tmp_path / "two", 0, merge_partition_chunks(prep, fcfg, sig, chunk_rows=257), {}
+    )
+    assert m2["rows_out"] == m1["rows_out"] > 0
+    assert m2["checksum"] == m1["checksum"]
+    a = pq.read_table(tmp_path / "one" / "part=00000" / "data.parquet")
+    b = pq.read_table(tmp_path / "two" / "part=00000" / "data.parquet")
+    assert a.schema == b.schema
+    assert partition_checksum(a) == partition_checksum(b)
+    assert a.column("url").to_pylist() == b.column("url").to_pylist()
