@@ -117,6 +117,37 @@ def feature_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     return ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow")
 
 
+def decode_features(output_dir: str, fcfg: FeatureConfig) -> ray.data.Dataset:
+    """Output decoder (reference analog: AudioReconstructor.reconstruct_from_
+    dataset, design.md:1581-1674): read a run's partitioned parquet back and
+    unpack the fixed-width `features` vector into its named columns per
+    cfg.feature_order, verifying the width invariant per batch. The inverse
+    of the writer's packing — feature rows are reproducible from the stored
+    vector alone."""
+    order = fcfg.feature_order
+    width = len(order)
+
+    def unpack(tbl: pa.Table) -> pa.Table:
+        fcol = tbl.column("features")
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        if fcol.type.list_size != width:
+            raise ValueError(
+                f"feature width invariant violated: {fcol.type.list_size} != {width}"
+            )
+        mat = np.asarray(fcol.flatten().to_numpy(zero_copy_only=False)).reshape(-1, width)
+        cols: dict[str, pa.Array] = {
+            "url": tbl.column("url"),
+            "warc_ts": tbl.column("warc_ts"),
+        }
+        for j, name in enumerate(order):
+            cols[f"decoded_{name}"] = pa.array(mat[:, j], pa.float64())
+        return pa.table(cols)
+
+    ds = ray.data.read_parquet(f"{output_dir}")
+    return ds.map_batches(unpack, batch_format="pyarrow")
+
+
 def run(cfg: PipelineConfig) -> dict:
     """Checkpointed run: per-partition parquet + manifests under
     cfg.engine.output_dir; returns the reduced job report. With resume=True,

@@ -227,3 +227,28 @@ def test_streamed_write_equals_oneshot(ray_session, small_fixture, tmp_path):
     assert a.schema == b.schema
     assert partition_checksum(a) == partition_checksum(b)
     assert a.column("url").to_pylist() == b.column("url").to_pylist()
+
+
+def test_decode_features_roundtrip(ray_session, small_fixture_dir, tmp_path):
+    """I3 analog: stored vector decodes back to the named scalar columns."""
+    from audio_feature_extraction_ray.pipelines.features import decode_features
+
+    pages_dir, signals_path = small_fixture_dir
+    out = str(tmp_path / "dec")
+    cfg = _cfg(pages_dir, signals_path, out=out)
+    run(cfg)
+
+    dec = _collect_by(decode_features(out, cfg.features))
+    raw = _collect_by(
+        __import__("ray").data.read_parquet(out)
+    )
+    assert dec.num_rows == raw.num_rows > 0
+    for name in cfg.features.feature_order:
+        np.testing.assert_array_equal(
+            dec.column(f"decoded_{name}").to_numpy(zero_copy_only=False).view(np.uint64),
+            raw.column(name).to_numpy(zero_copy_only=False).view(np.uint64),
+        )
+
+
+def _collect_by(ds):
+    return _collect(ds)
