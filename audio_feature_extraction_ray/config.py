@@ -71,6 +71,7 @@ class EngineConfig:
     hot_salt: int = 4               # salts applied to ranges holding > 2x median rows
     batch_size: int = 4096          # map_batches batch size for stateless stages
     broadcast_signals_max_rows: int = 5_000_000  # above this, co-partition instead of broadcast
+    copartition_signals: bool = False  # force the co-partitioned as-of path (host-keyed)
     output_dir: str | None = None   # when set, partition kernels write parquet + manifest
     resume: bool = False            # skip partitions with a valid manifest in output_dir
 

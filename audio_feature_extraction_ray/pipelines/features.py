@@ -33,7 +33,7 @@ import ray.data
 from ..config import FeatureConfig, PipelineConfig
 from ..state.checkpoint import job_report, load_completed, write_partition, write_partition_stream
 from ..state.kernels import SignalsLookup, merge_partition, merge_partition_chunks
-from ..state.partition import HashPartitioner, RangePartitioner
+from ..state.partition import HashPartitioner, HostSaltPartitioner, RangePartitioner
 from ..stages.text_stage import assign_partition_batch, prepare_batch
 
 INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]  # prune `text` at the read
@@ -111,10 +111,178 @@ def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
 
 def feature_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     """Full pipeline returning the feature table as a (lazy) Dataset."""
+    if _use_copartition(cfg):
+        ds, _ = build_copartitioned(cfg)
+        fn = _make_copart_group_fn(cfg.features, output_dir=None)
+        return ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow")
     ds = build_dataset(cfg)
     signals_ref = _load_signals(cfg.features)
     fn = _make_group_fn(cfg.features, signals_ref, output_dir=None)
     return ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Co-partitioned as-of path (SURVEY §2.5 J2, large right side): pages and
+# signals are routed by the SAME host hash into one union -> ONE shuffle ->
+# per-partition kernel builds a local SignalsLookup from its own signal rows.
+# No broadcast: each merge task fetches only its partition's signals. Hot
+# hosts are salted by url-hash with their signals replicated to every salt
+# (replicated-skew-join: correct because LOCF only READS the right side).
+
+_SIG_NULL_COLS = ("sig_ts", "sig_rank", "sig_ok")
+
+
+def _tag_pages_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Table:
+    hosts = tbl.column("host").to_pylist()
+    urls = tbl.column("url").to_pylist()
+    pid = partitioner.partition_ids(hosts, urls)
+    n = tbl.num_rows
+    return pa.table(
+        {
+            "url": tbl.column("url"),
+            "warc_ts": tbl.column("warc_ts"),
+            "host": tbl.column("host"),
+            "text": tbl.column("text"),
+            "lang": tbl.column("lang"),
+            "partition_id": pa.array(pid, pa.int32()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "sig_ts": pa.nulls(n, pa.int64()),
+            "sig_rank": pa.nulls(n, pa.float64()),
+            "sig_ok": pa.nulls(n, pa.float64()),
+        }
+    )
+
+
+def _replicate_signals_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Table:
+    hosts = tbl.column("host").to_pylist()
+    ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+    rank = tbl.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = tbl.column("fetch_ok").to_numpy(zero_copy_only=False).astype(np.float64)
+    idx: list[int] = []
+    pids: list[int] = []
+    for i, h in enumerate(hosts):
+        for p in partitioner.signal_partition_ids(h):
+            idx.append(i)
+            pids.append(p)
+    sel = np.asarray(idx, dtype=np.int64)
+    n = sel.size
+    return pa.table(
+        {
+            "url": pa.array([""] * n, pa.string()),
+            "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            "host": pa.array([hosts[i] for i in idx], pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
+            "partition_id": pa.array(np.asarray(pids, dtype=np.int32)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "sig_ts": pa.array(ts[sel], pa.int64()),
+            "sig_rank": pa.array(rank[sel], pa.float64()),
+            "sig_ok": pa.array(ok[sel], pa.float64()),
+        }
+    )
+
+
+def _sample_hosts(cfg: PipelineConfig) -> list[str]:
+    """Driver-side host sample for hot detection (metadata row count + a
+    column-pruned sampled read — never a full materialization)."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{cfg.input_path}/*.parquet")) or [cfg.input_path]
+    total = sum(pq.read_metadata(p).num_rows for p in paths)
+    frac = min(1.0, cfg.engine.range_sample_size / max(1, total))
+    sample = (
+        ray.data.read_parquet(cfg.input_path, columns=["url"]).random_sample(frac, seed=7).take_all()
+    )
+    out = []
+    for r in sample:
+        u = r["url"]
+        u = u.split("://", 1)[-1]
+        out.append(u.split("/", 1)[0])
+    return out
+
+
+def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None):
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        t0 = time.time()
+        pid = int(tbl.column("partition_id")[0].as_py()) if tbl.num_rows else -1
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        right = tbl.filter(pa.array(side == 1))
+        signals = SignalsLookup(
+            pa.table(
+                {
+                    "host": right.column("host"),
+                    "ts": right.column("sig_ts"),
+                    "rank": right.column("sig_rank"),
+                    "fetch_ok": right.column("sig_ok"),
+                }
+            )
+        )
+        left = tbl.filter(pa.array(side == 0)).drop_columns(
+            ["partition_id", "__side", *_SIG_NULL_COLS]
+        )
+        rows_in = left.num_rows
+        if output_dir is not None and not fcfg.emit_labels:
+            manifest = write_partition_stream(
+                output_dir, pid, merge_partition_chunks(left, fcfg, signals), {"rows_in": rows_in}
+            )
+            manifest["dup_dropped"] = rows_in - manifest["rows_out"]
+            manifest["wall_s"] = round(time.time() - t0, 4)
+            return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
+        out = merge_partition(left, fcfg, signals)
+        if output_dir is not None:
+            manifest = write_partition(
+                output_dir,
+                pid,
+                out,
+                {
+                    "rows_in": rows_in,
+                    "dup_dropped": rows_in - out.num_rows,
+                    "wall_s": round(time.time() - t0, 4),
+                },
+            )
+            return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
+        return out
+
+    return group_fn
+
+
+def _use_copartition(cfg: PipelineConfig) -> bool:
+    if cfg.features.signals_path is None:
+        return False
+    if cfg.engine.copartition_signals:
+        return True
+    try:
+        return (
+            pq.read_metadata(cfg.features.signals_path).num_rows
+            > cfg.engine.broadcast_signals_max_rows
+        )
+    except OSError:
+        return False
+
+
+def build_copartitioned(cfg: PipelineConfig) -> tuple[ray.data.Dataset, HostSaltPartitioner]:
+    """Union of host-routed pages + replicated signals, ready for the ONE
+    shuffle. Signals never touch driver memory as a whole — they stream
+    through their own read -> tag -> union path."""
+    cfg.validate()
+    partitioner = HostSaltPartitioner.from_sample(
+        _sample_hosts(cfg), cfg.engine.num_partitions, hot_salt=cfg.engine.hot_salt
+    )
+    pages = ray.data.read_parquet(cfg.input_path, columns=INPUT_COLUMNS)
+    pages = pages.map_batches(
+        functools.partial(prepare_batch, cfg=cfg.features),
+        batch_format="pyarrow",
+        batch_size=cfg.engine.batch_size,
+    ).map_batches(
+        functools.partial(_tag_pages_batch, partitioner=partitioner),
+        batch_format="pyarrow",
+        batch_size=cfg.engine.batch_size,
+    )
+    signals = ray.data.read_parquet(cfg.features.signals_path).map_batches(
+        functools.partial(_replicate_signals_batch, partitioner=partitioner),
+        batch_format="pyarrow",
+    )
+    return pages.union(signals), partitioner
 
 
 def decode_features(output_dir: str, fcfg: FeatureConfig) -> ray.data.Dataset:
@@ -154,7 +322,11 @@ def run(cfg: PipelineConfig) -> dict:
     completed partitions are skipped before the shuffle."""
     if not cfg.engine.output_dir:
         raise ValueError("run() requires engine.output_dir")
-    ds = build_dataset(cfg)
+    copart = _use_copartition(cfg)
+    if copart:
+        ds, _ = build_copartitioned(cfg)
+    else:
+        ds = build_dataset(cfg)
     done = load_completed(cfg.engine.output_dir) if cfg.engine.resume else {}
     if done:
         done_ids = np.array(sorted(done), dtype=np.int32)
@@ -165,8 +337,11 @@ def run(cfg: PipelineConfig) -> dict:
             return tbl.filter(pa.array(keep))
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
-    signals_ref = _load_signals(cfg.features)
-    fn = _make_group_fn(cfg.features, signals_ref, output_dir=cfg.engine.output_dir)
+    if copart:
+        fn = _make_copart_group_fn(cfg.features, output_dir=cfg.engine.output_dir)
+    else:
+        signals_ref = _load_signals(cfg.features)
+        fn = _make_group_fn(cfg.features, signals_ref, output_dir=cfg.engine.output_dir)
     manifest_rows = ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow").take_all()
     report = job_report(list(done.values()) + manifest_rows)
     report["resumed_partitions"] = len(done)

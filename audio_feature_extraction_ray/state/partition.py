@@ -38,6 +38,73 @@ class HashPartitioner:
 
 
 @dataclass
+class HostSaltPartitioner:
+    """Host-keyed partitioner for the CO-PARTITIONED as-of path (SURVEY §2.5
+    J2 large-right-side): pages and signals are routed by the SAME host hash
+    so each merge task sees a host's pages together with all of that host's
+    signal observations — no broadcast.
+
+    Skew: a hot host (e.g. one domain owning ~50% of rows) would otherwise
+    own one giant partition. Hot hosts (detected from a driver-side sample)
+    get a dedicated block of `hot_salt` sub-partitions, pages salted by
+    url-hash (a url never splits), and the host's SIGNALS REPLICATED into
+    every sub-partition — the standard replicated-skew-join trick: correct
+    because LOCF only reads the right side, never aggregates it.
+
+    Layout: normal hosts -> hash(host) % num_partitions; hot host i ->
+    num_partitions + i*hot_salt + hash(url) % hot_salt. Ids stay dense.
+    """
+
+    num_partitions: int
+    hot_salt: int
+    hot_hosts: tuple[str, ...]  # sorted
+
+    def __post_init__(self):
+        self._hot_index = {h: i for i, h in enumerate(self.hot_hosts)}
+
+    @property
+    def total_partitions(self) -> int:
+        return self.num_partitions + self.hot_salt * len(self.hot_hosts)
+
+    def partition_ids(self, hosts: list[str], urls: list[str]) -> np.ndarray:
+        out = (url_hash64(hosts) % np.uint64(self.num_partitions)).astype(np.int32)
+        if self._hot_index:
+            hot_idx = np.array([self._hot_index.get(h, -1) for h in hosts], dtype=np.int64)
+            hot = hot_idx >= 0
+            if hot.any():
+                salts = url_hash64([urls[i] for i in np.nonzero(hot)[0]]) % np.uint64(self.hot_salt)
+                out[hot] = (
+                    self.num_partitions + hot_idx[hot] * self.hot_salt + salts.astype(np.int64)
+                ).astype(np.int32)
+        return out
+
+    def signal_partition_ids(self, host: str) -> list[int]:
+        """All partition ids a signal row for `host` must be replicated to."""
+        i = self._hot_index.get(host)
+        if i is None:
+            return [int(url_hash64([host])[0] % np.uint64(self.num_partitions))]
+        base = self.num_partitions + i * self.hot_salt
+        return list(range(base, base + self.hot_salt))
+
+    @classmethod
+    def from_sample(
+        cls,
+        sample_hosts: list[str],
+        num_partitions: int,
+        hot_salt: int = 4,
+        hot_factor: float = 2.0,
+    ) -> "HostSaltPartitioner":
+        """Hosts whose sample share exceeds hot_factor / num_partitions of the
+        sample are hot (they would overfill one partition)."""
+        if not sample_hosts:
+            return cls(num_partitions, hot_salt, ())
+        vals, counts = np.unique(np.asarray(sample_hosts, dtype=object), return_counts=True)
+        threshold = hot_factor * len(sample_hosts) / max(1, num_partitions)
+        hot = tuple(sorted(str(v) for v, c in zip(vals, counts) if c > threshold))
+        return cls(num_partitions, hot_salt, hot)
+
+
+@dataclass
 class RangePartitioner:
     """Range partitioner over url strings with salted hot ranges.
 

@@ -252,3 +252,57 @@ def test_decode_features_roundtrip(ray_session, small_fixture_dir, tmp_path):
 
 def _collect_by(ds):
     return _collect(ds)
+
+
+def test_copartitioned_asof_matches_oracle(ray_session, small_fixture, small_fixture_dir):
+    """J2 large-right-side path: host-keyed co-partition (hot hosts salted,
+    signals replicated) must produce exactly the broadcast path's results."""
+    pages_dir, signals_path = small_fixture_dir
+    pages, signals = small_fixture
+    cfg = PipelineConfig(
+        input_path=str(pages_dir),
+        features=FeatureConfig(signals_path=str(signals_path)),
+        engine=EngineConfig(num_partitions=8, copartition_signals=True, hot_salt=3),
+    )
+    tbl = _collect(feature_dataset(cfg))
+    oracle = oracle_features(pages, FeatureConfig(signals_path="enabled"), signals)
+    assert tbl.num_rows == len(oracle)
+    assert tbl.column("url").to_pylist() == list(oracle["url"])
+    W = len(cfg.features.feature_order)
+    fa = _features_matrix(tbl, W)
+    fb = np.stack(oracle["features"].to_numpy())
+    np.testing.assert_allclose(fa, fb, equal_nan=True)
+
+
+def test_copartitioned_checkpoint_run(ray_session, small_fixture_dir, tmp_path):
+    """Co-partitioned + checkpointed run: manifests complete, hot-host salting
+    keeps partition sizes bounded, output matches the broadcast run."""
+    import json as _json
+    from pathlib import Path
+
+    pages_dir, signals_path = small_fixture_dir
+    out_a = str(tmp_path / "bcast")
+    out_b = str(tmp_path / "copart")
+    run(_cfg(pages_dir, signals_path, out=out_a))
+    cfg = PipelineConfig(
+        input_path=str(pages_dir),
+        features=FeatureConfig(signals_path=str(signals_path)),
+        engine=EngineConfig(
+            num_partitions=8, copartition_signals=True, hot_salt=3, output_dir=out_b
+        ),
+    )
+    rep = run(cfg)
+    manifests = [
+        _json.loads(p.read_text()) for p in sorted(Path(out_b, "_manifests").glob("*.json"))
+    ]
+    rows = [m["rows_out"] for m in manifests if m["rows_out"] > 0]
+    assert sum(rows) == rep["rows_out"]
+    # skew bound: hot host (~50% of rows) salted -> no partition dominates
+    assert max(rows) <= 4.0 * np.median(rows), rows
+    a = _collect(__import__("ray").data.read_parquet(out_a))
+    b = _collect(__import__("ray").data.read_parquet(out_b))
+    assert a.num_rows == b.num_rows
+    W = len(cfg.features.feature_order)
+    np.testing.assert_array_equal(
+        _features_matrix(a, W).view(np.uint64), _features_matrix(b, W).view(np.uint64)
+    )
