@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": events.rolling,
         "events_locf": events.locf,
         "events_asof_join": events.asof_join,
+        "events_asof_two_table": events.asof_join_two_table,
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": events.ROLLING_SQL,
         "events_locf": events.LOCF_SQL,
         "events_asof_join": events.ASOF_JOIN_SQL,
+        "events_asof_two_table": events.ASOF_TWO_TABLE_SQL,
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
         "events_distinct_users": events.DISTINCT_USERS_SQL,

@@ -348,3 +348,64 @@ DISTINCT_USERS_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# two-table as-of join via the GENERIC co-partitioned stage (stages/asof.py):
+# left = all events, right = the signups table, hash-co-partitioned on
+# user_id, merged with one sorted forward pass per key segment. Same result
+# contract as asof_join (which merges within the single partitioned stream);
+# this exercises the union + side-tag exchange that the large-right-side path
+# uses at scale.
+
+
+def asof_join_two_table(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.asof import asof_join_copartitioned
+
+    ev = read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def mk_signups(tbl: pa.Table) -> pa.Table:
+        t = tbl.filter(pc.equal(tbl.column("event_type"), "signup"))
+        return pa.table(
+            {"user_id": t.column("user_id"), "ts": t.column("ts"), "sig_value": t.column("value")}
+        )
+
+    sig = read_events(sf_dir, ["user_id", "ts", "event_type", "value"]).map_batches(
+        mk_signups, batch_format="pyarrow"
+    )
+    out = asof_join_copartitioned(
+        ev,
+        sig,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=["event_id"],
+        right_value_cols=["sig_value"],
+        num_partitions=NUM_PARTITIONS,
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(tbl.column("event_id"), pa.int64()),
+                "user_id": pc.cast(tbl.column("user_id"), pa.int64()),
+                "ts": tbl.column("ts"),
+                "asof_sig_value": tbl.column("asof_sig_value"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+ASOF_TWO_TABLE_SQL = """
+WITH signups AS (
+  SELECT user_id, ts AS sig_ts, value AS sig_value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, e.ts, s.sig_value AS asof_sig_value
+FROM events e
+ASOF LEFT JOIN signups s
+  ON e.user_id = s.user_id AND e.ts >= s.sig_ts
+"""

@@ -26,7 +26,13 @@ from ..state.partition import url_hash64
 
 
 def _tag_and_project(
-    tbl: pa.Table, side: int, key: str, ts: str, carry_cols: list[str], all_cols: list[str], num_partitions: int
+    tbl: pa.Table,
+    side: int,
+    key: str,
+    ts: str,
+    all_cols: list[str],
+    col_types: dict,
+    num_partitions: int,
 ) -> pa.Table:
     n = tbl.num_rows
     cols: dict[str, pa.Array] = {}
@@ -37,7 +43,9 @@ def _tag_and_project(
     cols["__key"] = tbl.column(key).cast(pa.string())
     cols["__ts"] = tbl.column(ts).cast(pa.int64())
     for c in all_cols:
-        cols[c] = tbl.column(c) if c in tbl.column_names else pa.nulls(n, pa.float64())
+        # absent columns are typed from the OTHER side's schema so the union
+        # of the two tagged datasets has one consistent schema
+        cols[c] = tbl.column(c) if c in tbl.column_names else pa.nulls(n, col_types[c])
     return pa.table(cols)
 
 
@@ -56,13 +64,18 @@ def asof_join_copartitioned(
     NaN when no right row with right.ts <= left.ts exists for the key)."""
 
     all_left = left_cols
+    all_cols = all_left + right_value_cols
+    lschema, rschema = left.schema(), right.schema()  # ray.data.Schema
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    col_types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
     tag_l = functools.partial(
-        _tag_and_project, side=0, key=key, ts=left_ts, carry_cols=[], all_cols=all_left + right_value_cols,
-        num_partitions=num_partitions,
+        _tag_and_project, side=0, key=key, ts=left_ts, all_cols=all_cols,
+        col_types=col_types, num_partitions=num_partitions,
     )
     tag_r = functools.partial(
-        _tag_and_project, side=1, key=key, ts=right_ts, carry_cols=[], all_cols=all_left + right_value_cols,
-        num_partitions=num_partitions,
+        _tag_and_project, side=1, key=key, ts=right_ts, all_cols=all_cols,
+        col_types=col_types, num_partitions=num_partitions,
     )
     lt = left.map_batches(tag_l, batch_format="pyarrow")
     rt = right.map_batches(tag_r, batch_format="pyarrow")
