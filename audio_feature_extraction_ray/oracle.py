@@ -112,6 +112,7 @@ def oracle_features(
     # 5b. plugin extractors (same registered pure functions as the engine —
     # the oracle checks the distribution, ordering and state logic, which is
     # where the two implementations are independent)
+    extra_cols: list[str] = []
     if cfg.extra_features:
         import pyarrow as _pa
 
@@ -121,6 +122,7 @@ def oracle_features(
         for name in cfg.extra_features:
             for cname, arr in get_feature(name)(tbl).items():
                 df[cname] = np.asarray(arr, dtype="float64")
+                extra_cols.append(cname)
 
     # 5c. lead labels (reversed pass; label_ prefix, never packed as features)
     label_cols: list[str] = []
@@ -136,5 +138,7 @@ def oracle_features(
     mat = df[order].to_numpy(dtype="float64", na_value=np.nan)
     df["features"] = list(mat)
 
-    out_cols = ["url", "warc_ts", "host", "text", "lang"] + order + label_cols + ["features"]
+    out_cols = (
+        ["url", "warc_ts", "host", "text", "lang"] + order + extra_cols + label_cols + ["features"]
+    )
     return df[out_cols].reset_index(drop=True)

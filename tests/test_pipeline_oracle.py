@@ -306,3 +306,28 @@ def test_copartitioned_checkpoint_run(ray_session, small_fixture_dir, tmp_path):
     np.testing.assert_array_equal(
         _features_matrix(a, W).view(np.uint64), _features_matrix(b, W).view(np.uint64)
     )
+
+
+def test_plugin_extractors_match_oracle(ray_session, small_fixture, small_fixture_dir):
+    """F6: registered plugin extractors run in-kernel and match the oracle."""
+    pages_dir, signals_path = small_fixture_dir
+    pages, signals = small_fixture
+    extra = ("mel_proj", "is_long_doc")
+    cfg = PipelineConfig(
+        input_path=str(pages_dir),
+        features=FeatureConfig(signals_path=str(signals_path), extra_features=extra),
+        engine=EngineConfig(num_partitions=8),
+    )
+    tbl = _collect(feature_dataset(cfg))
+    oracle = oracle_features(
+        pages, FeatureConfig(signals_path="enabled", extra_features=extra), signals
+    )
+    assert tbl.num_rows == len(oracle)
+    # plugin columns present, not packed into the fixed-width vector
+    assert not any(c.startswith("mel_proj") for c in cfg.features.feature_order)
+    for col in ("mel_proj_0", "mel_proj_3", "is_long_doc"):
+        np.testing.assert_allclose(
+            tbl.column(col).to_numpy(zero_copy_only=False),
+            oracle[col].to_numpy(dtype="float64"),
+            equal_nan=True,
+        )
