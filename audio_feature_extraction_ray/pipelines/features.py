@@ -39,6 +39,19 @@ from ..stages.text_stage import assign_partition_batch, prepare_batch
 INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]  # prune `text` at the read
 
 
+def _input_columns(input_path: str) -> list[str]:
+    """Projection for the read: required columns plus `lang` when present
+    (prepare_batch substitutes nulls for a missing lang)."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{input_path}/*.parquet")) or [input_path]
+    try:
+        names = set(pq.read_schema(paths[0]).names)
+    except OSError:
+        return INPUT_COLUMNS
+    return [c for c in INPUT_COLUMNS if c in names or c != "lang"]
+
+
 def _build_partitioner(cfg: PipelineConfig, ds: ray.data.Dataset):
     e = cfg.engine
     if e.partitioner == "hash":
@@ -97,7 +110,7 @@ def _load_signals(fcfg: FeatureConfig):
 def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     """Lazy Dataset of prepared + partition-tagged rows (pre-shuffle)."""
     cfg.validate()
-    ds = ray.data.read_parquet(cfg.input_path, columns=INPUT_COLUMNS)
+    ds = ray.data.read_parquet(cfg.input_path, columns=_input_columns(cfg.input_path))
     prep = functools.partial(prepare_batch, cfg=cfg.features)
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.engine.batch_size)
     partitioner = _build_partitioner(cfg, ds)
@@ -268,7 +281,7 @@ def build_copartitioned(cfg: PipelineConfig) -> tuple[ray.data.Dataset, HostSalt
     partitioner = HostSaltPartitioner.from_sample(
         _sample_hosts(cfg), cfg.engine.num_partitions, hot_salt=cfg.engine.hot_salt
     )
-    pages = ray.data.read_parquet(cfg.input_path, columns=INPUT_COLUMNS)
+    pages = ray.data.read_parquet(cfg.input_path, columns=_input_columns(cfg.input_path))
     pages = pages.map_batches(
         functools.partial(prepare_batch, cfg=cfg.features),
         batch_format="pyarrow",

@@ -331,3 +331,41 @@ def test_plugin_extractors_match_oracle(ray_session, small_fixture, small_fixtur
             oracle[col].to_numpy(dtype="float64"),
             equal_nan=True,
         )
+
+
+def test_copartition_auto_threshold(small_fixture_dir):
+    """_use_copartition flips on when the signals row count exceeds the
+    broadcast cap (metadata-only check, no Ray needed)."""
+    from audio_feature_extraction_ray.pipelines.features import _use_copartition
+
+    pages_dir, signals_path = small_fixture_dir
+    base = dict(input_path=str(pages_dir))
+    cfg = PipelineConfig(
+        **base,
+        features=FeatureConfig(signals_path=str(signals_path)),
+        engine=EngineConfig(broadcast_signals_max_rows=0),
+    )
+    assert _use_copartition(cfg) is True
+    cfg2 = PipelineConfig(
+        **base,
+        features=FeatureConfig(signals_path=str(signals_path)),
+        engine=EngineConfig(broadcast_signals_max_rows=10**9),
+    )
+    assert _use_copartition(cfg2) is False
+    cfg3 = PipelineConfig(**base, features=FeatureConfig(signals_path=None))
+    assert _use_copartition(cfg3) is False
+
+
+def test_missing_lang_column(ray_session, small_fixture, tmp_path):
+    """A pages table without `lang` still runs: the read projection adapts and
+    lang_run_length degrades to a constant-null run per url."""
+    pages, signals = small_fixture
+    noLang = pages.drop_columns(["lang"])
+    d = tmp_path / "nolang"
+    d.mkdir()
+    pq.write_table(noLang, d / "pages.parquet")
+    sig = tmp_path / "signals.parquet"
+    pq.write_table(signals, sig)
+    tbl = _collect(feature_dataset(_cfg(d, sig)))
+    assert tbl.num_rows > 0
+    assert "lang_run_length" in tbl.column_names

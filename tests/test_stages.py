@@ -176,3 +176,67 @@ def test_augment_deterministic(ray_session, small_fixture):
     assert (a["text_aug"] == b["text_aug"]).all()
     # dropout actually drops something somewhere
     assert (a["text_aug"].str.len() < a["text"].str.len()).any()
+
+def test_asof_copartitioned_edges(ray_session):
+    """Generic co-partitioned as-of stage: '<=' ties, keys with no right rows,
+    right-only keys, empty right side — vs pandas merge_asof."""
+    import pandas as pd
+    import ray as _ray
+
+    from audio_feature_extraction_ray.stages.asof import asof_join_copartitioned
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+            "lts": pa.array([100, 200, 300, 150, 50, 400], pa.int64()).cast(pa.timestamp("us")),
+            "lid": pa.array([10, 11, 12, 20, 30, 31], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 4], pa.int64()),
+            "rts": pa.array([200, 250, 999], pa.int64()).cast(pa.timestamp("us")),  # 200 ties left
+            "v": pa.array([7.0, 8.0, 9.0], pa.float64()),
+        }
+    )
+    out = asof_join_copartitioned(
+        _ray.data.from_arrow(left),
+        _ray.data.from_arrow(right),
+        key="k",
+        left_ts="lts",
+        right_ts="rts",
+        left_cols=["lid"],
+        right_value_cols=["v"],
+        num_partitions=4,
+    ).to_pandas()
+    out["k"] = out["k"].astype(int)
+    out = out.sort_values("lid").reset_index(drop=True)
+
+    expect = pd.merge_asof(
+        left.to_pandas().sort_values("lts"),
+        right.to_pandas().rename(columns={"rts": "lts"}).sort_values("lts"),
+        on="lts",
+        by="k",
+        allow_exact_matches=True,
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    assert len(out) == len(expect) == 6
+    np.testing.assert_allclose(
+        out["asof_v"].to_numpy(), expect["v"].to_numpy(dtype="float64"), equal_nan=True
+    )
+    # exact tie (lts=200) matched the rts=200 row
+    assert out.loc[out["lid"] == 11, "asof_v"].iloc[0] == 7.0
+
+    # empty right side -> all NaN
+    out2 = asof_join_copartitioned(
+        _ray.data.from_arrow(left),
+        _ray.data.from_arrow(right.slice(0, 0)),
+        key="k",
+        left_ts="lts",
+        right_ts="rts",
+        left_cols=["lid"],
+        right_value_cols=["v"],
+        num_partitions=4,
+    ).to_pandas()
+    assert len(out2) == 6 and out2["asof_v"].isna().all()
