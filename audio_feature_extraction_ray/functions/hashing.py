@@ -10,6 +10,10 @@ from __future__ import annotations
 from zlib import crc32
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import _TOK_K, _TOK_LMIX, _TOK_W
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
@@ -83,6 +87,143 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64, seed: int = 1) -
         # for dedup purposes, then mod p. Deterministic either way.
         m = (a[:, None] * shingles[None, :] + b[:, None]) % _MERSENNE
     return m.min(axis=1).astype(np.uint64)
+
+
+# --------------------------------------------------------------------------
+# Vectorized MinHash over token-hash shingles (the at-scale path).
+#
+# Shingle hash = t[i]*S1 + t[i+1]*S2 + t[i+2]  (uint64 wrap), where t[j] are
+# the ORDERED 64-bit token hashes of functions.text.token_hashes64's scheme
+# (same polynomial family, order preserved, duplicates kept — MinHash is
+# min-stable under duplicates). Rows with <3 tokens use 0 for the missing
+# positions; empty rows get the all-sentinel signature. The scalar twin
+# `minhash_signature_tokens` must agree bit-for-bit (pinned in tests).
+
+_SH1 = np.uint64(0x9E3779B97F4A7C15)
+_SH2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _ordered_token_hashes(text: str) -> np.ndarray:
+    toks = text.split()
+    out = np.empty(len(toks), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            L = b.size
+            h = np.uint64(L) * _TOK_LMIX
+            h = h + (b[:_TOK_K].astype(np.uint64) * _TOK_W[: min(L, _TOK_K)]).sum(dtype=np.uint64)
+            out[i] = h
+    return out
+
+
+def shingle_hashes_tokens(text: str, width: int = 3) -> np.ndarray:
+    """Scalar reference for the vectorized shingle hashing (uint64, ordered,
+    duplicates kept)."""
+    t = _ordered_token_hashes(text)
+    if t.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_sh = max(t.size - width + 1, 1)
+    out = np.empty(n_sh, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n_sh):
+            a = t[i]
+            b = t[i + 1] if i + 1 < t.size else np.uint64(0)
+            c = t[i + 2] if i + 2 < t.size else np.uint64(0)
+            out[i] = a * _SH1 + b * _SH2 + c
+    return out
+
+
+def minhash_signature_tokens(text: str, num_perm: int = 64, seed: int = 1) -> np.ndarray:
+    """Scalar twin of minhash_signatures_batch for one text."""
+    return minhash_signature(shingle_hashes_tokens(text), num_perm=num_perm, seed=seed)
+
+
+_MINHASH_ROW_CHUNK = 512  # cache-resident permutation matrices
+
+
+def minhash_signatures_batch(
+    texts, num_perm: int = 64, seed: int = 1, width: int = 3
+) -> np.ndarray:
+    """(n, num_perm) uint64 MinHash signatures for a pyarrow string column.
+
+    Fully vectorized: ordered token hashes from the Arrow buffers, shingles
+    by uint64 combination (no string joins), permutations applied to the flat
+    shingle array in row chunks, per-row min via minimum.reduceat."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _perm_params(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    out = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    if n == 0:
+        return out
+    if n > _MINHASH_ROW_CHUNK:
+        for i in range(0, n, _MINHASH_ROW_CHUNK):
+            out[i : i + _MINHASH_ROW_CHUNK] = minhash_signatures_batch(
+                texts.slice(i, _MINHASH_ROW_CHUNK), num_perm, seed, width
+            )
+        return out
+
+    toks = pc.split_pattern(texts, " ")
+    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    m = len(flat)
+    if m == 0:
+        return out
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off = np.frombuffer(flat.buffers()[1], dtype=off_dtype)[
+        flat.offset : flat.offset + m + 1
+    ].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+    th = lens.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        th *= _TOK_LMIX
+        hi = max(data.size - 1, 0)
+        for j in range(_TOK_K if data.size else 0):
+            idx = np.minimum(starts + j, hi)
+            contrib = data[idx].astype(np.uint64)
+            contrib *= lens > j
+            contrib *= _TOK_W[j]
+            th += contrib
+    # drop empty tokens (str.split semantics)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+    keep = lens > 0
+    th, row_of = th[keep], row_of[keep]
+    tok_counts = np.bincount(row_of, minlength=n)
+    t_off = np.concatenate([[0], np.cumsum(tok_counts)]).astype(np.int64)
+    # shingles within each row: sh[i] = t[i]*S1 + t[i+1]*S2 + t[i+2]
+    total = th.size
+    if total == 0:
+        return out
+    nsh = np.where(tok_counts > 0, np.maximum(tok_counts - width + 1, 1), 0)
+    s_off = np.concatenate([[0], np.cumsum(nsh)]).astype(np.int64)
+    # global shingle start positions: for row r, t_off[r] .. t_off[r]+nsh[r]-1
+    pos = np.arange(int(s_off[-1]), dtype=np.int64)
+    row_sh = np.repeat(np.arange(n, dtype=np.int64), nsh)
+    rel = pos - s_off[row_sh]
+    base = t_off[row_sh] + rel
+    t1 = th[base]
+    nxt1 = base + 1
+    nxt2 = base + 2
+    in1 = nxt1 < t_off[row_sh + 1]
+    in2 = nxt2 < t_off[row_sh + 1]
+    t2 = np.where(in1, th[np.minimum(nxt1, total - 1)], np.uint64(0))
+    t3 = np.where(in2, th[np.minimum(nxt2, total - 1)], np.uint64(0))
+    with np.errstate(over="ignore"):
+        sh = t1 * _SH1 + t2 * _SH2 + t3
+        # permutations over the flat shingle array
+        perm = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE  # (P, S)
+    has = nsh > 0
+    if has.any():
+        # reduceat needs strictly valid starts; restrict to non-empty rows
+        starts_nz = s_off[:-1][has]
+        mins = np.minimum.reduceat(perm, starts_nz, axis=1)  # (P, n_nonzero)
+        out[has] = mins.T.astype(np.uint64)
+    return out
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:

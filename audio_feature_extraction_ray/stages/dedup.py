@@ -24,7 +24,12 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import minhash_signature, shingle_hashes, simhash64
+from ..functions.hashing import (
+    minhash_signature,
+    minhash_signatures_batch,
+    shingle_hashes,
+    simhash64,
+)
 from ..state.kernels import _token_hash_set
 
 NUM_PERM = 64
@@ -62,12 +67,9 @@ def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "t
 
 def _signature_batch(tbl: pa.Table, text_col: str, id_col: str) -> pa.Table:
     ids = tbl.column(id_col).to_pylist()
-    sigs = np.stack(
-        [
-            minhash_signature(shingle_hashes(t), num_perm=NUM_PERM)
-            for t in tbl.column(text_col).to_pylist()
-        ]
-    ) if len(ids) else np.zeros((0, NUM_PERM), dtype=np.uint64)
+    # fully vectorized (ordered token hashes -> uint64 shingle combine ->
+    # chunked permutations); bit-identical to minhash_signature_tokens
+    sigs = minhash_signatures_batch(tbl.column(text_col), num_perm=NUM_PERM)
     return pa.table(
         {
             id_col: pa.array(ids),

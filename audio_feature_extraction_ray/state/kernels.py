@@ -36,6 +36,7 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 # --- vectorized 64-bit token hashing (must agree bit-for-bit with
 # functions.text.token_hashes64) ------------------------------------------
 
+from ..functions.registry import apply_extra_features as _apply_extra_features  # noqa: E402
 from ..functions.text import _TOK_K, _TOK_LMIX, _TOK_W  # noqa: E402
 from ..stages.text_stage import per_row_text_features as _per_row_text_features  # noqa: E402
 
@@ -431,9 +432,7 @@ class StreamingMerger:
             out = out.append_column("locf_fetch_ok", pa.array(ok, pa.float64()))
 
         if cfg.extra_features:
-            from ..functions.registry import apply_extra_features
-
-            out = apply_extra_features(out, list(cfg.extra_features))
+            out = _apply_extra_features(out, list(cfg.extra_features))
 
         # pack the fixed-width feature vector (null -> NaN), declared order
         order = cfg.feature_order

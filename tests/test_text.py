@@ -105,3 +105,19 @@ def test_ngram_hist_batch_matches_scalar(small_fixture):
     sl = col.slice(100, 50)
     batch_sl = ngram_hist_batch(sl, 8)
     np.testing.assert_allclose(batch_sl[0], ngram_bucket_hist(texts[100], 8))
+
+
+def test_minhash_batch_matches_scalar():
+    """Vectorized minhash signatures == scalar twin, bit-for-bit, incl. edge
+    rows (empty, <3 tokens, duplicate tokens, multiple spaces)."""
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.functions.hashing import (
+        minhash_signature_tokens,
+        minhash_signatures_batch,
+    )
+
+    texts = ["", "a", "a b", "a b c d e", "dup dup dup", "x  y   z", "w " * 400]
+    batch = minhash_signatures_batch(pa.array(texts, pa.string()), num_perm=32)
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(batch[i], minhash_signature_tokens(t, num_perm=32))
