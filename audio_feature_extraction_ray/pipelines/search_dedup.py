@@ -111,24 +111,21 @@ def doc_signatures(sf_dir: str) -> ray.data.Dataset:
     """SimHash + rolling-fingerprint + MinHash-first-perm signature table
     (rows-only check: the hash functions are not SQL-expressible; determinism
     and self-consistency are pinned in pytest)."""
-    from ..functions.hashing import minhash_signature, shingle_hashes, simhash64
+    from ..functions.hashing import minhash_signatures_batch
     from ..functions.text import fingerprint64
-    from ..stages.dedup import _u64_to_i64
-    from ..state.kernels import _token_hash_set
+    from ..stages.dedup import _u64_to_i64, simhash_signatures_batch
 
     def fn(tbl: pa.Table) -> pa.Table:
         texts = tbl.column("text").to_pylist()
-        sh = [_u64_to_i64(simhash64(_token_hash_set(t))) for t in texts]
+        sh = simhash_signatures_batch(tbl.column("text"))
         fp = [_u64_to_i64(fingerprint64(t)) for t in texts]
-        mh0 = [
-            _u64_to_i64(int(minhash_signature(shingle_hashes(t), num_perm=16)[0])) for t in texts
-        ]
+        mh0 = minhash_signatures_batch(tbl.column("text"), num_perm=16)[:, 0]
         return pa.table(
             {
                 "doc_id": tbl.column("doc_id"),
-                "simhash": pa.array(sh, pa.int64()),
+                "simhash": pa.array(sh.view(np.int64)),
                 "fp64": pa.array(fp, pa.int64()),
-                "minhash0": pa.array(mh0, pa.int64()),
+                "minhash0": pa.array(mh0.view(np.int64)),
             }
         )
 

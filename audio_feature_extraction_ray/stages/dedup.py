@@ -30,7 +30,35 @@ from ..functions.hashing import (
     shingle_hashes,
     simhash64,
 )
-from ..state.kernels import _token_hash_set
+from ..state.kernels import _token_hash_set, _token_hashes64_batch
+
+
+def simhash_signatures_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a string column (uint64[n]).
+
+    Per row: unique 64-bit token hashes (Arrow-buffer token hashing, shared
+    with the churn kernel) -> per-bit majority vote. All rows at once:
+    unpack every hash to a (M, 64) bit matrix, segment-sum per row with
+    add.reduceat, set bit where votes*2 > token count. Empty rows -> 0.
+    The scalar twin is `simhash64_tokens` (pinned in tests)."""
+    hs, row_off = _token_hashes64_batch(texts)
+    n = row_off.size - 1
+    out = np.zeros(n, dtype=np.uint64)
+    if hs.size == 0:
+        return out
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")  # (M, 64)
+    sizes = np.diff(row_off)
+    nz = sizes > 0
+    votes = np.add.reduceat(bits, row_off[:-1][nz], axis=0).astype(np.int64)  # (n_nz, 64)
+    set_bits = votes * 2 > sizes[nz, None]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    out[nz] = np.where(set_bits, weights, np.uint64(0)).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def simhash64_tokens(text: str) -> int:
+    """Scalar twin of simhash_signatures_batch for one text."""
+    return int(simhash_signatures_batch(pa.array([text], pa.string()))[0])
 
 NUM_PERM = 64
 BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 candidates reliably
@@ -151,10 +179,8 @@ def _u64_to_i64(v: int) -> int:
 
 def simhash_signatures(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
     def fn(tbl: pa.Table) -> pa.Table:
-        sh = [
-            _u64_to_i64(simhash64(_token_hash_set(t))) for t in tbl.column(text_col).to_pylist()
-        ]
-        return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(sh, pa.int64())})
+        sh = simhash_signatures_batch(tbl.column(text_col))
+        return pa.table({id_col: tbl.column(id_col), "simhash": pa.array(sh.view(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

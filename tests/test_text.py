@@ -121,3 +121,21 @@ def test_minhash_batch_matches_scalar():
     batch = minhash_signatures_batch(pa.array(texts, pa.string()), num_perm=32)
     for i, t in enumerate(texts):
         np.testing.assert_array_equal(batch[i], minhash_signature_tokens(t, num_perm=32))
+
+
+def test_simhash_batch_matches_scalar():
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.stages.dedup import (
+        simhash64_tokens,
+        simhash_signatures_batch,
+    )
+
+    texts = ["", "a", "a b c", "dup dup dup x", "the quick brown fox", "z " * 300]
+    batch = simhash_signatures_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == simhash64_tokens(t)
+    assert int(batch[0]) == 0  # empty -> 0
+    # identical texts -> identical signatures; near-identical -> small hamming
+    a = simhash_signatures_batch(pa.array(["w1 w2 w3 w4 w5 w6 w7 w8"] * 2, pa.string()))
+    assert a[0] == a[1]
