@@ -131,11 +131,22 @@ def _band_rows(tbl: pa.Table, id_col: str) -> pa.Table:
     return pa.table({id_col: pa.array(out_ids), "band_hash": pa.array(band_hashes), "sig": sig_rep})
 
 
+# Buckets larger than this are dropped by the pair stages: a band value
+# shared by thousands of documents is a degenerate signal (boilerplate /
+# tiny-vocabulary collisions), and the within-bucket pair loop is O(g^2) —
+# the standard LSH mega-bucket guard. A genuinely near-duplicate pair
+# sharing a mega-bucket still surfaces through its other (selective) bands,
+# so recall loss is confined to pairs whose EVERY matching band is
+# degenerate. Tune per corpus via the max_bucket parameter.
+MAX_BUCKET = 2000
+
+
 def minhash_lsh_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs (a < b) with signature-estimated Jaccard >=
     threshold. Deduplicated across bands via a final distinct."""
@@ -146,7 +157,7 @@ def minhash_lsh_pairs(
     bands = sigs.map_batches(lambda t: _band_rows(t, id_col), batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        if len(g) < 2 or len(g) > max_bucket:
             return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
@@ -186,7 +197,11 @@ def simhash_signatures(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: s
 
 
 def simhash_pairs(
-    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 6
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    max_bucket: int = MAX_BUCKET,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash banding: 4x16-bit bands (any pair within
     Hamming distance <= 16/band-count must collide on >= 1 band for <=3 flipped
@@ -213,7 +228,7 @@ def simhash_pairs(
     band_rows = sigs.map_batches(bands, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
+        if len(g) < 2 or len(g) > max_bucket:
             return pd.DataFrame({"a": [], "b": [], "hamming": []})
         g = g.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
