@@ -97,6 +97,29 @@ class PipelineConfig:
         if e.resume and not e.output_dir:
             raise ValueError("resume=True requires output_dir")
 
+    def semantics_fingerprint(self) -> str:
+        """Hash of everything that changes OUTPUT VALUES (input + feature
+        semantics + partition layout). Recorded in every partition manifest;
+        resume only reuses partitions whose fingerprint matches — a completed
+        partition from a run with different semantics is recomputed, never
+        silently reused."""
+        import hashlib as _hashlib
+
+        f, e = self.features, self.engine
+        payload = json.dumps(
+            {
+                "input_path": self.input_path,
+                "features": dataclasses.asdict(f),
+                "partitioner": e.partitioner,
+                "num_partitions": e.num_partitions,
+                "hot_salt": e.hot_salt,
+                "copartition": e.copartition_signals,
+            },
+            sort_keys=True,
+            default=str,
+        )
+        return _hashlib.sha256(payload.encode()).hexdigest()[:16]
+
     @classmethod
     def from_dict(cls, d: dict) -> "PipelineConfig":
         cfg = cls(

@@ -64,7 +64,7 @@ def _build_partitioner(cfg: PipelineConfig, ds: ray.data.Dataset):
     return RangePartitioner.from_sample(urls, e.num_partitions, hot_salt=e.hot_salt)
 
 
-def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None):
+def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None, lineage: dict | None = None):
     """Grouped kernel; one call per partition_id group (whole partition as one
     Arrow table). Pure + deterministic -> safe under Ray task retries."""
 
@@ -81,7 +81,7 @@ def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None):
                 output_dir,
                 pid,
                 merge_partition_chunks(tbl, fcfg, signals),
-                {"rows_in": rows_in},
+                {"rows_in": rows_in, **(lineage or {})},
             )
             manifest["dup_dropped"] = rows_in - manifest["rows_out"]
             manifest["wall_s"] = round(time.time() - t0, 4)
@@ -93,7 +93,7 @@ def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None):
                 output_dir,
                 pid,
                 out,
-                {"rows_in": rows_in, "dup_dropped": dup_dropped, "wall_s": round(time.time() - t0, 4)},
+                {"rows_in": rows_in, "dup_dropped": dup_dropped, "wall_s": round(time.time() - t0, 4), **(lineage or {})},
             )
             return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
         return out
@@ -214,7 +214,7 @@ def _sample_hosts(cfg: PipelineConfig) -> list[str]:
     return out
 
 
-def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None):
+def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None, lineage: dict | None = None):
     def group_fn(tbl: pa.Table) -> pa.Table:
         t0 = time.time()
         pid = int(tbl.column("partition_id")[0].as_py()) if tbl.num_rows else -1
@@ -236,7 +236,10 @@ def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None):
         rows_in = left.num_rows
         if output_dir is not None and not fcfg.emit_labels:
             manifest = write_partition_stream(
-                output_dir, pid, merge_partition_chunks(left, fcfg, signals), {"rows_in": rows_in}
+                output_dir,
+                pid,
+                merge_partition_chunks(left, fcfg, signals),
+                {"rows_in": rows_in, **(lineage or {})},
             )
             manifest["dup_dropped"] = rows_in - manifest["rows_out"]
             manifest["wall_s"] = round(time.time() - t0, 4)
@@ -251,6 +254,7 @@ def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None):
                     "rows_in": rows_in,
                     "dup_dropped": rows_in - out.num_rows,
                     "wall_s": round(time.time() - t0, 4),
+                    **(lineage or {}),
                 },
             )
             return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
@@ -340,7 +344,12 @@ def run(cfg: PipelineConfig) -> dict:
         ds, _ = build_copartitioned(cfg)
     else:
         ds = build_dataset(cfg)
+    fp = cfg.semantics_fingerprint()
+    lineage = {"input_path": cfg.input_path, "config_sha": fp}
     done = load_completed(cfg.engine.output_dir) if cfg.engine.resume else {}
+    # resume safety: only reuse partitions produced under IDENTICAL semantics
+    # (input + feature config + partition layout); anything else recomputes
+    done = {pid: m for pid, m in done.items() if m.get("config_sha") == fp}
     if done:
         done_ids = np.array(sorted(done), dtype=np.int32)
 
@@ -351,10 +360,12 @@ def run(cfg: PipelineConfig) -> dict:
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow")
     if copart:
-        fn = _make_copart_group_fn(cfg.features, output_dir=cfg.engine.output_dir)
+        fn = _make_copart_group_fn(cfg.features, output_dir=cfg.engine.output_dir, lineage=lineage)
     else:
         signals_ref = _load_signals(cfg.features)
-        fn = _make_group_fn(cfg.features, signals_ref, output_dir=cfg.engine.output_dir)
+        fn = _make_group_fn(
+            cfg.features, signals_ref, output_dir=cfg.engine.output_dir, lineage=lineage
+        )
     manifest_rows = ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow").take_all()
     report = job_report(list(done.values()) + manifest_rows)
     report["resumed_partitions"] = len(done)

@@ -50,6 +50,20 @@ def partition_checksum(tbl: pa.Table) -> int:
     return int(np.bitwise_xor.reduce(h))
 
 
+def _prepare_dirs(out: Path, partition_id: int) -> tuple[Path, Path]:
+    part_dir = out / f"part={partition_id:05d}"
+    mdir = out / MANIFEST_DIR
+    part_dir.mkdir(parents=True, exist_ok=True)
+    mdir.mkdir(parents=True, exist_ok=True)
+    # purge tmp files orphaned by a previous crashed write of this partition
+    for stale in part_dir.glob(".tmp-*.parquet"):
+        try:
+            stale.unlink()
+        except OSError:
+            pass
+    return part_dir, mdir
+
+
 def write_partition(
     out_dir: str | Path,
     partition_id: int,
@@ -58,10 +72,7 @@ def write_partition(
 ) -> dict:
     """Atomically write one partition's parquet + manifest. Returns manifest."""
     out = Path(out_dir)
-    part_dir = out / f"part={partition_id:05d}"
-    mdir = out / MANIFEST_DIR
-    part_dir.mkdir(parents=True, exist_ok=True)
-    mdir.mkdir(parents=True, exist_ok=True)
+    part_dir, mdir = _prepare_dirs(out, partition_id)
 
     tmp = part_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     pq.write_table(tbl, tmp)
@@ -99,10 +110,7 @@ def write_partition_stream(
     partition output is never resident at once. The checksum is an xor-reduce
     of per-row hashes, so chunk-wise folding equals the one-shot value."""
     out = Path(out_dir)
-    part_dir = out / f"part={partition_id:05d}"
-    mdir = out / MANIFEST_DIR
-    part_dir.mkdir(parents=True, exist_ok=True)
-    mdir.mkdir(parents=True, exist_ok=True)
+    part_dir, mdir = _prepare_dirs(out, partition_id)
 
     tmp = part_dir / f".tmp-{uuid.uuid4().hex}.parquet"
     writer: pq.ParquetWriter | None = None

@@ -369,3 +369,23 @@ def test_missing_lang_column(ray_session, small_fixture, tmp_path):
     tbl = _collect(feature_dataset(_cfg(d, sig)))
     assert tbl.num_rows > 0
     assert "lang_run_length" in tbl.column_names
+
+
+def test_resume_rejects_stale_config(ray_session, small_fixture_dir, tmp_path):
+    """Resume must NOT reuse partitions produced under different semantics:
+    changing window_k invalidates every completed partition."""
+    pages_dir, signals_path = small_fixture_dir
+    out = str(tmp_path / "stale")
+    run(_cfg(pages_dir, signals_path, out=out))
+
+    cfg2 = PipelineConfig(
+        input_path=str(pages_dir),
+        features=FeatureConfig(signals_path=str(signals_path), window_k=3),
+        engine=EngineConfig(num_partitions=8, output_dir=out, resume=True),
+    )
+    rep = run(cfg2)
+    assert rep["resumed_partitions"] == 0  # all recomputed
+
+    # and resuming again with the SAME config reuses everything
+    rep2 = run(cfg2)
+    assert rep2["resumed_partitions"] == 8
