@@ -45,9 +45,44 @@ def extract_text(html: bytes | str) -> str:
     return _WS_RE.sub(" ", s).strip()
 
 
+_WS_TABLE = np.zeros(256, dtype=bool)
+for _c in b" \t\r\n\f\v":
+    _WS_TABLE[_c] = True
+
+
+def _ws_collapse_batch(arr: pa.Array) -> pa.Array:
+    """Collapse runs of ASCII whitespace to one space — single numpy pass
+    over the Arrow byte buffer (the RE2 equivalent runs ~140 MB/s here; this
+    runs at memory speed). Leading/trailing spaces are left for utf8_trim.
+    Byte-identical to re.sub('[ \\t\\r\\n\\f\\v]+', ' ', s) per row."""
+    n = len(arr)
+    if n == 0:
+        return arr
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1].astype(
+        np.int64
+    )
+    g0, g1 = int(off[0]), int(off[-1])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[g0:g1]
+    ws = _WS_TABLE[data]
+    prev_ws = np.zeros_like(ws)
+    prev_ws[1:] = ws[:-1]
+    prev_ws[off[:-1] - g0] = False  # a run never continues across a row start
+    keep = ~(ws & prev_ws)
+    out_bytes = np.where(ws, np.uint8(32), data)[keep]
+    kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    new_off = kept_cum[off - g0]
+    data_buf = pa.py_buffer(out_bytes)  # zero-copy view; buffer holds a ref
+    if new_off[-1] < 2**31:
+        return pa.StringArray.from_buffers(
+            n, pa.py_buffer(new_off.astype(np.int32)), data_buf
+        )
+    return pa.LargeStringArray.from_buffers(n, pa.py_buffer(new_off), data_buf)
+
+
 def extract_text_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
-    """Vectorized Arrow implementation (re2 kernels); byte-identical to
-    :func:`extract_text` for valid UTF-8 input."""
+    """Vectorized Arrow implementation (re2 kernels + a numpy whitespace
+    collapse); byte-identical to :func:`extract_text` for valid UTF-8 input."""
     s = col
     if pa.types.is_binary(s.type) or pa.types.is_large_binary(s.type):
         s = pc.cast(s, pa.string())
@@ -55,7 +90,9 @@ def extract_text_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.Chunked
     s = pc.replace_substring_regex(s, pattern="<[^>]*>", replacement=" ")
     for ent, ch in _ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=ch)
-    s = pc.replace_substring_regex(s, pattern="[ \\t\\r\\n\\f\\v]+", replacement=" ")
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = _ws_collapse_batch(s)
     return pc.utf8_trim(s, " ")
 
 
