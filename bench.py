@@ -112,6 +112,8 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     timings["pages_features"] = round(headline_sec, 3)
 
+    from audio_feature_extraction_ray.pipelines import search_dedup, text_analysis
+
     for name, fn in [
         ("events_asof_join", events.asof_join),
         ("events_rolling", events.rolling),
@@ -119,6 +121,10 @@ def run_bench() -> dict:
         ("events_window_agg", events.window_agg),
         ("q1_pricing", relational.q1_pricing),
         ("revenue_by_segment", relational.revenue_by_segment),
+        ("doc_token_stats", text_analysis.token_stats),
+        ("dedup_exact_docs", search_dedup.dedup_exact_docs),
+        ("minhash_lsh_docs", search_dedup.minhash_lsh_docs),
+        ("ann_bruteforce", search_dedup.ann_bruteforce),
     ]:
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))
