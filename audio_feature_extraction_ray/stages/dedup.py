@@ -108,6 +108,13 @@ def _signature_batch(tbl: pa.Table, text_col: str, id_col: str) -> pa.Table:
     )
 
 
+_BAND_W = np.empty(NUM_PERM // BANDS, dtype=np.uint64)
+_BAND_W[0] = np.uint64(0x100000001B3)
+with np.errstate(over="ignore"):
+    for _j in range(1, _BAND_W.size):
+        _BAND_W[_j] = _BAND_W[_j - 1] * np.uint64(0x100000001B3)
+
+
 def _band_rows(tbl: pa.Table, id_col: str) -> pa.Table:
     n = tbl.num_rows
     if n == 0:
@@ -115,16 +122,18 @@ def _band_rows(tbl: pa.Table, id_col: str) -> pa.Table:
                          "sig": pa.array([], pa.list_(pa.int64(), NUM_PERM))})
     sigs = np.asarray(tbl.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, NUM_PERM)
     r = NUM_PERM // BANDS
-    from zlib import crc32
-
     ids = tbl.column(id_col).to_numpy()
     out_ids = np.repeat(ids, BANDS)
-    band_hashes = np.empty(n * BANDS, dtype=np.int64)
-    for i in range(n):
-        row = sigs[i]
-        base = i * BANDS
-        for b in range(BANDS):
-            band_hashes[base + b] = (b << 32) | crc32(row[b * r : (b + 1) * r].tobytes())
+    # vectorized band bucket key: polynomial combine of each band's signature
+    # values (one einsum over (n, BANDS, r)), band index folded into the top
+    # bits so buckets never cross bands
+    with np.errstate(over="ignore"):
+        mix = np.einsum(
+            "nbr,r->nb", sigs.view(np.uint64).reshape(n, BANDS, r), _BAND_W, dtype=np.uint64
+        )
+    band_hashes = ((mix >> np.uint64(9)) | (np.arange(BANDS, dtype=np.uint64) << np.uint64(55))).astype(
+        np.int64, casting="unsafe"
+    ).ravel()
     sig_rep = pa.FixedSizeListArray.from_arrays(
         pa.array(np.repeat(sigs, BANDS, axis=0).ravel(), pa.int64()), NUM_PERM
     )
