@@ -91,6 +91,8 @@ def run_bench() -> dict:
         engine=EngineConfig(num_partitions=64, batch_size=32768, output_dir=out_dir),
     )
 
+    headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
+
     timings: dict[str, float] = {}
 
     # one untimed execution first: spins up the worker pool and faults the
@@ -114,7 +116,7 @@ def run_bench() -> dict:
 
     from audio_feature_extraction_ray.pipelines import search_dedup, text_analysis
 
-    for name, fn in [
+    for name, fn in [] if headline_only else [
         ("events_asof_join", events.asof_join),
         ("events_rolling", events.rolling),
         ("events_sessionize", events.sessionize),
@@ -146,8 +148,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Two interleaved rounds per parallelism level, min wall per level.
+
+    This sandbox shows ±20% (occasionally ~2x) run-to-run wall variance
+    from noisy neighbors; a single (lo, hi) pair can land one level in a bad
+    window and swing the ratio wildly in either direction. Interleaving
+    lo,hi,lo,hi and taking each level's best run measures the code, not the
+    neighbor. Subprocesses run the headline pipeline only (suite skipped)."""
+
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -158,21 +168,25 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
-    thr_lo = r_lo["docs_per_s"]
-    thr_hi = r_hi["docs_per_s"]
+    rounds = [(run_at(lo), run_at(hi)) for _ in range(2)]
+    sec_lo = min(r[0]["value"] for r in rounds)
+    sec_hi = min(r[1]["value"] for r in rounds)
+    rows = rounds[0][0]["headline_rows"]
+    thr_lo = round(rows / sec_lo, 1)
+    thr_hi = round(rows / sec_hi, 1)
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input)",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
+        "sec_lo": sec_lo,
+        "sec_hi": sec_hi,
+        "sec_lo_runs": [r[0]["value"] for r in rounds],
+        "sec_hi_runs": [r[1]["value"] for r in rounds],
         "docs_per_s_lo": thr_lo,
         "docs_per_s_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
-        "sf": r_lo["sf"],
+        "sf": rounds[0][0]["sf"],
     }
 
 
