@@ -24,12 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
-from ..functions.hashing import (
-    minhash_signature,
-    minhash_signatures_batch,
-    shingle_hashes,
-    simhash64,
-)
+from ..functions.hashing import minhash_signatures_batch
 from ..state.kernels import _token_hash_set, _token_hashes64_batch
 
 
