@@ -99,12 +99,14 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 # --- near-dup candidates (rows-only checks: not SQL-expressible) ------------
 
 
-def minhash_lsh_docs(sf_dir: str) -> ray.data.Dataset:
-    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+def minhash_lsh_docs(sf_dir: str, max_bucket: int = dedup.MAX_BUCKET) -> ray.data.Dataset:
+    """max_bucket is the LSH mega-bucket guard (dropped buckets are logged
+    per partition — see stages.dedup.MAX_BUCKET)."""
+    return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5, max_bucket=max_bucket)
 
 
-def simhash_pairs_docs(sf_dir: str) -> ray.data.Dataset:
-    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=6)
+def simhash_pairs_docs(sf_dir: str, max_bucket: int = dedup.MAX_BUCKET) -> ray.data.Dataset:
+    return dedup.simhash_pairs(_docs(sf_dir), max_hamming=6, max_bucket=max_bucket)
 
 
 def doc_signatures(sf_dir: str) -> ray.data.Dataset:
@@ -136,10 +138,13 @@ def doc_signatures(sf_dir: str) -> ray.data.Dataset:
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    sel = np.nonzero(ids < N_QUERIES)[0]
-    sub = t.take(pa.array(sel))
+    # pushdown-filtered read: only row groups containing the query id range
+    # leave storage — never a driver-side full-table materialization
+    sub = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
+    )
     q = ann._emb_matrix(sub)
     return q, sub.column("vec_id").to_numpy()
 
@@ -184,9 +189,11 @@ def embedding_dups(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.compute as pc
     import ray as _ray
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sel = np.nonzero(t.column("vec_id").to_numpy() < EMB_DUP_N)[0]
-    sub = t.take(pa.array(sel))
+    sub = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", EMB_DUP_N)],
+    )
     cand = ann._norm_rows(ann._emb_matrix(sub))
     cand_ids = sub.column("vec_id").to_numpy().astype(np.int64)
     ref = _ray.put((cand, cand_ids))

@@ -1,31 +1,62 @@
 """Deduplication family for training-data pipelines (SURVEY §2.8 + north-rule
-additions): exact (hash-partition + per-group first), MinHash+LSH near-dup,
-SimHash near-dup, exact n-gram Jaccard pairs.
+additions): exact (hash-partition + vectorized keep-first), MinHash+LSH
+near-dup, SimHash near-dup, exact n-gram Jaccard pairs.
 
-Scale shape:
-- exact: vectorized content-hash in map_batches -> groupby(hash) (the one
-  shuffle) -> keep first per group. At 10^12 docs the groupby key is the
-  16-byte digest; partial dedup-within-batch first keeps shuffle volume down.
-- MinHash-LSH: signature per doc (stateless, numpy) -> explode to
-  (band_hash, doc_id, sig) rows -> groupby(band_hash) -> candidate pairs with
-  signature-estimated Jaccard >= threshold -> distinct pairs. No broadcast of
-  texts; the signature travels with the band row so verification is local to
-  the group.
-- SimHash: 64-bit signature -> 4x16-bit band explode -> groupby(band) ->
-  pairs with Hamming distance <= max_hamming.
+Scale shape (round-2 design — no per-group Python dispatch anywhere):
+
+- exact: vectorized content-hash + within-batch pre-dedup in map_batches ->
+  hash-partition on the digest (bounded partition count, NOT one group per
+  distinct doc) -> ONE vectorized keep-first kernel per partition (sort +
+  neq-prev mask). At 10^11 distinct docs the shuffle key is the 16-byte
+  digest and every group function call covers a whole partition.
+- MinHash-LSH: signature per doc (stateless numpy) -> band rows carry ONLY
+  (band_hash, doc_id) — ~16 B/doc/band through the exchange instead of the
+  full 64-perm signature — -> hash-partition on band_hash -> vectorized
+  within-bucket pair generation per partition -> candidate pairs are
+  re-joined to the doc-partitioned signature table (union + side tag, the
+  stages/asof.py exchange shape) to compute the signature-estimated Jaccard.
+  Pair distinct folds into the first signature join (all copies of (a, b)
+  share the partition key a).
+- SimHash: 64-bit signature -> 4x16-bit band explode (the 8-byte signature
+  rides along — same width as the id, cheaper than a join) -> hash-partition
+  on band -> vectorized pair generation + popcount Hamming filter ->
+  vectorized distinct keyed on a.
+
+Mega-bucket guard: buckets larger than max_bucket are dropped with an
+observable per-partition log line (dropped bucket + row counts) — see
+MAX_BUCKET below.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
 from ..functions.hashing import minhash_signatures_batch
-from ..state.kernels import _token_hash_set, _token_hashes64_batch
+from ..state.kernels import _neq_prev_mask, _token_hash_set, _token_hashes64_batch
+
+logger = logging.getLogger(__name__)
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+NUM_PERM = 64
+BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 candidates reliably
+
+# Fan-out of the dedup-family shuffles. Bounded and cluster-sized (2x cores
+# per node x nodes at scale), NOT data-sized: each partition is processed by
+# one vectorized kernel call regardless of how many distinct keys it holds.
+NUM_DEDUP_PARTITIONS = 32
+
+
+def _pid_of_u64(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """int32 partition id from a uint64 key array (golden-ratio mix)."""
+    with np.errstate(over="ignore"):
+        pid = ((keys.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(num_partitions)
+    return pid.astype(np.int32)
 
 
 def simhash_signatures_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -55,8 +86,18 @@ def simhash64_tokens(text: str) -> int:
     """Scalar twin of simhash_signatures_batch for one text."""
     return int(simhash_signatures_batch(pa.array([text], pa.string()))[0])
 
-NUM_PERM = 64
-BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 candidates reliably
+
+def _md5_and_pid(tbl: pa.Table, text_col: str, num_partitions: int) -> tuple[list[str], np.ndarray]:
+    """Per-row md5 hex (DuckDB md5() parity — per-row hashlib is unavoidable)
+    plus the partition id derived from the digest's first 8 bytes in the same
+    pass."""
+    fps: list[str] = []
+    pid = np.empty(tbl.num_rows, dtype=np.uint64)
+    for i, t in enumerate(tbl.column(text_col).to_pylist()):
+        d = hashlib.md5(t.encode("utf-8")).digest()
+        fps.append(d.hex())
+        pid[i] = int.from_bytes(d[:8], "big")
+    return fps, (pid % np.uint64(num_partitions)).astype(np.int32)
 
 
 def add_md5(tbl: pa.Table, text_col: str = "text") -> pa.Table:
@@ -64,23 +105,46 @@ def add_md5(tbl: pa.Table, text_col: str = "text") -> pa.Table:
     return tbl.append_column("content_md5", pa.array(fps, pa.string()))
 
 
-def exact_dedup(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text") -> ray.data.Dataset:
-    """Keep the min-id row per identical text (hash-partitioned exact dedup)."""
+def exact_dedup(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
+) -> ray.data.Dataset:
+    """Keep the min-id row per identical text.
+
+    Hash-partitioned on the content digest; the reduce side is ONE vectorized
+    sort + neq-prev keep-first kernel per partition — never a Python call per
+    distinct document (round-1 verdict's top scale fix)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
-        tbl = add_md5(tbl, text_col)
-        # within-batch pre-dedup: shrink the shuffle
-        df = tbl.select([id_col, "content_md5"]).to_pandas()
-        keep = df.groupby("content_md5", sort=False)[id_col].idxmin()
-        return tbl.take(pa.array(sorted(keep.to_numpy())))
+        fps, pid = _md5_and_pid(tbl, text_col, num_partitions)
+        tbl = tbl.append_column("content_md5", pa.array(fps, pa.string()))
+        tbl = tbl.append_column("__pid", pa.array(pid))
+        # within-batch pre-dedup (keep min id per digest): shrink the shuffle
+        ids = tbl.column(id_col).to_numpy()
+        order = np.lexsort((ids, np.asarray(fps, dtype=object)))
+        fps_sorted = np.asarray(fps, dtype=object)[order]
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = fps_sorted[1:] != fps_sorted[:-1]
+        keep_rows = np.sort(order[first])
+        if keep_rows.size == tbl.num_rows:
+            return tbl
+        return tbl.take(pa.array(keep_rows))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"]).sort_by(
+            [("content_md5", "ascending"), (id_col, "ascending")]
+        )
+        keep = _neq_prev_mask(tbl.column("content_md5"))
+        if keep.all():
+            return tbl
+        return tbl.filter(pa.array(keep))
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("content_md5")
-        .map_groups(first, batch_format="pandas")
+        .groupby("__pid")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
 
@@ -110,12 +174,23 @@ with np.errstate(over="ignore"):
         _BAND_W[_j] = _BAND_W[_j - 1] * np.uint64(0x100000001B3)
 
 
-def _band_rows(tbl: pa.Table, id_col: str) -> pa.Table:
+def _band_rows(tbl: pa.Table, id_col: str, num_partitions: int) -> pa.Table:
+    """Explode signatures to slim band rows: (doc_id, band_hash, __pid) ONLY —
+    the signature does NOT travel through the band shuffle (round-1 verdict:
+    replicating the 64-perm signature x16 bands was ~8 KB/doc of exchange
+    volume where 16 B suffices)."""
     n = tbl.num_rows
     if n == 0:
-        return pa.table({id_col: pa.array([], pa.int64()), "band_hash": pa.array([], pa.int64()),
-                         "sig": pa.array([], pa.list_(pa.int64(), NUM_PERM))})
-    sigs = np.asarray(tbl.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)).reshape(n, NUM_PERM)
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "band_hash": pa.array([], pa.int64()),
+                "__pid": pa.array([], pa.int32()),
+            }
+        )
+    sigs = np.asarray(
+        tbl.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(n, NUM_PERM)
     r = NUM_PERM // BANDS
     ids = tbl.column(id_col).to_numpy()
     out_ids = np.repeat(ids, BANDS)
@@ -126,23 +201,190 @@ def _band_rows(tbl: pa.Table, id_col: str) -> pa.Table:
         mix = np.einsum(
             "nbr,r->nb", sigs.view(np.uint64).reshape(n, BANDS, r), _BAND_W, dtype=np.uint64
         )
-    band_hashes = ((mix >> np.uint64(9)) | (np.arange(BANDS, dtype=np.uint64) << np.uint64(55))).astype(
-        np.int64, casting="unsafe"
-    ).ravel()
-    sig_rep = pa.FixedSizeListArray.from_arrays(
-        pa.array(np.repeat(sigs, BANDS, axis=0).ravel(), pa.int64()), NUM_PERM
+    bh_u64 = (mix >> np.uint64(9)) | (np.arange(BANDS, dtype=np.uint64) << np.uint64(55))
+    band_hashes = bh_u64.astype(np.int64, casting="unsafe").ravel()
+    pid = _pid_of_u64(bh_u64.ravel(), num_partitions)
+    return pa.table(
+        {id_col: pa.array(out_ids), "band_hash": pa.array(band_hashes), "__pid": pa.array(pid)}
     )
-    return pa.table({id_col: pa.array(out_ids), "band_hash": pa.array(band_hashes), "sig": sig_rep})
 
 
 # Buckets larger than this are dropped by the pair stages: a band value
 # shared by thousands of documents is a degenerate signal (boilerplate /
-# tiny-vocabulary collisions), and the within-bucket pair loop is O(g^2) —
+# tiny-vocabulary collisions), and the within-bucket pair count is O(g^2) —
 # the standard LSH mega-bucket guard. A genuinely near-duplicate pair
 # sharing a mega-bucket still surfaces through its other (selective) bands,
 # so recall loss is confined to pairs whose EVERY matching band is
-# degenerate. Tune per corpus via the max_bucket parameter.
+# degenerate. Tune per corpus via the max_bucket parameter; drops are
+# logged per partition (observable truncation, never silent).
 MAX_BUCKET = 2000
+
+
+def _segment_pairs(seg_key: np.ndarray, max_bucket: int, what: str) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j) for a SORTED segment key array.
+
+    Fully vectorized (repeat/cumsum index algebra — no per-bucket Python).
+    Segments with fewer than 2 rows contribute nothing; segments larger than
+    max_bucket are dropped with a log line carrying the dropped bucket/row
+    counts."""
+    n = seg_key.size
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    head = np.ones(n, dtype=bool)
+    head[1:] = seg_key[1:] != seg_key[:-1]
+    starts = np.flatnonzero(head)
+    sizes = np.diff(np.append(starts, n))
+    big = sizes > max_bucket
+    if big.any():
+        logger.warning(
+            "%s: dropped %d mega-bucket(s) (%d rows) over max_bucket=%d",
+            what,
+            int(big.sum()),
+            int(sizes[big].sum()),
+            max_bucket,
+        )
+    ok_seg = (sizes >= 2) & ~big
+    if not ok_seg.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # per-row: local index within its segment, segment size, later-partner count
+    row_seg = np.repeat(np.arange(starts.size), sizes)
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    g = np.repeat(sizes, sizes)
+    cnt = np.where(ok_seg[row_seg], g - local - 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    base = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    b_off = np.arange(total, dtype=np.int64) - np.repeat(base, cnt)
+    b_idx = a_idx + 1 + b_off
+    return a_idx, b_idx
+
+
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _bucket_pairs_kernel(tbl: pa.Table, id_col: str, max_bucket: int) -> pa.Table:
+    """Per-partition candidate pair generation: sort by (band_hash, id), then
+    one vectorized within-bucket pair expansion. Emits raw (a, b) candidates
+    (duplicates across bands are dropped by the downstream distinct-fold)."""
+    if tbl.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    tbl = tbl.sort_by([("band_hash", "ascending"), (id_col, "ascending")])
+    bh = tbl.column("band_hash").to_numpy()
+    ids = tbl.column(id_col).to_numpy()
+    a_idx, b_idx = _segment_pairs(bh, max_bucket, "minhash_lsh")
+    if a_idx.size == 0:
+        return _PAIR_SCHEMA.empty_table()
+    a, b = ids[a_idx], ids[b_idx]
+    keep = a != b  # same doc twice in one bucket (duplicate input ids)
+    return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
+
+
+_SIG_T = pa.list_(pa.int64(), NUM_PERM)
+
+
+def _attach_sig(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
+    key_col: str,
+    other_col: str,
+    id_col: str,
+    out_col: str,
+    num_partitions: int,
+    distinct: bool,
+    carry_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Co-partitioned equi-join attaching each pair's signature for `key_col`
+    (the stages/asof.py union + side-tag exchange shape, equality semantics).
+
+    Signatures are partitioned by hash(doc_id); pairs by hash(pair[key_col]).
+    With distinct=True the pair side is also deduplicated inside the kernel —
+    every copy of (a, b) shares the same key_col, hence the same partition, so
+    the global distinct folds into this join for free (no extra shuffle)."""
+
+    def tag_sigs(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        n = tbl.num_rows
+        cols = {
+            "__pid": pa.array(_pid_of_u64(ids.view(np.uint64), num_partitions)),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__key": tbl.column(id_col).cast(pa.int64()),
+            other_col: pa.nulls(n, pa.int64()),
+            "__sig": tbl.column("sig"),
+        }
+        for c in carry_cols:
+            cols[c] = pa.nulls(n, _SIG_T)
+        return pa.table(cols)
+
+    def tag_pairs(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(key_col).to_numpy()
+        n = tbl.num_rows
+        cols = {
+            "__pid": pa.array(_pid_of_u64(keys.view(np.uint64), num_partitions)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__key": tbl.column(key_col).cast(pa.int64()),
+            other_col: tbl.column(other_col).cast(pa.int64()),
+            "__sig": pa.nulls(n, _SIG_T),
+        }
+        for c in carry_cols:
+            cols[c] = tbl.column(c)
+        return pa.table(cols)
+
+    st = sigs.map_batches(tag_sigs, batch_format="pyarrow")
+    pt = pairs.map_batches(tag_pairs, batch_format="pyarrow")
+    unioned = st.union(pt)
+
+    out_fields = [(key_col, pa.int64()), (other_col, pa.int64())]
+    out_fields += [(c, _SIG_T) for c in carry_cols] + [(out_col, _SIG_T)]
+    out_schema = pa.schema(out_fields)
+
+    def join(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        sig_rows = tbl.filter(pa.array(side == 0))
+        pair_rows = tbl.filter(pa.array(side == 1))
+        if pair_rows.num_rows == 0:
+            return out_schema.empty_table()
+        pk = pair_rows.column("__key").to_numpy()
+        po = pair_rows.column(other_col).to_numpy()
+        if distinct:
+            order = np.lexsort((po, pk))
+            first = np.ones(order.size, dtype=bool)
+            first[1:] = (pk[order][1:] != pk[order][:-1]) | (po[order][1:] != po[order][:-1])
+            sel = np.sort(order[first])
+            if sel.size != pair_rows.num_rows:
+                pair_rows = pair_rows.take(pa.array(sel))
+                pk, po = pk[sel], po[sel]
+        sk = sig_rows.column("__key").to_numpy()
+        sorder = np.argsort(sk, kind="stable")
+        sk_sorted = sk[sorder]
+        sig_mat = np.asarray(
+            sig_rows.column("__sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(-1, NUM_PERM)
+        pos = np.searchsorted(sk_sorted, pk)
+        # every pair id has a signature row by construction
+        sel_sig = sig_mat[sorder[pos]]
+        cols = {key_col: pa.array(pk, pa.int64()), other_col: pa.array(po, pa.int64())}
+        for c in carry_cols:
+            cols[c] = pair_rows.column(c)
+        cols[out_col] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sel_sig.ravel(), pa.int64()), NUM_PERM
+        )
+        return pa.table(cols)
+
+    return unioned.groupby("__pid").map_groups(
+        lambda g: join(g.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
+
+
+# Below this many documents the signature matrix is broadcast (ray.put once,
+# zero-copy plasma read in every bucket kernel) and candidate verification is
+# local to the band partition — 2 slim shuffles total. Above it, signatures
+# are too big for a broadcast side (~0.5 KB/doc -> ~0.5 GB at 1e6) and the
+# co-partitioned 3-shuffle verification join takes over. Same adaptive
+# broadcast-vs-copartition switch as the flagship signals side
+# (pipelines/features.py _use_copartition).
+BROADCAST_MAX_DOCS = 1_000_000
 
 
 def minhash_lsh_pairs(
@@ -151,37 +393,142 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_bucket: int = MAX_BUCKET,
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
+    broadcast_max_docs: int = BROADCAST_MAX_DOCS,
 ) -> ray.data.Dataset:
-    """Candidate near-dup pairs (a < b) with signature-estimated Jaccard >=
-    threshold. Deduplicated across bands via a final distinct."""
+    """Near-dup pairs (a < b) with signature-estimated Jaccard >= threshold.
 
+    Small corpora (<= broadcast_max_docs): broadcast plan —
+      1. band rows (band_hash, id) -> hash(band_hash) partitions -> pair gen
+         + local verification against the ray.put signature matrix
+      2. verified pairs (24 B each) -> hash(a) partitions -> distinct
+    Large corpora: co-partitioned plan (3 slim shuffles, no broadcast) —
+      1. band rows -> pair gen (unverified candidates)
+      2. pairs + signatures -> hash(a) partitions -> distinct + attach sig_a
+      3. enriched pairs + signatures -> hash(b) partitions -> attach sig_b,
+         estimate Jaccard, filter by threshold
+    Both plans emit identical pairs (pinned by pytest); all reduce kernels
+    are vectorized — never a Python call per bucket or per pair.
+    """
+    import ray as _ray
+
+    # The signature table feeds multiple consumers (band explode + the
+    # verification side); Ray re-executes a lazy lineage per consumer, so pin
+    # it once. It is the SMALL intermediate (~0.5 KB/doc, spillable), vs
+    # recomputing the full text tokenization per consumer.
     sigs = ds.map_batches(
         lambda t: _signature_batch(t, text_col, id_col), batch_format="pyarrow"
+    ).materialize()
+    bands = sigs.map_batches(
+        lambda t: _band_rows(t, id_col, num_partitions), batch_format="pyarrow"
     )
-    bands = sigs.map_batches(lambda t: _band_rows(t, id_col), batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_bucket:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(g)):
-            eq = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for h in hit:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + h]))
-                out_j.append(float(eq[h]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
+    if sigs.count() <= broadcast_max_docs:
+        # ---- broadcast plan ------------------------------------------------
+        sig_tbl = pa.concat_tables(_ray.get(sigs.to_arrow_refs()))
+        ids_all = sig_tbl.column(id_col).to_numpy()
+        mat = np.asarray(
+            sig_tbl.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(-1, NUM_PERM)
+        order = np.argsort(ids_all, kind="stable")
+        ref = _ray.put((ids_all[order], mat[order]))
 
-    cand = bands.groupby("band_hash").map_groups(pairs, batch_format="pandas")
+        est_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())]
+        )
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+        def verified_pairs(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return est_schema.empty_table()
+            tbl = tbl.sort_by([("band_hash", "ascending"), (id_col, "ascending")])
+            bh = tbl.column("band_hash").to_numpy()
+            ids = tbl.column(id_col).to_numpy()
+            a_idx, b_idx = _segment_pairs(bh, max_bucket, "minhash_lsh")
+            if a_idx.size == 0:
+                return est_schema.empty_table()
+            a, b = ids[a_idx], ids[b_idx]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            sid, smat = _ray.get(ref)
+            sa = smat[np.searchsorted(sid, a)]
+            sb = smat[np.searchsorted(sid, b)]
+            est = (sa == sb).mean(axis=1)
+            hit = est >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[hit], pa.int64()),
+                    "b": pa.array(b[hit], pa.int64()),
+                    "est_jaccard": pa.array(est[hit], pa.float64()),
+                }
+            )
 
-    return cand.groupby(["a", "b"]).map_groups(dedup_pairs, batch_format="pandas")
+        verified = bands.groupby("__pid").map_groups(
+            lambda g: verified_pairs(g.drop_columns(["__pid"])), batch_format="pyarrow"
+        )
+
+        def tag_by_a(tbl: pa.Table) -> pa.Table:
+            a = tbl.column("a").to_numpy()
+            return tbl.append_column(
+                "__pid", pa.array(_pid_of_u64(a.view(np.uint64), num_partitions))
+            )
+
+        def distinct_kernel(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return est_schema.empty_table()
+            a = tbl.column("a").to_numpy()
+            b = tbl.column("b").to_numpy()
+            order2 = np.lexsort((b, a))
+            first = np.ones(order2.size, dtype=bool)
+            first[1:] = (a[order2][1:] != a[order2][:-1]) | (b[order2][1:] != b[order2][:-1])
+            return tbl.take(pa.array(np.sort(order2[first])))
+
+        return (
+            verified.map_batches(tag_by_a, batch_format="pyarrow")
+            .groupby("__pid")
+            .map_groups(
+                lambda g: distinct_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
+            )
+        )
+
+    # ---- co-partitioned plan (no broadcast side) --------------------------
+    cand = bands.groupby("__pid").map_groups(
+        lambda g: _bucket_pairs_kernel(g.drop_columns(["__pid"]), id_col, max_bucket),
+        batch_format="pyarrow",
+    )
+    with_a = _attach_sig(
+        cand, sigs, "a", "b", id_col, "sig_a", num_partitions, distinct=True
+    )
+    with_b = _attach_sig(
+        with_a, sigs, "b", "a", id_col, "sig_b", num_partitions, distinct=False,
+        carry_cols=("sig_a",),
+    )
+
+    def estimate(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = np.asarray(
+            tbl.column("sig_a").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(-1, NUM_PERM)
+        sb = np.asarray(
+            tbl.column("sig_b").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        ).reshape(-1, NUM_PERM)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "a": pa.array(tbl.column("a").to_numpy()[keep], pa.int64()),
+                "b": pa.array(tbl.column("b").to_numpy()[keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    return with_b.map_batches(estimate, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -200,16 +547,24 @@ def simhash_signatures(ds: ray.data.Dataset, id_col: str = "doc_id", text_col: s
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_SIMHASH_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
+
+
 def simhash_pairs(
     ds: ray.data.Dataset,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
     max_bucket: int = MAX_BUCKET,
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
 ) -> ray.data.Dataset:
     """Near-dup pairs by SimHash banding: 4x16-bit bands (any pair within
     Hamming distance <= 16/band-count must collide on >= 1 band for <=3 flipped
-    bands; max_hamming up to ~6 still has high recall on random bit positions)."""
+    bands; max_hamming up to ~6 still has high recall on random bit positions).
+
+    The 8-byte signature rides with each band row (same width as the id — a
+    join would cost more than it saves); pair generation, the Hamming filter
+    and the distinct are all partition-local vectorized kernels."""
 
     sigs = simhash_signatures(ds, id_col, text_col)
 
@@ -226,32 +581,58 @@ def simhash_pairs(
                 id_col: pa.array(out_id),
                 "band": pa.array(out_band),
                 "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
+                "__pid": pa.array(_pid_of_u64(out_band.view(np.uint64), num_partitions)),
             }
         )
 
     band_rows = sigs.map_batches(bands, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > max_bucket:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(g)):
-            x = sh[i + 1 :] ^ sh[i]
-            # vectorized popcount via unpackbits on the 8-byte view
-            if x.size:
-                hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-                hit = np.nonzero(hd <= max_hamming)[0]
-                for h in hit:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + h]))
-                    out_h.append(int(hd[h]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+    def pairs_kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        tbl = tbl.sort_by([("band", "ascending"), (id_col, "ascending")])
+        band = tbl.column("band").to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        sh = tbl.column("simhash").to_numpy().view(np.uint64)
+        a_idx, b_idx = _segment_pairs(band, max_bucket, "simhash")
+        if a_idx.size == 0:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        x = sh[a_idx] ^ sh[b_idx]
+        # vectorized popcount via unpackbits on the 8-byte view
+        hd = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
+        keep = (hd <= max_hamming) & (ids[a_idx] != ids[b_idx])
+        return pa.table(
+            {
+                "a": pa.array(ids[a_idx][keep], pa.int64()),
+                "b": pa.array(ids[b_idx][keep], pa.int64()),
+                "hamming": pa.array(hd[keep], pa.int64()),
+            }
+        )
 
-    cand = band_rows.groupby("band").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    cand = band_rows.groupby("__pid").map_groups(
+        lambda g: pairs_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
+
+    def tag_by_a(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy()
+        return tbl.append_column("__pid", pa.array(_pid_of_u64(a.view(np.uint64), num_partitions)))
+
+    def distinct_kernel(tbl: pa.Table) -> pa.Table:
+        # every copy of (a, b) shares a, hence this partition: global distinct
+        if tbl.num_rows == 0:
+            return _SIMHASH_PAIR_SCHEMA.empty_table()
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return tbl.take(pa.array(np.sort(order[first])))
+
+    return (
+        cand.map_batches(tag_by_a, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: distinct_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +643,8 @@ def simhash_pairs(
 def jaccard_pairs(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", min_jaccard: float = 0.0
 ) -> ray.data.Dataset:
+    import pandas as pd
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col)
         ids = df[id_col].to_numpy()

@@ -49,6 +49,84 @@ def test_minhash_lsh_finds_near_dups(ray_session, near_dup_docs):
     assert len(pairs) <= 6
 
 
+def test_minhash_lsh_matches_naive_reference(ray_session, near_dup_docs):
+    """The slim-exchange LSH plan (band rows carry only (band_hash, id); sigs
+    re-joined co-partitioned) emits EXACTLY the pairs a single-process
+    reference computes from the same signatures and band hashes."""
+    from collections import defaultdict
+
+    from audio_feature_extraction_ray.stages.dedup import (
+        NUM_PERM,
+        _band_rows,
+        _signature_batch,
+        minhash_lsh_pairs,
+    )
+
+    threshold = 0.4
+    sig_tbl = _signature_batch(near_dup_docs, "text", "doc_id")
+    sigs = np.asarray(
+        sig_tbl.column("sig").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(-1, NUM_PERM)
+    ids = sig_tbl.column("doc_id").to_numpy()
+    band_tbl = _band_rows(sig_tbl, "doc_id", 4)
+    buckets = defaultdict(list)
+    for did, bh in zip(band_tbl.column("doc_id").to_pylist(), band_tbl.column("band_hash").to_pylist()):
+        buckets[bh].append(did)
+    expect = {}
+    idx_of = {int(d): i for i, d in enumerate(ids)}
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                est = float((sigs[idx_of[a]] == sigs[idx_of[b]]).mean())
+                if est >= threshold:
+                    expect[(a, b)] = est
+    # both exchange plans emit identical pairs: broadcast (default) and
+    # co-partitioned (forced via broadcast_max_docs=0)
+    for bmax in (10**6, 0):
+        ds = ray.data.from_arrow(near_dup_docs).repartition(3)
+        pairs = minhash_lsh_pairs(ds, threshold=threshold, broadcast_max_docs=bmax).to_pandas()
+        got = {
+            (int(a), int(b)): float(j)
+            for a, b, j in zip(pairs["a"], pairs["b"], pairs["est_jaccard"])
+        }
+        assert got == expect and len(pairs) == len(got), bmax  # identical pairs, no dupes
+
+
+def test_simhash_pairs_matches_naive_reference(ray_session, near_dup_docs):
+    from audio_feature_extraction_ray.stages.dedup import simhash_pairs, simhash_signatures_batch
+
+    max_h = 10
+    sh = simhash_signatures_batch(near_dup_docs.column("text"))
+    ids = near_dup_docs.column("doc_id").to_numpy()
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            x = int(sh[i] ^ sh[j])
+            hd = bin(x).count("1")
+            # candidate iff >= 1 of the 4 16-bit bands collides
+            collide = any(((x >> (16 * b)) & 0xFFFF) == 0 for b in range(4))
+            if collide and hd <= max_h:
+                expect[(int(ids[i]), int(ids[j]))] = hd
+    ds = ray.data.from_arrow(near_dup_docs).repartition(3)
+    pairs = simhash_pairs(ds, max_hamming=max_h).to_pandas()
+    got = {(int(a), int(b)): int(h) for a, b, h in zip(pairs["a"], pairs["b"], pairs["hamming"])}
+    assert got == expect and len(pairs) == len(got)
+
+
+def test_lsh_mega_bucket_drop_is_logged(ray_session, caplog):
+    """max_bucket truncation is observable: a warning carries the counts."""
+    import logging
+
+    from audio_feature_extraction_ray.stages.dedup import _segment_pairs
+
+    with caplog.at_level(logging.WARNING, logger="audio_feature_extraction_ray.stages.dedup"):
+        a, b = _segment_pairs(np.array([1, 1, 1, 1, 2, 2]), max_bucket=3, what="minhash_lsh")
+    assert a.size == 1  # only the size-2 bucket pairs survive
+    assert any("mega-bucket" in r.message for r in caplog.records)
+
+
 def test_simhash_finds_near_dups(ray_session, near_dup_docs):
     from audio_feature_extraction_ray.stages.dedup import simhash_pairs
 
