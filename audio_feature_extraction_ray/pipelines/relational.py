@@ -107,62 +107,128 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
-# broadcast hash join: revenue per market segment.
-# orders+customer are the small side -> ray.put a orderkey->segment dict once;
-# lineitem streams through map_batches doing a numpy lookup. No shuffle join.
+# revenue per market segment: two-stage join, scale-shaped (round-2 redesign).
+# ONLY customer — the genuinely small dimension — is broadcast (sorted-array
+# lookup via ray.put). orders <-> lineitem, both fact-sized, go through the
+# generic hash-CO-PARTITIONED equi-join (stages/join.py): lineitem is
+# pre-aggregated per batch by orderkey (map-side combine) before the one
+# exchange, and the join output is reduced to per-segment partials inside the
+# same tasks, so the final groupby moves ~num_partitions x num_segments rows.
+# No full fact table ever touches driver memory.
 
 
-def revenue_by_segment(sf_dir: str) -> ray.data.Dataset:
-    import pyarrow.parquet as pq
+def revenue_by_segment(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    import pyarrow.compute as pc
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_of_cust = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
-    segs = sorted(set(seg_of_cust.values()))
-    seg_id = {s: i for i, s in enumerate(segs)}
-    okeys = np.asarray(orders.column("o_orderkey").to_numpy())
-    oseg = np.asarray(
-        [seg_id[seg_of_cust[c]] for c in orders.column("o_custkey").to_pylist()], dtype=np.int32
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    cust = gather_small_side(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    de = pc.dictionary_encode(cust.column("c_mktsegment").combine_chunks())
+    dict_vals = de.dictionary.to_pylist()
+    segs = sorted(set(dict_vals))
+    remap = np.array([segs.index(v) for v in dict_vals], dtype=np.int32)
+    seg_of_cust_row = remap[de.indices.to_numpy()]
+    ck = cust.column("c_custkey").to_numpy()
+    corder = np.argsort(ck, kind="stable")
+    cust_side = ray.put((ck[corder], seg_of_cust_row[corder]))
+
+    def orders_with_seg(tbl: pa.Table) -> pa.Table:
+        cks, csegs = ray.get(cust_side)
+        cu = tbl.column("o_custkey").to_numpy()
+        # every order has a customer (FK)
+        seg = csegs[np.searchsorted(cks, cu)]
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "seg_id": pa.array(seg, pa.int32()),
+            }
+        )
+
+    ord_seg = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_with_seg, batch_format="pyarrow"
     )
-    order_sort = np.argsort(okeys)
-    side = ray.put((okeys[order_sort], oseg[order_sort], segs))
 
-    def partial(tbl: pa.Table) -> pa.Table:
-        okeys_s, oseg_s, segs_l = ray.get(side)
-        lk = tbl.column("l_orderkey").to_numpy()
-        pos = np.searchsorted(okeys_s, lk)
-        # every lineitem has an order; assert instead of guessing
-        seg = oseg_s[pos]
+    def li_partial(tbl: pa.Table) -> pa.Table:
+        # map-side combine: one row per distinct orderkey per batch
+        ok = tbl.column("l_orderkey").to_numpy()
         price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
         disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
         rev4 = price_c * (100 - disc)
-        sums = np.bincount(seg, weights=rev4, minlength=len(segs_l)).astype(np.int64)
-        cnts = np.bincount(seg, minlength=len(segs_l))
+        order = np.argsort(ok, kind="stable")
+        ok_s, rev_s = ok[order], rev4[order]
+        head = np.ones(ok_s.size, dtype=bool)
+        head[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(head)
+        sums = np.add.reduceat(rev_s, starts) if starts.size else np.empty(0, np.int64)
+        cnts = np.diff(np.append(starts, ok_s.size))
         return pa.table(
             {
-                "c_mktsegment": pa.array(segs_l, pa.string()),
+                "l_orderkey": pa.array(ok_s[starts], pa.int64()),
                 "rev4": pa.array(sums, pa.int64()),
                 "n_items": pa.array(cnts, pa.int64()),
             }
         )
 
-    partials = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
-        partial, batch_format="pyarrow"
-    )
-    out = partials.groupby("c_mktsegment").aggregate(
-        Sum("rev4", alias_name="rev4"), Sum("n_items", alias_name="n_items")
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow"
     )
 
-    def finish(tbl: pa.Table) -> pa.Table:
+    joined = copartitioned_equijoin(
+        li,
+        ord_seg,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["rev4", "n_items"],
+        dim_cols=["seg_id"],
+        num_partitions=num_partitions,
+        fact_col_types={"rev4": pa.int64(), "n_items": pa.int64()},
+        dim_col_types={"seg_id": pa.int32()},
+    )
+
+    nseg = len(segs)
+
+    def seg_partial(tbl: pa.Table) -> pa.Table:
+        seg = tbl.column("seg_id").to_numpy(zero_copy_only=False)
+        rev4 = tbl.column("rev4").to_numpy()
+        n = tbl.column("n_items").to_numpy()
+        sums = np.empty(nseg, dtype=np.int64)
+        cnts = np.empty(nseg, dtype=np.int64)
+        for s in range(nseg):  # nseg is tiny; per-seg masked sums stay int64-exact
+            m = seg == s
+            sums[s] = rev4[m].sum()
+            cnts[s] = n[m].sum()
         return pa.table(
             {
-                "c_mktsegment": tbl.column("c_mktsegment"),
-                "revenue": pa.array(tbl.column("rev4").to_numpy() / 10000.0),
-                "n_items": tbl.column("n_items").cast(pa.int64()),
+                "seg_id": pa.array(np.arange(nseg, dtype=np.int32)),
+                "rev4": pa.array(sums, pa.int64()),
+                "n_items": pa.array(cnts, pa.int64()),
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    partials = joined.map_batches(seg_partial, batch_format="pyarrow")
+    # final fold: <= num_blocks x num_segments tiny partial rows — a driver
+    # fold of a BOUNDED small result (the sanctioned "consume with an
+    # aggregate" endpoint), not a full-table materialization. A second
+    # sort-based shuffle for ~hundreds of rows would cost more than the join.
+    # materialize() first — a bare to_arrow_refs() executes the plan twice
+    blocks = [t for t in ray.get(partials.materialize().to_arrow_refs()) if t.num_columns]
+    folded = pa.concat_tables(blocks)  # groupby emits schema-less empty blocks
+    sid = folded.column("seg_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    rev4 = folded.column("rev4").to_numpy()
+    n = folded.column("n_items").to_numpy()
+    sums = np.zeros(nseg, dtype=np.int64)
+    cnts = np.zeros(nseg, dtype=np.int64)
+    np.add.at(sums, sid, rev4)
+    np.add.at(cnts, sid, n)
+    keep = cnts > 0  # inner-join semantics: empty segments don't appear
+    out = pa.table(
+        {
+            "c_mktsegment": pa.array([s for s, k in zip(segs, keep) if k], pa.string()),
+            "revenue": pa.array(sums[keep] / 10000.0),
+            "n_items": pa.array(cnts[keep], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)
 
 
 REVENUE_BY_SEGMENT_SQL = """

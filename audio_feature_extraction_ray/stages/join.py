@@ -1,0 +1,173 @@
+"""Generic equi-joins (SURVEY §2.5 J1/J2 equality variants).
+
+Two shapes, same switch philosophy as the flagship's as-of signals side
+(pipelines/features.py _use_copartition):
+
+- broadcast_dim_join: the dimension table is gathered once (bounded, small
+  side), ray.put as sorted arrays, and every fact batch does a vectorized
+  searchsorted lookup — one map stage, no shuffle. For dimensions that fit
+  a node's plasma store (region/nation/customer class).
+- copartitioned_equijoin: both sides are hash-partitioned ON THE SAME KEY,
+  unioned with a side tag, and joined per partition with one vectorized
+  sort + searchsorted + Arrow take — the stages/asof.py exchange shape with
+  equality semantics. For large x large (orders x lineitem class) where no
+  side may touch driver or broadcast memory.
+
+Keys must be integer (int64-castable); the dimension side must be unique
+per key (FK -> dimension row). Inner semantics: fact rows without a match
+are dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pid_of_i64(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        pid = ((keys.astype(np.int64).view(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+    return pid.astype(np.int32)
+
+
+def gather_small_side(ds: ray.data.Dataset) -> pa.Table:
+    """Materialize a BOUNDED dimension dataset onto the driver through a
+    distributed (column-pruned) read. Only ever call this on a declared
+    small side — the caller owns the size contract.
+
+    materialize() first: a bare to_arrow_refs() executes the lazy plan TWICE
+    (schema sample + refs); on a materialized dataset the refs are free."""
+    tbls = ray.get(ds.materialize().to_arrow_refs())
+    return pa.concat_tables([t for t in tbls if t.num_columns])
+
+
+def broadcast_dim_join(
+    fact: ray.data.Dataset,
+    dim_tbl: pa.Table,
+    fact_key: str,
+    dim_key: str,
+    dim_cols: list[str],
+) -> ray.data.Dataset:
+    """Attach dim_cols to every fact row matching on fact_key == dim_key.
+    dim_tbl is ray.put once (sorted by key); fact rows without a match are
+    dropped (inner)."""
+    dk = dim_tbl.column(dim_key).to_numpy()
+    order = np.argsort(dk, kind="stable")
+    ref = ray.put((dk[order], dim_tbl.select(dim_cols).take(pa.array(order))))
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        dks, dsel = ray.get(ref)
+        fk = tbl.column(fact_key).to_numpy()
+        pos = np.searchsorted(dks, fk)
+        hit = pos < dks.size
+        hit[hit] = dks[pos[hit]] == fk[hit]
+        if not hit.all():
+            tbl = tbl.filter(pa.array(hit))
+            pos = pos[hit]
+        gathered = dsel.take(pa.array(pos))
+        for c in dim_cols:
+            tbl = tbl.append_column(c, gathered.column(c))
+        return tbl
+
+    return fact.map_batches(fn, batch_format="pyarrow")
+
+
+def copartitioned_equijoin(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    fact_key: str,
+    dim_key: str,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    num_partitions: int = 32,
+    fact_col_types: dict | None = None,
+    dim_col_types: dict | None = None,
+) -> ray.data.Dataset:
+    """Inner equi-join with NO broadcast side: both datasets are routed by
+    hash(key) into the same partition ids, unioned with a side tag, and each
+    partition is joined by ONE vectorized kernel (sort dim, searchsorted,
+    Arrow take). Output columns: fact_key, *fact_cols, *dim_cols.
+
+    Pass fact_col_types / dim_col_types (name -> pa.DataType) when known:
+    the .schema() fallback partially EXECUTES each upstream pipeline just to
+    sample its schema."""
+    if fact_col_types is None:
+        fschema = fact.schema()
+        fact_col_types = dict(zip(fschema.names, fschema.types))
+    if dim_col_types is None:
+        dschema = dim.schema()
+        dim_col_types = dict(zip(dschema.names, dschema.types))
+    ftypes, dtypes = fact_col_types, dim_col_types
+
+    def tag_fact(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(fact_key).cast(pa.int64())
+        n = tbl.num_rows
+        cols = {
+            "__pid": pa.array(_pid_of_i64(keys.to_numpy(), num_partitions)),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__key": keys,
+        }
+        for c in fact_cols:
+            cols[c] = tbl.column(c)
+        for c in dim_cols:
+            cols[c] = pa.nulls(n, dtypes[c])
+        return pa.table(cols)
+
+    def tag_dim(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(dim_key).cast(pa.int64())
+        n = tbl.num_rows
+        cols = {
+            "__pid": pa.array(_pid_of_i64(keys.to_numpy(), num_partitions)),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+            "__key": keys,
+        }
+        for c in fact_cols:
+            cols[c] = pa.nulls(n, ftypes[c])
+        for c in dim_cols:
+            cols[c] = tbl.column(c)
+        return pa.table(cols)
+
+    unioned = fact.map_batches(tag_fact, batch_format="pyarrow").union(
+        dim.map_batches(tag_dim, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(fact_key, pa.int64())]
+        + [(c, ftypes[c]) for c in fact_cols]
+        + [(c, dtypes[c]) for c in dim_cols]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        d = tbl.filter(pa.array(side == 1))
+        f = tbl.filter(pa.array(side == 0))
+        if f.num_rows == 0 or d.num_rows == 0:
+            return out_schema.empty_table()
+        dk = d.column("__key").to_numpy()
+        dorder = np.argsort(dk, kind="stable")
+        dks = dk[dorder]
+        fk = f.column("__key").to_numpy()
+        pos = np.searchsorted(dks, fk)
+        hit = pos < dks.size
+        hit[hit] = dks[pos[hit]] == fk[hit]
+        if not hit.all():
+            f = f.filter(pa.array(hit))
+            fk = fk[hit]
+            pos = pos[hit]
+        gathered = d.select(dim_cols).take(pa.array(dorder[pos]))
+        cols = {fact_key: pa.array(fk, pa.int64())}
+        for c in fact_cols:
+            cols[c] = f.column(c)
+        for c in dim_cols:
+            cols[c] = gathered.column(c)
+        return pa.table(cols)
+
+    return unioned.groupby("__pid").map_groups(
+        lambda g: kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
