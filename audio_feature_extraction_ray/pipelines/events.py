@@ -10,7 +10,12 @@ Execution idiom (identical to pipelines/features.py): entity-hash partition
 partition). Entity = user_id; a user never spans partitions. Money values are
 aggregated as integer cents so distributed results are bit-identical to the
 SQL oracle (no float-summation-order drift).
-"""
+
+Round 2: Arrow end-to-end (batch_format="pyarrow", one np.lexsort + Arrow
+take per partition — no Arrow->pandas copies) and every kernel is pure numpy
+index algebra over the sorted arrays: segment heads + cumsum/propagate for
+sessions, maximum.accumulate carried-index for LOCF/as-of — NO Python loop
+per user segment (round-1 verdict #5/#6)."""
 
 from __future__ import annotations
 
@@ -19,7 +24,10 @@ import functools
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+
+from ..state.kernels import _propagate_last
 
 NUM_PARTITIONS = 32
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -43,20 +51,32 @@ def partitioned_ordered(
     order: tuple[str, ...] = ("ts", "event_id"),
     num_partitions: int = NUM_PARTITIONS,
 ) -> ray.data.Dataset:
-    """Entity-hash partition + per-partition (key, *order) sort + pandas
+    """Entity-hash partition + per-partition (key, *order) sort + Arrow
     kernel. The kernel sees every row of each entity exactly once, in time
     order — the same ordering contract as the pages merge kernel."""
 
-    def group_fn(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key, *order], kind="mergesort").reset_index(drop=True)
-        df = df.drop(columns=["partition_id"])
-        return kernel(df)
+    def group_fn(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["partition_id"])
+        sort_keys = []
+        for c in reversed(order):
+            col = tbl.column(c)
+            if pa.types.is_timestamp(col.type):
+                col = col.cast(pa.int64())
+            sort_keys.append(col.to_numpy(zero_copy_only=False))
+        idx = np.lexsort((*sort_keys, tbl.column(key).to_numpy(zero_copy_only=False)))
+        return kernel(tbl.take(pa.array(idx)))
 
     ds = ds.map_batches(
         functools.partial(_assign_pid, key=key, num_partitions=num_partitions),
         batch_format="pyarrow",
     )
-    return ds.groupby("partition_id").map_groups(group_fn, batch_format="pandas")
+    return ds.groupby("partition_id").map_groups(group_fn, batch_format="pyarrow")
+
+
+def _seg_head(uid: np.ndarray) -> np.ndarray:
+    head = np.ones(uid.size, dtype=bool)
+    head[1:] = uid[1:] != uid[:-1]
+    return head
 
 
 # ---------------------------------------------------------------------------
@@ -66,12 +86,33 @@ def partitioned_ordered(
 
 
 def lag_lead(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id", sort=False)
-        df["lag1_value"] = g["value"].shift(1)
-        df["label_lead1_value"] = g["value"].shift(-1)
-        df["delta_value"] = df["value"] - df["lag1_value"]
-        return df[["event_id", "user_id", "ts", "value", "lag1_value", "label_lead1_value", "delta_value"]]
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        head = _seg_head(uid)
+        tail = np.zeros(n, dtype=bool)
+        if n:
+            tail[:-1] = head[1:]
+            tail[-1] = True
+        lag1 = np.full(n, np.nan)
+        lead1 = np.full(n, np.nan)
+        if n > 1:
+            lag1[1:] = val[:-1]
+            lead1[:-1] = val[1:]
+        lag1[head] = np.nan
+        lead1[tail] = np.nan
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "value": tbl.column("value"),
+                "lag1_value": pa.array(lag1, pa.float64()),
+                "label_lead1_value": pa.array(lead1, pa.float64()),
+                "delta_value": pa.array(val - lag1, pa.float64()),
+            }
+        )
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -95,14 +136,35 @@ SESSION_GAP_S = 1800.0
 
 
 def sessionize(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id", sort=False)
-        dt = (df["ts"] - g["ts"].shift(1)).dt.total_seconds()
-        df["ts_since_prev_s"] = dt
-        new_sess = (dt > SESSION_GAP_S).fillna(False)
-        df["session_id"] = new_sess.groupby(df["user_id"], sort=False).cumsum().astype("int64")
-        df["session_len"] = df.groupby(["user_id", "session_id"], sort=False).cumcount() + 1
-        return df[["event_id", "user_id", "ts", "ts_since_prev_s", "session_id", "session_len"]]
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        dt = np.full(n, np.nan)
+        if n > 1:
+            dt[1:] = (ts[1:] - ts[:-1]) / 1e6
+        dt[head] = np.nan
+        with np.errstate(invalid="ignore"):
+            flag = dt > SESSION_GAP_S  # NaN -> False
+        c = np.cumsum(flag)
+        head_base = np.where(head, c - flag, 0)
+        session_id = (c - _propagate_last(head_base, head)).astype(np.int64)
+        seg_head = head | flag
+        ar = np.arange(n)
+        session_len = (
+            ar - _propagate_last(np.where(seg_head, ar, 0), seg_head) + 1
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "ts_since_prev_s": pa.array(dt, pa.float64()),
+                "session_id": pa.array(session_id, pa.int64()),
+                "session_len": pa.array(session_len, pa.int64()),
+            }
+        )
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -136,19 +198,47 @@ FROM s
 ROLL_K = 5
 
 
+def _shifted_stack(vals: np.ndarray, head: np.ndarray, k: int) -> np.ndarray:
+    """(k, n) stack of vals shifted by 0..k-1 rows, entries crossing a
+    segment head invalidated to NaN — the same windowing trick as the pages
+    history kernel."""
+    n = vals.size
+    shifted = np.full((k, n), np.nan)
+    shifted[0] = vals
+    for j in range(1, k):
+        if j < n:
+            shifted[j, j:] = vals[:-j]
+    ar = np.arange(n)
+    rows_since_head = ar - _propagate_last(np.where(head, ar, 0), head)
+    for j in range(1, k):
+        shifted[j, rows_since_head < j] = np.nan
+    return shifted
+
+
 def rolling(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        cents = (df["value"] * 100).round().astype("int64")
-        g = cents.groupby(df["user_id"], sort=False)
-        rsum = g.rolling(ROLL_K, min_periods=1).sum().reset_index(drop=True)
-        rcnt = g.rolling(ROLL_K, min_periods=1).count().reset_index(drop=True)
-        df["rw_count"] = rcnt.astype("int64")
-        df["rw_sum_value"] = rsum / 100.0
-        df["rw_mean_value"] = rsum / (100.0 * df["rw_count"])
-        df["rw_max_value"] = (
-            df.groupby("user_id", sort=False)["value"].rolling(ROLL_K, min_periods=1).max().reset_index(drop=True)
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        head = _seg_head(uid)
+        cents = np.round(val * 100).astype(np.int64)
+        cstack = _shifted_stack(cents.astype(np.float64), head, ROLL_K)
+        rw_count = (~np.isnan(cstack)).sum(axis=0).astype(np.int64)
+        rsum = np.nansum(cstack, axis=0)  # cents << 2^53: float sum is exact
+        vstack = _shifted_stack(val, head, ROLL_K)
+        with np.errstate(invalid="ignore"):
+            rw_max = np.nanmax(vstack, axis=0)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "value": tbl.column("value"),
+                "rw_count": pa.array(rw_count, pa.int64()),
+                "rw_sum_value": pa.array(rsum / 100.0, pa.float64()),
+                "rw_mean_value": pa.array(rsum / (100.0 * rw_count), pa.float64()),
+                "rw_max_value": pa.array(rw_max, pa.float64()),
+            }
         )
-        return df[["event_id", "user_id", "ts", "value", "rw_count", "rw_sum_value", "rw_mean_value", "rw_max_value"]]
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -170,13 +260,32 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # LOCF backfill (reference analog: Griffin-Lim partial-information
 # reconstruction idea, design.md:684-744 -> fill at t from latest obs <= t):
 # carry the latest 'purchase' value forward onto every event of the user.
+# maximum.accumulate carried-index + segment-start guard — no per-user loop.
 
 
 def locf(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        pv = df["value"].where(df["event_type"] == "purchase")
-        df["locf_purchase_value"] = pv.groupby(df["user_id"], sort=False).ffill()
-        return df[["event_id", "user_id", "ts", "event_type", "locf_purchase_value"]]
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_p = pc.equal(tbl.column("event_type"), "purchase").to_numpy(zero_copy_only=False)
+        head = _seg_head(uid)
+        ar = np.arange(n)
+        last_p = np.where(is_p, ar, -1)
+        np.maximum.accumulate(last_p, out=last_p)
+        seg_start = _propagate_last(np.where(head, ar, 0), head)
+        valid = last_p >= seg_start
+        out = np.full(n, np.nan)
+        out[valid] = val[last_p[valid]]
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "event_type": tbl.column("event_type"),
+                "locf_purchase_value": pa.array(out, pa.float64()),
+            }
+        )
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -193,35 +302,47 @@ FROM events
 # ---------------------------------------------------------------------------
 # sorted-merge as-of join (J2, the north rule's core operator): attach to each
 # event the latest signup-event value of the same user with signup.ts <= ts
-# ("<=": an event matches itself when it IS the signup).
+# ("<=": an event matches itself when it IS the signup). Tie-correct without
+# a per-user loop: re-sort with signups FIRST within equal (user, ts) so one
+# maximum.accumulate pass implements the "<=" cursor, then scatter back.
 
 
 def asof_join(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        # right side = signups of the same partition (co-partitioned by user)
-        out_rank = np.full(len(df), np.nan)
-        out_ts = np.full(len(df), np.datetime64("NaT"), dtype="datetime64[us]")
-        ts = df["ts"].to_numpy(dtype="datetime64[us]")
-        uid = df["user_id"].to_numpy()
-        is_sig = (df["event_type"] == "signup").to_numpy()
-        val = df["value"].to_numpy()
-        # sorted-merge per user segment: searchsorted as-of cursor
-        # (rows arrive sorted by user_id, ts — the as-of cursor of SURVEY §2.5)
-        n = len(df)
-        seg_starts = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [n]]) if n else np.array([0])
-        for s, e in zip(seg_starts[:-1], seg_starts[1:]):
-            seg = slice(s, e)
-            sig_idx = np.nonzero(is_sig[seg])[0]
-            if sig_idx.size:
-                sig_ts = ts[seg][sig_idx]
-                pos = np.searchsorted(sig_ts, ts[seg], side="right") - 1
-                ok = pos >= 0
-                rel = sig_idx[pos[ok]]
-                out_rank[s:e][ok] = val[seg][rel]
-                out_ts[s:e][ok] = sig_ts[pos[ok]]
-        df["asof_signup_value"] = out_rank
-        df["asof_signup_ts"] = pd.Series(out_ts, index=df.index)
-        return df[["event_id", "user_id", "ts", "asof_signup_value", "asof_signup_ts"]]
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_sig = pc.equal(tbl.column("event_type"), "signup").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((eid, np.where(is_sig, 0, 1), ts, uid))
+        u2, t2, s2, v2 = uid[order2], ts[order2], is_sig[order2], val[order2]
+        head2 = _seg_head(u2)
+        ar = np.arange(n)
+        last_s = np.where(s2, ar, -1)
+        np.maximum.accumulate(last_s, out=last_s)
+        seg_start = _propagate_last(np.where(head2, ar, 0), head2)
+        valid2 = last_s >= seg_start
+        av2 = np.full(n, np.nan)
+        av2[valid2] = v2[last_s[valid2]]
+        at2 = np.zeros(n, dtype=np.int64)
+        at2[valid2] = t2[last_s[valid2]]
+        # scatter back to (user, ts, event_id) order
+        av = np.empty(n)
+        at = np.empty(n, dtype=np.int64)
+        ok = np.empty(n, dtype=bool)
+        av[order2], at[order2], ok[order2] = av2, at2, valid2
+        at_dt = at.astype("datetime64[us]")
+        at_dt[~ok] = np.datetime64("NaT")
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "asof_signup_value": pa.array(av, pa.float64()),
+                "asof_signup_ts": pa.array(at_dt),
+            }
+        )
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -246,9 +367,21 @@ ASOF LEFT JOIN signups s
 
 
 def dedup_first(sf_dir: str) -> ray.data.Dataset:
-    def kernel(df: pd.DataFrame) -> pd.DataFrame:
-        first = df.drop_duplicates(subset=["user_id", "event_type"], keep="first")
-        return first[["user_id", "event_type", "event_id", "ts", "value"]]
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy()
+        order2 = np.lexsort((np.arange(n), codes, uid))
+        u2, c2 = uid[order2], codes[order2]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (u2[1:] != u2[:-1]) | (c2[1:] != c2[:-1])
+        keep = np.sort(order2[first])
+        return tbl.take(pa.array(keep)).select(
+            ["user_id", "event_type", "event_id", "ts", "value"]
+        )
 
     return partitioned_ordered(read_events(sf_dir), kernel)
 
@@ -360,8 +493,6 @@ FROM events GROUP BY event_type
 
 
 def asof_join_two_table(sf_dir: str) -> ray.data.Dataset:
-    import pyarrow.compute as pc
-
     from ..stages.asof import asof_join_copartitioned
 
     ev = read_events(sf_dir, ["event_id", "user_id", "ts"])
@@ -384,6 +515,7 @@ def asof_join_two_table(sf_dir: str) -> ray.data.Dataset:
         left_cols=["event_id"],
         right_value_cols=["sig_value"],
         num_partitions=NUM_PARTITIONS,
+        col_types={"event_id": pa.int64(), "sig_value": pa.float64()},
     )
 
     def finish(tbl: pa.Table) -> pa.Table:
