@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.quality,
         "doc_langid": text_analysis.langid_docs,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
+        "docs_quarantine_stats": text_analysis.quarantine_stats,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "docs_first_per_key": search_dedup.docs_first_per_key,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": text_analysis.QUALITY_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
+        "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,

@@ -52,6 +52,11 @@ class FeatureConfig:
     # inside the merge kernel after the built-in history features; emitted as
     # extra columns, not packed into the fixed-width vector
     extra_features: tuple = ()
+    # bad-record policy (SURVEY M4/P8; spec recovery rule design.md:2373-2376):
+    # "error" -> a null in a required column raises SchemaError and fails the
+    # job; "quarantine" -> bad rows are dropped pre-shuffle and surfaced as
+    # job_report["rows_quarantined"]
+    bad_rows: str = "error"
 
     @property
     def feature_order(self) -> list[str]:
@@ -83,19 +88,23 @@ class PipelineConfig:
     engine: EngineConfig = field(default_factory=EngineConfig)
 
     def validate(self) -> None:
+        from .errors import ConfigError
+
         f, e = self.features, self.engine
         if f.window_k < 1:
-            raise ValueError("window_k must be >= 1")
+            raise ConfigError("window_k must be >= 1")
         if f.session_gap_s <= 0:
-            raise ValueError("session_gap_s must be > 0")
+            raise ConfigError("session_gap_s must be > 0")
         if f.ngram_buckets < 1:
-            raise ValueError("ngram_buckets must be >= 1")
+            raise ConfigError("ngram_buckets must be >= 1")
+        if f.bad_rows not in ("error", "quarantine"):
+            raise ConfigError(f"unknown bad_rows policy {f.bad_rows!r}")
         if e.num_partitions < 1:
-            raise ValueError("num_partitions must be >= 1")
+            raise ConfigError("num_partitions must be >= 1")
         if e.partitioner not in ("hash", "range"):
-            raise ValueError(f"unknown partitioner {e.partitioner!r}")
+            raise ConfigError(f"unknown partitioner {e.partitioner!r}")
         if e.resume and not e.output_dir:
-            raise ValueError("resume=True requires output_dir")
+            raise ConfigError("resume=True requires output_dir")
 
     def semantics_fingerprint(self) -> str:
         """Hash of everything that changes OUTPUT VALUES (input + feature

@@ -52,14 +52,32 @@ def _input_columns(input_path: str) -> list[str]:
     return [c for c in INPUT_COLUMNS if c in names or c != "lang"]
 
 
-def _build_partitioner(cfg: PipelineConfig, ds: ray.data.Dataset):
+def _input_row_count(input_path: str) -> int | None:
+    """Exact input row count from parquet footers — no data read."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{input_path}/*.parquet")) or [input_path]
+    try:
+        return sum(pq.read_metadata(p).num_rows for p in paths)
+    except OSError:
+        return None
+
+
+def _build_partitioner(cfg: PipelineConfig):
     e = cfg.engine
     if e.partitioner == "hash":
         return HashPartitioner(e.num_partitions)
-    # range: driver-side url sample -> bounds (+ hot-range salting)
-    n = ds.count()
+    # range: driver-side url sample -> bounds (+ hot-range salting).
+    # Row count comes from parquet FOOTERS and the sample from a raw
+    # column-pruned read — never from the prepared dataset, which would
+    # execute the whole extract stage once just to count (round-1 verdict #4)
+    n = _input_row_count(cfg.input_path) or 1
     frac = min(1.0, e.range_sample_size / max(1, n))
-    sample = ds.select_columns(["url"]).random_sample(frac, seed=7).take_all()
+    sample = (
+        ray.data.read_parquet(cfg.input_path, columns=["url"])
+        .random_sample(frac, seed=7)
+        .take_all()
+    )
     urls = [r["url"] for r in sample]
     return RangePartitioner.from_sample(urls, e.num_partitions, hot_salt=e.hot_salt)
 
@@ -76,15 +94,16 @@ def _make_group_fn(fcfg: FeatureConfig, signals_ref, output_dir: str | None, lin
         signals = ray.get(signals_ref) if signals_ref is not None else None
         if output_dir is not None and not fcfg.emit_labels:
             # bounded-memory path: stream chunks straight into the parquet
-            # writer — the partition's output is never resident at once
+            # writer — the partition's output is never resident at once.
+            # dup_dropped / wall_s / rows_per_s are computed INSIDE the writer
+            # so the on-disk manifest carries them (resume reads it back)
             manifest = write_partition_stream(
                 output_dir,
                 pid,
                 merge_partition_chunks(tbl, fcfg, signals),
                 {"rows_in": rows_in, **(lineage or {})},
+                started_at=t0,
             )
-            manifest["dup_dropped"] = rows_in - manifest["rows_out"]
-            manifest["wall_s"] = round(time.time() - t0, 4)
             return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
         out = merge_partition(tbl, fcfg, signals)
         dup_dropped = rows_in - out.num_rows
@@ -113,7 +132,7 @@ def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     ds = ray.data.read_parquet(cfg.input_path, columns=_input_columns(cfg.input_path))
     prep = functools.partial(prepare_batch, cfg=cfg.features)
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.engine.batch_size)
-    partitioner = _build_partitioner(cfg, ds)
+    partitioner = _build_partitioner(cfg)
     ds = ds.map_batches(
         functools.partial(assign_partition_batch, partitioner=partitioner),
         batch_format="pyarrow",
@@ -206,12 +225,13 @@ def _sample_hosts(cfg: PipelineConfig) -> list[str]:
     sample = (
         ray.data.read_parquet(cfg.input_path, columns=["url"]).random_sample(frac, seed=7).take_all()
     )
-    out = []
-    for r in sample:
-        u = r["url"]
-        u = u.split("://", 1)[-1]
-        out.append(u.split("/", 1)[0])
-    return out
+    # SAME host extraction as the partition router (stages/text_stage
+    # _host_from_url) — hot-host detection and routing must agree on the
+    # host string or skewed hosts can be missed
+    from ..stages.text_stage import _host_from_url
+
+    urls = pa.array([r["url"] for r in sample], pa.string())
+    return _host_from_url(urls).to_pylist()
 
 
 def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None, lineage: dict | None = None):
@@ -240,9 +260,8 @@ def _make_copart_group_fn(fcfg: FeatureConfig, output_dir: str | None, lineage: 
                 pid,
                 merge_partition_chunks(left, fcfg, signals),
                 {"rows_in": rows_in, **(lineage or {})},
+                started_at=t0,
             )
-            manifest["dup_dropped"] = rows_in - manifest["rows_out"]
-            manifest["wall_s"] = round(time.time() - t0, 4)
             return pa.table({k: [v] for k, v in manifest.items() if k not in ("output",)})
         out = merge_partition(left, fcfg, signals)
         if output_dir is not None:
@@ -344,7 +363,11 @@ def run(cfg: PipelineConfig) -> dict:
         ds, _ = build_copartitioned(cfg)
     else:
         ds = build_dataset(cfg)
-    fp = cfg.semantics_fingerprint()
+    # fingerprint the RESOLVED partition layout, not just the config flag:
+    # broadcast_signals_max_rows / the signals row count flip the layout
+    # between url-keyed and host-salt, and partitions from one layout must
+    # never be reused under the other (partition ids mean different row sets)
+    fp = cfg.semantics_fingerprint() + ("-copart" if copart else "-bcast")
     lineage = {"input_path": cfg.input_path, "config_sha": fp}
     done = load_completed(cfg.engine.output_dir) if cfg.engine.resume else {}
     # resume safety: only reuse partitions produced under IDENTICAL semantics
@@ -369,4 +392,10 @@ def run(cfg: PipelineConfig) -> dict:
     manifest_rows = ds.groupby("partition_id").map_groups(fn, batch_format="pyarrow").take_all()
     report = job_report(list(done.values()) + manifest_rows)
     report["resumed_partitions"] = len(done)
+    # quarantine accounting: prepare is 1:1 except for quarantined rows, so
+    # footer row count minus prepared rows IS the quarantined count (bad rows
+    # are dropped pre-partition, so they belong to no partition manifest)
+    input_rows = _input_row_count(cfg.input_path)
+    if input_rows is not None:
+        report["rows_quarantined"] = max(0, input_rows - report["rows_in"])
     return report

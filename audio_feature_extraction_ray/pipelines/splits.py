@@ -30,13 +30,18 @@ def docs_split_stats(sf_dir: str) -> ray.data.Dataset:
         bucket = tbl.column("doc_id").to_numpy() % 100
         split = np.where(bucket < TRAIN_PCT, "train", np.where(bucket < VAL_PCT, "val", "test"))
         tbl = tbl.append_column("split", pa.array(split.tolist(), pa.string()))
-        # partial aggregate: one row per split per batch
-        out = (
-            tbl.group_by("split")
-            .aggregate([("doc_id", "count"), ("n_chars", "sum")])
-            .rename_columns(["split", "n_docs", "sum_chars"])
+        # partial aggregate: one row per split per batch. Select by NAME —
+        # the key column's position in group_by().aggregate() output has
+        # moved across pyarrow versions, and a positional rename would
+        # silently mislabel counts as the split name.
+        agg = tbl.group_by("split").aggregate([("doc_id", "count"), ("n_chars", "sum")])
+        return pa.table(
+            {
+                "split": agg.column("split"),
+                "n_docs": agg.column("doc_id_count"),
+                "sum_chars": agg.column("n_chars_sum"),
+            }
         )
-        return out
 
     ds = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
         assign_and_partial, batch_format="pyarrow"

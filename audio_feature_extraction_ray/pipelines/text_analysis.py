@@ -225,6 +225,60 @@ def langid_docs(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# bad-record quarantine with observability (SURVEY M4/P8; spec recovery rule
+# design.md:2373-2376 — skip, count, continue). The quarantine rule here is a
+# quality predicate (too-short / null fields); the same operator shape backs
+# the flagship's bad_rows="quarantine" policy (stages/text_stage.py
+# quarantine_pages_batch). Per-source kept/quarantined counts are partial-
+# aggregated inside map_batches, then one tiny bounded-cardinality groupby.
+
+QUARANTINE_MIN_CHARS = 200
+
+
+def quarantine_stats(sf_dir: str) -> ray.data.Dataset:
+    from ray.data.aggregate import Sum
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        bad = pc.is_null(tbl.column("text")).to_numpy(zero_copy_only=False)
+        bad |= pc.is_null(tbl.column("lang")).to_numpy(zero_copy_only=False)
+        nc = tbl.column("n_chars").to_numpy(zero_copy_only=False)
+        bad |= nc < QUARANTINE_MIN_CHARS
+        de = pc.dictionary_encode(src)
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        k = len(de.dictionary)
+        n_bad = np.bincount(codes, weights=bad, minlength=k).astype(np.int64)
+        n_all = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "source": de.dictionary,
+                "n_kept": pa.array(n_all - n_bad, pa.int64()),
+                "n_quarantined": pa.array(n_bad, pa.int64()),
+            }
+        )
+
+    partials = _read_docs(sf_dir, ["text", "lang", "source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_kept", alias_name="n_kept"), Sum("n_quarantined", alias_name="n_quarantined")
+    )
+
+
+QUARANTINE_STATS_SQL = f"""
+SELECT source,
+       CAST(sum(CASE WHEN text IS NULL OR lang IS NULL OR n_chars < {QUARANTINE_MIN_CHARS}
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN text IS NULL OR lang IS NULL OR n_chars < {QUARANTINE_MIN_CHARS}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined
+FROM documents
+GROUP BY source
+"""
+
+
 def _votes_sql() -> str:
     parts = []
     for lang in _LANG_ORDER:

@@ -133,18 +133,41 @@ def _host_from_url(url_col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.Chunked
     return pc.replace_substring_regex(no_scheme, pattern="/.*$", replacement="")
 
 
-class SchemaError(ValueError):
-    """Input violates the declared pages schema (reference analog:
-    __post_init__ validation errors, design.md:117-149)."""
+from ..errors import SchemaError  # noqa: E402  (re-export: legacy import site)
+
+_REQUIRED_PAGE_COLS = ("url", "warc_ts", "html")
 
 
 def validate_pages_batch(tbl: pa.Table) -> None:
-    for col in ("url", "warc_ts", "html"):
+    for col in _REQUIRED_PAGE_COLS:
         if col not in tbl.column_names:
             raise SchemaError(f"missing required column {col!r}")
         nulls = tbl.column(col).null_count
         if nulls:
-            raise SchemaError(f"column {col!r} has {nulls} nulls")
+            raise SchemaError(
+                f"column {col!r} has {nulls} nulls "
+                "(set features.bad_rows='quarantine' to skip-and-count instead)"
+            )
+
+
+def quarantine_pages_batch(tbl: pa.Table) -> pa.Table:
+    """Bad-record policy 'quarantine' (spec recovery rule design.md:2373-2376:
+    skip, log, continue): drop rows with nulls in any required column instead
+    of failing the job. A missing required COLUMN is still a hard SchemaError
+    — that is a schema mismatch, not a bad record. The dropped count is
+    observable as job_report['rows_quarantined'] (input metadata rows minus
+    prepared rows)."""
+    for col in _REQUIRED_PAGE_COLS:
+        if col not in tbl.column_names:
+            raise SchemaError(f"missing required column {col!r}")
+    bad = np.zeros(tbl.num_rows, dtype=bool)
+    for col in _REQUIRED_PAGE_COLS:
+        c = tbl.column(col)
+        if c.null_count:
+            bad |= pc.is_null(c).to_numpy(zero_copy_only=False)
+    if bad.any():
+        tbl = tbl.filter(pa.array(~bad))
+    return tbl
 
 
 # Row-chunk for the whole per-row prepare path: every pass (re2 replace,
@@ -170,7 +193,10 @@ def prepare_batch(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
             prepare_batch(tbl.slice(i, _PREPARE_ROW_CHUNK), cfg)
             for i in range(0, tbl.num_rows, _PREPARE_ROW_CHUNK)
         ).combine_chunks()
-    validate_pages_batch(tbl)
+    if cfg.bad_rows == "quarantine":
+        tbl = quarantine_pages_batch(tbl)
+    else:
+        validate_pages_batch(tbl)
     text = extract_text_arrow(tbl.column("html"))
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()

@@ -92,6 +92,8 @@ def write_partition(
         "output": str(data_path),
         **metrics,
     }
+    if "wall_s" in manifest and "rows_in" in manifest and manifest["wall_s"]:
+        manifest["rows_per_s"] = round(manifest["rows_in"] / manifest["wall_s"], 1)
     mtmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
     mtmp.write_text(json.dumps(manifest))
     os.replace(mtmp, mdir / f"part-{partition_id:05d}.json")
@@ -103,6 +105,7 @@ def write_partition_stream(
     partition_id: int,
     chunks,
     metrics: dict,
+    started_at: float | None = None,
 ) -> dict:
     """Incremental variant of write_partition: consumes an ITERATOR of feature
     tables (merge_partition_chunks) into a single parquet file via
@@ -142,6 +145,14 @@ def write_partition_stream(
         "output": str(data_path),
         **metrics,
     }
+    # derived metrics are computed BEFORE the manifest hits disk, so resumed
+    # runs see them too (a post-hoc dict update would be lost on resume)
+    if "rows_in" in metrics:
+        manifest["dup_dropped"] = int(metrics["rows_in"]) - rows
+    if started_at is not None:
+        wall = max(time.time() - started_at, 1e-9)
+        manifest["wall_s"] = round(wall, 4)
+        manifest["rows_per_s"] = round(metrics.get("rows_in", rows) / wall, 1)
     mtmp = mdir / f".tmp-{uuid.uuid4().hex}.json"
     mtmp.write_text(json.dumps(manifest))
     os.replace(mtmp, mdir / f"part-{partition_id:05d}.json")
@@ -165,12 +176,19 @@ def load_completed(out_dir: str | Path) -> dict[int, dict]:
 
 def job_report(manifests: list[dict]) -> dict:
     """Global report = reduce over partition manifests (reference analog:
-    ExecutionReport, design.md:1786-1792)."""
+    ExecutionReport, design.md:1786-1792). Latency stats (SURVEY A1,
+    design.md:2005-2061): per-partition wall aggregates + overall rows/s so
+    stragglers are visible without scanning the manifest dir."""
+    walls = [m.get("wall_s") for m in manifests if m.get("wall_s")]
+    rows_in = sum(m.get("rows_in", 0) for m in manifests)
     return {
         "partitions": len(manifests),
-        "rows_in": sum(m.get("rows_in", 0) for m in manifests),
+        "rows_in": rows_in,
         "rows_out": sum(m.get("rows_out", 0) for m in manifests),
         "dup_dropped": sum(m.get("dup_dropped", 0) for m in manifests),
         "bytes_out": sum(m.get("bytes_out", 0) for m in manifests),
         "watermark_us": max((m.get("watermark_us") or 0) for m in manifests) if manifests else None,
+        "wall_s_sum": round(sum(walls), 4) if walls else 0.0,
+        "wall_s_max": round(max(walls), 4) if walls else 0.0,
+        "rows_per_s_overall": round(rows_in / sum(walls), 1) if walls and sum(walls) else None,
     }

@@ -132,6 +132,15 @@ def test_resume_skips_completed(ray_session, small_fixture_dir, tmp_path):
     cfg = _cfg(pages_dir, signals_path, out=out)
     rep1 = run(cfg)
     assert rep1["partitions"] == 8 and rep1["dup_dropped"] > 0
+    # latency metrics (SURVEY A1): present in report AND in on-disk manifests
+    assert rep1["wall_s_sum"] > 0 and rep1["wall_s_max"] > 0
+    assert rep1["rows_per_s_overall"] > 0
+    import json as _json
+    from pathlib import Path as _Path
+
+    m0 = _json.loads(_Path(sorted(glob.glob(out + "/_manifests/*.json"))[0]).read_text())
+    for field in ("wall_s", "rows_per_s", "dup_dropped", "checksum"):
+        assert field in m0, field
 
     # simulate a partial failure: delete 3 manifests (+ their data)
     import json, os
