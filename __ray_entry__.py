@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # split / augment family (SURVEY §2.1 S6, §2.2 M6)
         "docs_split_stats": splits.docs_split_stats,
         "docs_augment": splits.docs_augment,  # rows-only (seeded RNG)
+        "docs_augment_hashdrop": splits.docs_augment_hashdrop,
+        "docs_mask_spans": splits.docs_mask_spans,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -96,6 +98,8 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "docs_split_stats": splits.DOCS_SPLIT_STATS_SQL,
+        "docs_augment_hashdrop": splits.DOCS_AUGMENT_HASHDROP_SQL,
+        "docs_mask_spans": splits.DOCS_MASK_SPANS_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,

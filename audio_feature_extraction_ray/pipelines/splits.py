@@ -72,6 +72,59 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# arithmetic-hash augmentation variants — hash-checkable end to end: the
+# DuckDB oracle reproduces the augmented TEXT byte-for-byte (both sides use
+# the same (key, 1-based token index) integer arithmetic).
+
+
+def docs_augment_hashdrop(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.split_augment import hashdrop_batch
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        return hashdrop_batch(tbl, text_col="text", id_col="doc_id", drop_pct=10).select(
+            ["doc_id", "text_aug"]
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+DOCS_AUGMENT_HASHDROP_SQL = """
+SELECT doc_id,
+       array_to_string(
+         list_filter(string_split(text, ' '),
+                     (x, i) -> (doc_id * 1000003 + i * 10007) % 100 >= 10),
+         ' ') AS text_aug
+FROM documents
+"""
+
+
+def docs_mask_spans(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.split_augment import mask_spans_batch
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        return mask_spans_batch(tbl).select(["doc_id", "text_aug"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+DOCS_MASK_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id, toks,
+         (doc_id * 1000003) % greatest(len(toks) - 4, 1) + 1 AS s
+  FROM t
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(toks,
+                        (x, i) -> CASE WHEN i >= s AND i < s + 5 THEN '<mask>' ELSE x END),
+         ' ') AS text_aug
+FROM p
+"""
+
+
 def docs_augment(sf_dir: str) -> ray.data.Dataset:
     """Seeded deterministic token dropout over documents (rows-only check);
     returns per-doc token counts before/after so determinism is observable."""

@@ -43,6 +43,77 @@ def split_dataset(
     )
 
 
+# ---------------------------------------------------------------------------
+# arithmetic-hash augmentation variants (reference analog: the spec's three
+# augmentation types, tasks.md:662-684). Unlike the RNG dropout below, these
+# two derive every decision from (key, token-index) integer arithmetic, so
+# they are deterministic AND exactly SQL-expressible — the DuckDB oracle
+# reproduces the augmented text byte-for-byte (1-based token index matches
+# DuckDB's list lambda index).
+
+_AUG_A = 1000003
+_AUG_B = 10007
+MASK_TOKEN = "<mask>"
+MASK_SPAN_LEN = 5
+
+
+def _flat_tokens(text: pa.Array | pa.ChunkedArray):
+    """(flat tokens, per-row counts, offsets, 1-based token index) for a
+    string column, with SQL string_split semantics (empty text -> [''])."""
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks)
+    counts = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    tok_i = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], counts) + 1
+    return flat, counts, offs, tok_i
+
+
+def hashdrop_batch(
+    tbl: pa.Table, text_col: str = "text", id_col: str = "doc_id", drop_pct: int = 10
+) -> pa.Table:
+    """Token dropout by integer hash: token i (1-based) of key d is dropped
+    iff (d*A + i*B) % 100 < drop_pct. Fully vectorized (Arrow split ->
+    numpy mask -> rebuilt list -> binary_join); appends `text_aug`."""
+    import pyarrow.compute as pc
+
+    ids = tbl.column(id_col).to_numpy()
+    flat, counts, offs, tok_i = _flat_tokens(tbl.column(text_col))
+    d = np.repeat(ids, counts)
+    keep = (d * _AUG_A + tok_i * _AUG_B) % 100 >= drop_pct
+    c = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    kept = c[offs[1:]] - c[offs[:-1]]
+    new_offs = np.concatenate([[0], np.cumsum(kept)])
+    lst = pa.ListArray.from_arrays(
+        pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep))
+    )
+    return tbl.append_column("text_aug", pc.binary_join(lst, " "))
+
+
+def mask_spans_batch(
+    tbl: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = MASK_SPAN_LEN,
+) -> pa.Table:
+    """Deterministic span masking: replace span_len consecutive tokens with
+    MASK_TOKEN, span start s = (d*A) % max(ntok - span_len + 1, 1) + 1
+    (1-based). Vectorized; appends `text_aug`."""
+    import pyarrow.compute as pc
+
+    ids = tbl.column(id_col).to_numpy()
+    flat, counts, offs, tok_i = _flat_tokens(tbl.column(text_col))
+    s = (ids * _AUG_A) % np.maximum(counts - span_len + 1, 1) + 1
+    s_tok = np.repeat(s, counts)
+    m = (tok_i >= s_tok) & (tok_i < s_tok + span_len)
+    new_flat = pc.if_else(pa.array(m), pa.scalar(MASK_TOKEN), flat)
+    lst = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), new_flat)
+    return tbl.append_column("text_aug", pc.binary_join(lst, " "))
+
+
 def augment_texts(
     ds: ray.data.Dataset,
     text_col: str = "text",

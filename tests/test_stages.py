@@ -255,6 +255,34 @@ def test_augment_deterministic(ray_session, small_fixture):
     # dropout actually drops something somewhere
     assert (a["text_aug"].str.len() < a["text"].str.len()).any()
 
+def test_hash_augment_ops_edges():
+    """Arithmetic-hash augmentation: deterministic, SQL-mirroring semantics,
+    empty-text safe (SQL string_split('') -> [''] on both sides)."""
+    from audio_feature_extraction_ray.stages.split_augment import (
+        MASK_TOKEN,
+        hashdrop_batch,
+        mask_spans_batch,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g h", "", "x y"], pa.string()),
+        }
+    )
+    out = hashdrop_batch(tbl)
+    aug = out.column("text_aug").to_pylist()
+    assert aug == hashdrop_batch(tbl).column("text_aug").to_pylist()  # deterministic
+    assert aug[1] == ""  # empty stays empty
+    kept = set(aug[0].split())
+    assert kept <= set("abcdefgh")
+    m = mask_spans_batch(tbl)
+    masked = m.column("text_aug").to_pylist()
+    assert MASK_TOKEN in masked[0].split()
+    assert len(masked[0].split()) == 8  # span mask preserves token count
+    assert masked[2].count(MASK_TOKEN) >= 1  # short rows still masked
+
+
 def test_asof_copartitioned_edges(ray_session):
     """Generic co-partitioned as-of stage: '<=' ties, keys with no right rows,
     right-only keys, empty right side — vs pandas merge_asof."""
