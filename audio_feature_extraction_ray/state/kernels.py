@@ -152,39 +152,118 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class SignalsLookup:
-    """Sorted per-host signal series for O(log n) as-of (ts <= t) lookups."""
+    """Sorted per-host signal series for as-of (ts <= t) lookups.
+
+    Storage is flat offset arrays (unique sorted hosts + per-host [lo, hi)
+    spans over host-then-ts-sorted ts/rank/ok arrays) — no per-host dict, so
+    whole-chunk lookups (locf_runs) are ONE lexsort-merge with zero Python
+    per host run (round-1 verdict #5's offset-array form)."""
 
     def __init__(self, signals: pa.Table):
-        host = signals.column("host").to_pylist()
+        host = np.asarray(signals.column("host").to_pylist(), dtype=object)
         ts = signals.column("ts").cast(pa.int64()).to_numpy()
-        rank = signals.column("rank").to_numpy(zero_copy_only=False)
-        ok = signals.column("fetch_ok").to_numpy(zero_copy_only=False).astype(np.float64)
-        self._by_host: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        order = np.lexsort((ts, np.asarray(host, dtype=object)))
-        host_s = [host[i] for i in order]
-        ts_s, rank_s, ok_s = ts[order], rank[order], ok[order]
-        start = 0
-        for i in range(1, len(host_s) + 1):
-            if i == len(host_s) or host_s[i] != host_s[start]:
-                self._by_host[host_s[start]] = (ts_s[start:i], rank_s[start:i], ok_s[start:i])
-                start = i
+        rank = np.asarray(
+            signals.column("rank").to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        ok = np.asarray(
+            signals.column("fetch_ok").to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        order = np.lexsort((ts, host))
+        hs = host[order]
+        self._ts = ts[order]
+        self._rank = rank[order]
+        self._ok = ok[order]
+        if hs.size:
+            head = np.ones(hs.size, dtype=bool)
+            head[1:] = hs[1:] != hs[:-1]
+            self._hosts = hs[head]
+            self._off = np.append(np.flatnonzero(head), hs.size).astype(np.int64)
+        else:
+            self._hosts = np.empty(0, dtype=object)
+            self._off = np.zeros(1, dtype=np.int64)
+
+    def _host_pos(self, hosts: np.ndarray) -> np.ndarray:
+        """Index into self._hosts per host, -1 if absent."""
+        pos = np.searchsorted(self._hosts, hosts)
+        ok = pos < self._hosts.size
+        ok[ok] = self._hosts[pos[ok]] == hosts[ok]
+        return np.where(ok, pos, -1)
 
     def locf(self, host: str, ts_us: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Vectorized last-observation-carried-forward for one host: for each
         query ts (µs), the rank/fetch_ok of the latest obs with obs.ts <= ts
         (exact ties match — "<=" semantics); NaN when no prior obs."""
-        series = self._by_host.get(host)
         n = ts_us.size
-        if series is None:
+        p = self._host_pos(np.asarray([host], dtype=object))[0]
+        if p < 0:
             return np.full(n, np.nan), np.full(n, np.nan)
-        sts, srank, sok = series
-        idx = np.searchsorted(sts, ts_us, side="right") - 1
-        ok_mask = idx >= 0
+        lo, hi = self._off[p], self._off[p + 1]
+        idx = lo + np.searchsorted(self._ts[lo:hi], ts_us, side="right") - 1
+        ok_mask = idx >= lo
         r = np.full(n, np.nan)
         o = np.full(n, np.nan)
-        r[ok_mask] = srank[idx[ok_mask]]
-        o[ok_mask] = sok[idx[ok_mask]]
+        r[ok_mask] = self._rank[idx[ok_mask]]
+        o[ok_mask] = self._ok[idx[ok_mask]]
         return r, o
+
+    def locf_runs(
+        self, run_hosts: list[str], run_bounds: np.ndarray, ts_us: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Whole-chunk LOCF: rows form host runs (run_hosts[k] covers rows
+        run_bounds[k]:run_bounds[k+1]); returns (rank, fetch_ok) per row.
+
+        One merge: touched signal entries + query rows are tagged with a
+        compact run id, lexsorted (run, ts, signal-before-query on ties) and
+        a single maximum.accumulate carries the latest signal index onto
+        every query row — identical semantics to per-host locf() (pinned by
+        pytest), no Python loop over runs."""
+        n = ts_us.size
+        rank = np.full(n, np.nan)
+        okv = np.full(n, np.nan)
+        if n == 0 or self._hosts.size == 0:
+            return rank, okv
+        rh = np.asarray(run_hosts, dtype=object)
+        hpos = self._host_pos(rh)
+        valid_run = hpos >= 0
+        if not valid_run.any():
+            return rank, okv
+        vsel = np.flatnonzero(valid_run)
+        lo = self._off[hpos[vsel]]
+        hi = self._off[hpos[vsel] + 1]
+        seg_len = hi - lo
+        ns = int(seg_len.sum())
+        base = np.repeat(np.concatenate([[0], np.cumsum(seg_len)[:-1]]), seg_len)
+        sig_idx = np.repeat(lo, seg_len) + (np.arange(ns, dtype=np.int64) - base)
+        sig_seg = np.repeat(np.arange(vsel.size, dtype=np.int64), seg_len)
+        # query rows of valid runs, tagged with the compact run id
+        run_sizes = np.diff(run_bounds)
+        row_run = np.repeat(np.arange(rh.size, dtype=np.int64), run_sizes)
+        compact = np.full(rh.size, -1, dtype=np.int64)
+        compact[vsel] = np.arange(vsel.size)
+        q_rows = np.flatnonzero(valid_run[row_run])
+        q_seg = compact[row_run[q_rows]]
+        nq = q_rows.size
+        m_seg = np.concatenate([sig_seg, q_seg])
+        m_ts = np.concatenate([self._ts[sig_idx], ts_us[q_rows]])
+        m_isq = np.concatenate(
+            [np.zeros(ns, dtype=np.int8), np.ones(nq, dtype=np.int8)]
+        )
+        order = np.lexsort((m_isq, m_ts, m_seg))  # signal before query on ties: "<="
+        seg_s = m_seg[order]
+        isq_s = m_isq[order] == 1
+        ar = np.arange(order.size)
+        last_sig = np.where(~isq_s, ar, -1)
+        np.maximum.accumulate(last_sig, out=last_sig)
+        hit = last_sig >= 0
+        hit &= seg_s[np.maximum(last_sig, 0)] == seg_s
+        qsel = isq_s & hit
+        sig_of_merged = np.concatenate([sig_idx, np.zeros(nq, dtype=np.int64)])[order]
+        q_of_merged = np.concatenate([np.full(ns, -1, dtype=np.int64), q_rows])[order]
+        rows = q_of_merged[qsel]
+        vals = sig_of_merged[last_sig[qsel]]
+        rank[rows] = self._rank[vals]
+        okv[rows] = self._ok[vals]
+        return rank, okv
 
 
 # ---------------------------------------------------------------------------
@@ -420,14 +499,15 @@ class StreamingMerger:
         if self.signals is not None and cfg.signals_path is not None:
             host_col = tbl.column("host")
             host_change = _neq_prev_mask(host_col)
-            run_starts = np.concatenate([np.nonzero(host_change)[0], [n]])
-            rank = np.empty(n)
-            ok = np.empty(n)
-            for s_, e_ in zip(run_starts[:-1], run_starts[1:]):
-                # hosts form contiguous runs in url-sorted order
-                r, o = self.signals.locf(host_col[int(s_)].as_py(), ts_us[s_:e_])
-                rank[s_:e_] = r
-                ok[s_:e_] = o
+            # hosts form contiguous runs in url-sorted order; the whole chunk
+            # is resolved in ONE vectorized merge (locf_runs) — no Python
+            # iteration per host run
+            run_starts = np.nonzero(host_change)[0]
+            run_bounds = np.append(run_starts, n)
+            if isinstance(host_col, pa.ChunkedArray):
+                host_col = host_col.combine_chunks()
+            run_hosts = host_col.take(pa.array(run_starts)).to_pylist() if n else []
+            rank, ok = self.signals.locf_runs(run_hosts, run_bounds, ts_us)
             out = out.append_column("locf_rank", pa.array(rank, pa.float64()))
             out = out.append_column("locf_fetch_ok", pa.array(ok, pa.float64()))
 

@@ -162,3 +162,38 @@ def test_feature_vector_width_invariant(small_fixture):
     t = out.column("features").type
     assert pa.types.is_fixed_size_list(t)
     assert t.list_size == len(cfg.feature_order)
+
+
+def test_locf_runs_matches_per_host_locf():
+    """The whole-chunk vectorized LOCF (one lexsort-merge, no per-run loop)
+    is value-identical to the per-host searchsorted form, including unknown
+    hosts and exact-tie timestamps."""
+    rng = np.random.default_rng(5)
+    hosts = [f"h{i}.com" for i in range(12)]
+    sh, sts = [], []
+    for h in hosts[:9]:  # 3 hosts have NO signals
+        for _ in range(int(rng.integers(1, 8))):
+            sh.append(h)
+            sts.append(int(rng.integers(0, 1000)) * 1000)
+    sig = pa.table(
+        {
+            "host": pa.array(sh),
+            "ts": pa.array(sts, pa.int64()).cast(pa.timestamp("us")),
+            "rank": pa.array(rng.random(len(sh))),
+            "fetch_ok": pa.array(rng.integers(0, 2, len(sh)).astype(float)),
+        }
+    )
+    lk = SignalsLookup(sig)
+    run_hosts, bounds, ts = [], [0], []
+    for h in rng.permutation(hosts):
+        k = int(rng.integers(1, 6))
+        run_hosts.append(h)
+        bounds.append(bounds[-1] + k)
+        ts += [int(rng.integers(0, 1000)) * 1000 for _ in range(k)]
+    ts = np.array(ts, dtype=np.int64)
+    bounds = np.array(bounds, dtype=np.int64)
+    r2, o2 = lk.locf_runs(run_hosts, bounds, ts)
+    for k, h in enumerate(run_hosts):
+        r1, o1 = lk.locf(h, ts[bounds[k] : bounds[k + 1]])
+        np.testing.assert_allclose(r1, r2[bounds[k] : bounds[k + 1]], equal_nan=True)
+        np.testing.assert_allclose(o1, o2[bounds[k] : bounds[k + 1]], equal_nan=True)
