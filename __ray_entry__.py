@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         splits,
         text_analysis,
     )
+    from audio_feature_extraction_ray.stages.multimodal import (
+        media_audio_features as _media_audio_features,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # split / augment family (SURVEY §2.1 S6, §2.2 M6)
@@ -63,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_docs": search_dedup.minhash_lsh_docs,  # rows-only
         "simhash_pairs_docs": search_dedup.simhash_pairs_docs,  # rows-only
         "doc_signatures": search_dedup.doc_signatures,  # rows-only
+        # multimodal: REAL PCM-WAV decode + log-mel/scalar DSP (rows-only)
+        "media_audio_features": _media_audio_features,
         # similarity search over `embeddings`
         "ann_bruteforce": search_dedup.ann_bruteforce,
         "embedding_dups": search_dedup.embedding_dups,

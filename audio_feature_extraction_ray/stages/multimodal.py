@@ -7,11 +7,14 @@ This is the direct descendant of the reference's audio path
 decoder loaded ONCE per actor, small batches because payload rows are wide,
 fixed-width feature vectors out.
 
-The actual codec libraries (soundfile/PIL/ffmpeg) are NOT in this container,
-so the decode step is STUBBED: `RealDecoder` raises NotImplementedError with
-the exact dependency it needs, and `FakeDecoder` produces a deterministic
-decode (byte-histogram "samples") so the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested end-to-end.
+Round 2: the AUDIO path is REAL, no external codecs needed — PCM WAV
+payloads are decoded with the stdlib `wave` module and run through a real
+numpy DSP chain (Hann STFT -> HTK mel filterbank -> log-mel + RMS/ZCR/
+spectral centroid; functions/audio.py), mirroring the reference's
+STFT/mel extractors. Compressed audio (mp3/flac) still needs `soundfile`
+and raises with that dependency named; image/video decode remains stubbed
+behind the same contract (`PIL`/ffmpeg absent here), with `FakeDecoder`
+keeping the plumbing testable for those kinds.
 """
 
 from __future__ import annotations
@@ -19,6 +22,15 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+from ..functions.audio import (
+    decode_wav,
+    encode_wav,
+    frame_rms,
+    frame_zcr,
+    log_mel_spectrogram,
+    spectral_centroid,
+)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -34,16 +46,36 @@ N_MEL_FAKE = 16  # width of the fake per-window feature vector
 
 
 class RealDecoder:
-    """Placeholder for the real codec path (soundfile/PIL). Not available in
-    this environment — any use raises immediately with the dependency name."""
+    """Real decode path. Audio: PCM WAV (RIFF) payloads decode with the
+    stdlib `wave` module — genuinely real, no codec libraries. Compressed
+    audio falls back to `soundfile` when importable; otherwise raises with
+    the dependency named. Image/video require PIL/ffmpeg (absent here)."""
 
     def __init__(self, kind: str = "audio"):
         self.kind = kind
+        try:  # optional compressed-audio path
+            import soundfile  # type: ignore
+
+            self._soundfile = soundfile
+        except ImportError:
+            self._soundfile = None
 
     def __call__(self, payload: bytes) -> np.ndarray:
+        if self.kind == "audio":
+            if payload[:4] == b"RIFF":
+                return decode_wav(payload)[0]
+            if self._soundfile is not None:  # pragma: no cover (lib absent here)
+                import io
+
+                data, _ = self._soundfile.read(io.BytesIO(payload), dtype="float32")
+                return data if data.ndim == 1 else data.mean(axis=1)
+            raise NotImplementedError(
+                "decoding compressed audio requires the 'soundfile' codec "
+                "library (not installed); PCM WAV payloads decode natively"
+            )
         raise NotImplementedError(
-            f"decoding {self.kind!r} payloads requires the 'soundfile'/'PIL' "
-            "codec libraries, which are not installed in this environment; "
+            f"decoding {self.kind!r} payloads requires the 'PIL'/ffmpeg codec "
+            "libraries, which are not installed in this environment; "
             "use FakeDecoder for plumbing tests"
         )
 
@@ -121,6 +153,119 @@ def extract_media_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+N_MELS = 32
+AUDIO_FEATURE_ORDER = [f"logmel_{i}" for i in range(N_MELS)] + [
+    "rms_mean",
+    "rms_max",
+    "zcr_mean",
+    "centroid_mean_hz",
+    "duration_s",
+]
+
+
+class AudioFeatureExtractor:
+    """REAL audio feature extraction as an actor-pool stage: stdlib WAV
+    decode -> Hann STFT -> HTK log-mel + frame scalar family (RMS, ZCR,
+    spectral centroid), summarized per record into a fixed-width vector
+    (AUDIO_FEATURE_ORDER; the n_freq_bins == n_fft//2+1 invariant's home).
+
+    The mel filterbank is built ONCE per actor per sample rate (the
+    setup-in-__init__ actor idiom); per-row decode is inherent, everything
+    after it is vectorized over all frames at once."""
+
+    def __init__(self, n_fft: int = 1024, hop: int = 256, n_mels: int = N_MELS):
+        self.n_fft = n_fft
+        self.hop = hop
+        self.n_mels = n_mels
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        width = len(AUDIO_FEATURE_ORDER)
+        ids, nwin = [], []
+        rows = []
+        for mid, payload in zip(
+            tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+        ):
+            x, sr = decode_wav(payload)
+            mel = log_mel_spectrogram(x, sr, self.n_fft, self.hop, self.n_mels)
+            rms = frame_rms(x, self.n_fft, self.hop)
+            zcr = frame_zcr(x, self.n_fft, self.hop)
+            cen = spectral_centroid(x, sr, self.n_fft, self.hop)
+            vec = np.concatenate(
+                [
+                    mel.mean(axis=0),
+                    [rms.mean(), rms.max(), zcr.mean(), cen.mean(), x.size / sr],
+                ]
+            )
+            ids.append(mid)
+            nwin.append(mel.shape[0])
+            rows.append(vec)
+        mat = np.stack(rows) if rows else np.zeros((0, width))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_windows": pa.array(nwin, pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), width
+                ),
+            }
+        )
+
+
+def extract_audio_features(
+    ds: ray.data.Dataset,
+    n_fft: int = 1024,
+    hop: int = 256,
+    concurrency: int = 4,
+    batch_size: int = 32,
+) -> ray.data.Dataset:
+    """Real WAV -> log-mel/scalars pipeline (actor pool, small batches —
+    payload rows are wide)."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        fn_constructor_kwargs={"n_fft": n_fft, "hop": hop},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthetic_wav_table(n: int = 32, seed: int = 11, sr: int = 8000) -> pa.Table:
+    """Deterministic REAL-WAV fixture: each row is an encoded PCM WAV of a
+    tone + noise mix with known frequency content (used to assert the mel
+    peak lands in the right band)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    freqs = []
+    for i in range(n):
+        dur = float(rng.uniform(0.2, 0.6))
+        f0 = float(rng.uniform(100.0, sr / 2 * 0.8))
+        t = np.arange(int(dur * sr)) / sr
+        x = 0.7 * np.sin(2 * np.pi * f0 * t) + 0.01 * rng.standard_normal(t.size)
+        payloads.append(encode_wav(x, sr))
+        freqs.append(f0)
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([sr] * n, pa.int32()),
+            "n_channels": pa.array([1] * n, pa.int32()),
+            "tone_hz": pa.array(freqs, pa.float64()),
+        }
+    )
+
+
+def media_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: DSP is not SQL-expressible; the mel
+    / scalar kernels are pinned against closed-form signals in pytest):
+    REAL PCM-WAV decode + log-mel + frame scalars over the deterministic
+    synthetic WAV fixture. sf_dir only scales the fixture size."""
+    n = 64 if "0.1" in sf_dir else 32
+    ds = ray.data.from_arrow(synthetic_wav_table(n))
+    return extract_audio_features(ds, concurrency=4, batch_size=8)
 
 
 def synthetic_media_table(n: int = 64, seed: int = 5) -> pa.Table:

@@ -126,7 +126,9 @@ def run_bench() -> dict:
         ("doc_token_stats", text_analysis.token_stats),
         ("dedup_exact_docs", search_dedup.dedup_exact_docs),
         ("minhash_lsh_docs", search_dedup.minhash_lsh_docs),
+        ("simhash_pairs_docs", search_dedup.simhash_pairs_docs),
         ("ann_bruteforce", search_dedup.ann_bruteforce),
+        ("docs_quarantine_stats", text_analysis.quarantine_stats),
     ]:
         t0 = time.perf_counter()
         _consume(fn(SF_DIR))

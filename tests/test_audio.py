@@ -1,0 +1,142 @@
+"""Real audio DSP path: stdlib WAV codec + numpy STFT/mel/scalar kernels
+(functions/audio.py) and the actor-pool extraction stage
+(stages/multimodal.AudioFeatureExtractor) — validated against closed-form
+signals (pure tones, DC, silence)."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from audio_feature_extraction_ray.functions.audio import (
+    decode_wav,
+    encode_wav,
+    frame_rms,
+    frame_zcr,
+    log_mel_spectrogram,
+    mel_filterbank,
+    spectral_centroid,
+    stft_magnitude,
+)
+
+SR = 8000
+
+
+def _tone(f0: float, dur: float = 0.5, sr: int = SR) -> np.ndarray:
+    t = np.arange(int(dur * sr)) / sr
+    return 0.7 * np.sin(2 * np.pi * f0 * t)
+
+
+def test_wav_roundtrip_16bit():
+    x = _tone(440.0)
+    y, sr = decode_wav(encode_wav(x, SR))
+    assert sr == SR and y.size == x.size
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+
+def test_wav_stereo_and_widths():
+    import io
+    import wave
+
+    # stereo 16-bit: decode averages to mono
+    l = _tone(440.0, 0.1)
+    r = _tone(880.0, 0.1)
+    inter = np.empty(l.size * 2)
+    inter[0::2], inter[1::2] = l, r
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.round(np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes())
+    y, sr = decode_wav(buf.getvalue())
+    np.testing.assert_allclose(y, (l + r) / 2, atol=2 / 32768)
+    # unsupported width raises
+    bad = io.BytesIO()
+    with wave.open(bad, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(SR)
+        w.writeframes(b"\x00\x00\x00" * 64)
+    with pytest.raises(ValueError, match="width"):
+        decode_wav(bad.getvalue())
+
+
+def test_stft_tone_peak_bin():
+    f0 = 1000.0
+    mag = stft_magnitude(_tone(f0), n_fft=1024, hop=256)
+    peak_bin = mag.mean(axis=0).argmax()
+    expect = round(f0 * 1024 / SR)
+    assert abs(peak_bin - expect) <= 1
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = mel_filterbank(SR, 1024, 32)
+    assert fb.shape == (32, 513)
+    # every interior fft bin is covered by at least one filter
+    assert (fb[:, 1:-1].sum(axis=0) > 0).all()
+
+
+def test_logmel_peak_tracks_tone_frequency():
+    from audio_feature_extraction_ray.functions.audio import hz_to_mel, mel_to_hz
+
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(SR / 2.0), 32 + 2))
+    centers = mel_pts[1:-1]
+    for f0 in (300.0, 1200.0, 3000.0):
+        mel = log_mel_spectrogram(_tone(f0), SR, n_fft=1024, hop=256, n_mels=32)
+        band = mel.mean(axis=0).argmax()
+        assert abs(centers[band] - f0) < (SR / 2) * 0.12, (f0, centers[band])
+
+
+def test_frame_scalars_closed_form():
+    f0 = 500.0
+    x = _tone(f0, 1.0)
+    rms = frame_rms(x, 1024, 256)
+    # sine RMS = A / sqrt(2)
+    np.testing.assert_allclose(rms[1:-2], 0.7 / np.sqrt(2), rtol=0.05)
+    zcr = frame_zcr(x, 1024, 256)
+    # tone crosses zero 2*f0 times/s -> per-sample rate 2*f0/SR
+    np.testing.assert_allclose(zcr[1:-2], 2 * f0 / SR, rtol=0.05)
+    cen = spectral_centroid(x, SR, 1024, 256)
+    assert abs(cen[1:-2].mean() - f0) < 100.0
+    # silence: zero RMS, zero centroid
+    s = np.zeros(4096)
+    assert frame_rms(s, 1024, 256).max() == 0.0
+    assert spectral_centroid(s, SR, 1024, 256).max() == 0.0
+
+
+def test_real_decoder_wav_path():
+    from audio_feature_extraction_ray.stages.multimodal import RealDecoder
+
+    x = _tone(440.0, 0.2)
+    y = RealDecoder("audio")(encode_wav(x, SR))
+    np.testing.assert_allclose(y, x, atol=1.5 / 32768)
+
+
+def test_audio_pipeline_end_to_end(ray_session):
+    from audio_feature_extraction_ray.functions.audio import hz_to_mel, mel_to_hz
+    from audio_feature_extraction_ray.stages.multimodal import (
+        AUDIO_FEATURE_ORDER,
+        N_MELS,
+        extract_audio_features,
+        synthetic_wav_table,
+    )
+
+    tbl = synthetic_wav_table(24, sr=SR)
+    out = extract_audio_features(
+        ray.data.from_arrow(tbl), concurrency=2, batch_size=8
+    ).to_pandas()
+    assert len(out) == 24
+    assert all(len(f) == len(AUDIO_FEATURE_ORDER) for f in out["features"])
+    assert (out["n_windows"] > 0).all()
+    # the mel peak must land near each row's known tone frequency
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(SR / 2.0), N_MELS + 2))
+    centers = mel_pts[1:-1]
+    tones = dict(zip(tbl.column("media_id").to_pylist(), tbl.column("tone_hz").to_pylist()))
+    for _, row in out.iterrows():
+        band = int(np.argmax(row["features"][:N_MELS]))
+        assert abs(centers[band] - tones[row["media_id"]]) < (SR / 2) * 0.15
+    # determinism
+    out2 = extract_audio_features(ray.data.from_arrow(tbl)).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
