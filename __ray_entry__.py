@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": search_dedup.ann_bruteforce,
         "embedding_dups": search_dedup.embedding_dups,
         "ann_ivf": search_dedup.ann_ivf,  # rows-only (approximate)
+        "ann_ivf_fullprobe": search_dedup.ann_ivf_fullprobe,  # == brute force
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,
         "events_sessionize": events.sessionize,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
+        "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,

@@ -86,6 +86,22 @@ def cmd_verify(args) -> int:
     return 0
 
 
+def cmd_export_npy(args) -> int:
+    """Re-encode a completed run as per-partition .npy + index parquet
+    (SURVEY S4 alternate output encoding)."""
+    from .config import FeatureConfig, PipelineConfig
+
+    if args.config:
+        fcfg = PipelineConfig.from_file(args.config).features
+    else:
+        fcfg = FeatureConfig(signals_path="x" if args.with_signals else None)
+    _init_ray(args.num_cpus)
+    from .pipelines.features import export_features_npy
+
+    print(json.dumps(export_features_npy(args.output, args.dest, fcfg)))
+    return 0
+
+
 def cmd_gen_fixture(args) -> int:
     from .testdata import materialize_fixture
 
@@ -113,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="verify a run's output against its manifests")
     v.add_argument("--output", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    x = sub.add_parser("export-npy", help="re-encode a run as per-partition .npy + index")
+    x.add_argument("--output", required=True, help="completed run dir (parquet + manifests)")
+    x.add_argument("--dest", required=True, help="destination dir for npy shards")
+    x.add_argument("--config", help="YAML/JSON PipelineConfig (for feature width)")
+    x.add_argument("--with-signals", action="store_true", help="run had locf_* columns")
+    x.add_argument("--num-cpus", type=int, default=None)
+    x.set_defaults(fn=cmd_export_npy)
 
     g = sub.add_parser("gen-fixture", help="write a deterministic pages+signals fixture")
     g.add_argument("--out", required=True)

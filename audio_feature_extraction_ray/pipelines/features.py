@@ -352,6 +352,69 @@ def decode_features(output_dir: str, fcfg: FeatureConfig) -> ray.data.Dataset:
     return ds.map_batches(unpack, batch_format="pyarrow")
 
 
+def export_features_npy(run_dir: str, dest_dir: str, fcfg: FeatureConfig) -> dict:
+    """Alternate output encoding (SURVEY §2.1 S4; reference analog: the
+    spec's npy/HDF5 writer options, requirements.md:65-69): re-encode a
+    completed run's partitions as one float64 .npy feature matrix + one
+    (url, warc_ts) index parquet per partition. Partition-aligned (same
+    part numbering -> resumable: existing exports are skipped), distributed
+    as a Dataset over the manifest rows — one task per partition."""
+    import os
+    import uuid as _uuid
+    from pathlib import Path
+
+    from ..state.checkpoint import load_completed
+
+    done = load_completed(run_dir)
+    if not done:
+        raise ValueError(f"no completed partitions under {run_dir}")
+    dest = Path(dest_dir)
+    dest.mkdir(parents=True, exist_ok=True)
+    width = len(fcfg.feature_order)
+    items = [
+        {"pid": int(pid), "path": m["output"]}
+        for pid, m in sorted(done.items())
+        if not (dest / f"part-{int(pid):05d}.npy").exists()
+    ]
+    skipped = len(done) - len(items)
+
+    def export_one(row: dict) -> dict:
+        pid = row["pid"]
+        tbl = pq.read_table(row["path"], columns=["url", "warc_ts", "features"])
+        fcol = tbl.column("features")
+        if isinstance(fcol, pa.ChunkedArray):
+            fcol = fcol.combine_chunks()
+        if fcol.type.list_size != width:
+            raise ValueError(
+                f"feature width invariant violated in part {pid}: "
+                f"{fcol.type.list_size} != {width}"
+            )
+        mat = np.asarray(fcol.flatten().to_numpy(zero_copy_only=False)).reshape(-1, width)
+        npy_tmp = dest / f".tmp-{_uuid.uuid4().hex}.npy"
+        np.save(npy_tmp, mat)
+        os.replace(npy_tmp, dest / f"part-{pid:05d}.npy")
+        idx_tmp = dest / f".tmp-{_uuid.uuid4().hex}.parquet"
+        pq.write_table(tbl.select(["url", "warc_ts"]), idx_tmp)
+        os.replace(idx_tmp, dest / f"part-{pid:05d}.index.parquet")
+        return {"pid": pid, "rows": tbl.num_rows}
+
+    if items:
+        results = (
+            ray.data.from_items(items)
+            .map(export_one, num_cpus=1)
+            .take_all()
+        )
+    else:
+        results = []
+    return {
+        "partitions_exported": len(results),
+        "partitions_skipped": skipped,
+        "rows": sum(r["rows"] for r in results),
+        "width": width,
+        "dest": str(dest),
+    }
+
+
 def run(cfg: PipelineConfig) -> dict:
     """Checkpointed run: per-partition parquet + manifests under
     cfg.engine.output_dir; returns the reduced job report. With resume=True,

@@ -247,3 +247,14 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
     q, qids = _load_queries(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=4)
+
+
+def ann_ivf_fullprobe(sf_dir: str) -> ray.data.Dataset:
+    """IVF with nprobe == n_clusters: every cell is probed, so the result is
+    EXACTLY the brute-force top-k — which gives the whole IVF machinery
+    (k-means, broadcast centroids, cell assignment, candidate scoring, tie
+    -break merge) a hash-checked SQL oracle. The approximate path (ann_ivf,
+    nprobe=4) stays rows-only with its recall pinned in pytest."""
+    q, qids = _load_queries(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=16)

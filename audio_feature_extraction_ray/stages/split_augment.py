@@ -114,6 +114,19 @@ def mask_spans_batch(
     return tbl.append_column("text_aug", pc.binary_join(lst, " "))
 
 
+_SPLITMIX_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): uint64 ->
+    well-mixed uint64. The counter-based RNG behind augment_texts."""
+    with np.errstate(over="ignore"):
+        z = x + _SPLITMIX_GOLD
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def augment_texts(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -121,17 +134,29 @@ def augment_texts(
     drop_prob: float = 0.1,
     salt: int = 17,
 ) -> ray.data.Dataset:
-    """Deterministic token dropout: per-row RNG seeded from
-    (key-hash, salt) so the same row always augments identically."""
+    """Deterministic token dropout: the keep/drop decision for token i of a
+    row is a counter-based hash uniform over (key-hash ^ salt, i) — the same
+    row always augments identically (retry/rerun-safe) with NO per-row RNG
+    object or Python loop (round-1 verdict: the default_rng-per-row loop was
+    the slowest text op per byte in the repo)."""
+    import pyarrow.compute as pc
 
     def fn(tbl: pa.Table) -> pa.Table:
         keys = url_hash64([str(v) for v in tbl.column(key_col).to_pylist()])
-        out = []
-        for k, t in zip(keys, tbl.column(text_col).to_pylist()):
-            rng = np.random.default_rng(int(k) ^ salt)
-            toks = t.split()
-            keep = rng.random(len(toks)) >= drop_prob
-            out.append(" ".join(tok for tok, kp in zip(toks, keep) if kp))
-        return tbl.append_column("text_aug", pa.array(out, pa.string()))
+        flat, counts, offs, tok_i = _flat_tokens(tbl.column(text_col))
+        key_tok = np.repeat(keys ^ np.uint64(salt), counts)
+        with np.errstate(over="ignore"):
+            mix = _splitmix64(key_tok ^ (tok_i.astype(np.uint64) * _SPLITMIX_GOLD))
+        u = mix.astype(np.float64) / float(1 << 64)
+        # empty-string rows split to [''] like SQL; keep that token so the
+        # augmented text stays '' (python str.split semantics: no tokens)
+        keep = (u >= drop_prob) | (pc.equal(flat, "").to_numpy(zero_copy_only=False))
+        c = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        kept = c[offs[1:]] - c[offs[:-1]]
+        new_offs = np.concatenate([[0], np.cumsum(kept)])
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep))
+        )
+        return tbl.append_column("text_aug", pc.binary_join(lst, " "))
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -64,3 +64,44 @@ def test_config_from_file_and_validation(tmp_path):
 
     with pytest.raises(ValueError, match="resume"):
         PipelineConfig.from_dict({"engine": {"resume": True}})
+
+
+def test_cli_export_npy_roundtrip(ray_session, small_fixture_dir, tmp_path):
+    """S4 alternate output encoding: run -> export-npy -> the npy matrices
+    re-concatenate to exactly the run's feature vectors (index-aligned)."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.cli import main
+
+    pages_dir, signals_path = small_fixture_dir
+    out = str(tmp_path / "run")
+    rc = main(["run", "--input", pages_dir, "--signals", signals_path,
+               "--output", out, "--partitions", "4"])
+    assert rc == 0
+    dest = str(tmp_path / "npy")
+    rc = main(["export-npy", "--output", out, "--dest", dest, "--with-signals"])
+    assert rc == 0
+    npys = sorted(glob.glob(dest + "/part-*.npy"))
+    idxs = sorted(glob.glob(dest + "/part-*.index.parquet"))
+    assert len(npys) == 4 and len(idxs) == 4
+    for npy, idx, part in zip(npys, idxs, sorted(glob.glob(out + "/part=*/data.parquet"))):
+        mat = np.load(npy)
+        src = pq.read_table(part)
+        fcol = src.column("features").combine_chunks()
+        ref = np.asarray(fcol.flatten().to_numpy(zero_copy_only=False)).reshape(
+            src.num_rows, -1
+        )
+        np.testing.assert_array_equal(mat.view(np.uint64), ref.view(np.uint64))
+        assert pq.read_table(idx).num_rows == src.num_rows
+    # resumable: re-export skips everything
+    import json as _json
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["export-npy", "--output", out, "--dest", dest, "--with-signals"])
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rc == 0 and rep["partitions_exported"] == 0 and rep["partitions_skipped"] == 4
