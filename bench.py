@@ -81,14 +81,16 @@ def run_bench() -> dict:
     out_dir = f"{out_root}/afe_bench_out"
     # fixed partition count at every parallelism level so the scaling runs
     # execute the identical plan (only the worker count varies)
-    # partitions ~= 2x cores at the highest parallelism level (the production
-    # sizing rule: 2-4x total cores); batch_size sized so a block is ~13MB —
-    # fewer, bigger tasks amortize per-task scheduling + object-store overhead,
-    # while the kernels keep cache residency via their internal 256-row chunks
+    # partitions = 3x cores at the highest parallelism level (measured sweep
+    # round 2: 96 beats 64 by ~1s at 32 cpus — three EVEN reduce waves pack
+    # the merge tail; 64 left a straggler wave); batch_size sized so a block
+    # is ~13MB — fewer, bigger tasks amortize per-task scheduling +
+    # object-store overhead, while the kernels keep cache residency via
+    # their internal 256-row chunks
     cfg = PipelineConfig(
         input_path=pages_dir,
         features=FeatureConfig(signals_path=signals_path),
-        engine=EngineConfig(num_partitions=64, batch_size=32768, output_dir=out_dir),
+        engine=EngineConfig(num_partitions=96, batch_size=32768, output_dir=out_dir),
     )
 
     headline_only = os.environ.get("GRAFT_HEADLINE_ONLY") == "1"
@@ -170,7 +172,7 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    rounds = [(run_at(lo), run_at(hi)) for _ in range(2)]
+    rounds = [(run_at(lo), run_at(hi)) for _ in range(3)]
     sec_lo = min(r[0]["value"] for r in rounds)
     sec_hi = min(r[1]["value"] for r in rounds)
     rows = rounds[0][0]["headline_rows"]
