@@ -249,6 +249,53 @@ def ann_ivf(sf_dir: str) -> ray.data.Dataset:
     return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=4)
 
 
+KNN_JOIN_QUERIES = 100
+KNN_JOIN_K = 3
+
+
+def knn_join_exact(sf_dir: str) -> ray.data.Dataset:
+    """Dataset x Dataset k-NN join (both sides distributed — no driver-side
+    query matrix, the scale path for large query sets). Full probe -> exact,
+    hash-checked against the SQL cross-join oracle."""
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.compute as pc
+
+    queries = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), KNN_JOIN_QUERIES)),
+        batch_format="pyarrow",
+    )
+    return ann.ivf_knn_join(
+        corpus, queries, k=KNN_JOIN_K, n_clusters=8, nprobe=8
+    )
+
+
+KNN_JOIN_EXACT_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {KNN_JOIN_QUERIES}
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings
+), s AS (
+  SELECT qid, nid,
+         list_dot_product(qe, ne)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS sim
+  FROM q CROSS JOIN c
+  WHERE qid != nid
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM s
+)
+SELECT qid AS query_id, rank, nid AS neighbor_id,
+       floor(sim * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM r WHERE rank <= {KNN_JOIN_K}
+"""
+
+
 def ann_ivf_fullprobe(sf_dir: str) -> ray.data.Dataset:
     """IVF with nprobe == n_clusters: every cell is probed, so the result is
     EXACTLY the brute-force top-k — which gives the whole IVF machinery

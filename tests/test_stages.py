@@ -173,6 +173,45 @@ def test_ann_bruteforce_exact(ray_session):
         np.testing.assert_array_equal(got, ref)
 
 
+def test_ivf_knn_join_exact_and_recall(ray_session):
+    """Dataset x Dataset k-NN join: full probe == exact single-process
+    reference; partial probe keeps decent recall."""
+    from audio_feature_extraction_ray.stages.ann import ivf_knn_join
+
+    rng = np.random.default_rng(21)
+    emb = rng.standard_normal((300, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), 16
+            ),
+        }
+    )
+    corpus = ray.data.from_arrow(tbl).repartition(4)
+    queries = ray.data.from_arrow(tbl.slice(0, 20))
+    out = ivf_knn_join(corpus, queries, k=4, n_clusters=6, nprobe=6).to_pandas()
+    assert len(out) == 80
+    m = emb.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qid in range(20):
+        sims = mn @ mn[qid]
+        sims[qid] = -np.inf
+        # tie-break on neighbor_id like the pipeline: sort by (-sim, nid)
+        ref = np.lexsort((np.arange(300), -sims))[:4]
+        got = out[out["query_id"] == qid].sort_values("rank")["neighbor_id"].to_numpy()
+        np.testing.assert_array_equal(got, ref)
+    # partial probe: approximate but high-recall
+    approx = ivf_knn_join(corpus, queries, k=4, n_clusters=8, nprobe=4).to_pandas()
+    recall = 0.0
+    for qid in range(20):
+        b = set(out[out["query_id"] == qid]["neighbor_id"])
+        v = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recall += len(b & v) / len(b)
+    recall /= 20
+    assert recall >= 0.6, recall
+
+
 def test_ann_ivf_recall(ray_session):
     from audio_feature_extraction_ray.stages.ann import brute_force_topk, ivf_topk
 
