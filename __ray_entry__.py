@@ -84,12 +84,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
+        "events_quantiles": events.value_quantiles,
+        "events_zscore": events.zscore,
+        "events_pivot": events.pivot_user_type,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
         "topk_parts": relational.topk_parts,
         "filter_project": relational.filter_project,
         "segment_stats": relational.segment_stats,
+        "orders_customer_join": relational.orders_customer_join,
+        "top_orders_per_cust": relational.top_orders_per_cust,
     }
     return q
 
@@ -129,9 +134,14 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
         "events_distinct_users": events.DISTINCT_USERS_SQL,
+        "events_quantiles": events.VALUE_QUANTILES_SQL,
+        "events_zscore": events.ZSCORE_SQL,
+        "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,
         "filter_project": relational.FILTER_PROJECT_SQL,
         "segment_stats": relational.SEGMENT_STATS_SQL,
+        "orders_customer_join": relational.ORDERS_CUSTOMER_JOIN_SQL,
+        "top_orders_per_cust": relational.TOP_ORDERS_PER_CUST_SQL,
     }

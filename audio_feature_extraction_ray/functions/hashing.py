@@ -37,7 +37,7 @@ def hash64_str_array(arr: np.ndarray) -> np.ndarray:
     out = np.empty(arr.size, dtype=np.uint64)
     for i, s in enumerate(arr):
         b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
-        out[i] = (crc32(b) << np.uint64(32)) | np.uint64(crc32(b[::-1]))
+        out[i] = np.uint64((crc32(b) << 32) | crc32(b[::-1]))
     return out
 
 

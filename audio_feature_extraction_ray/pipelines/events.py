@@ -541,3 +541,183 @@ FROM events e
 ASOF LEFT JOIN signups s
   ON e.user_id = s.user_id AND e.ts >= s.sig_ts
 """
+
+
+# ---------------------------------------------------------------------------
+# exact grouped quantiles (per-window order statistics, SURVEY §2.6 A3
+# analog): median / p90 of value per event type via the hash-partitioned
+# sorted-segment kernel in stages/window.py. Integer-cents input makes the
+# interpolated result bit-comparable to DuckDB's quantile_cont.
+
+
+def value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.window import grouped_quantiles
+
+    ds = read_events(sf_dir, ["event_type", "value"])
+    return grouped_quantiles(
+        ds,
+        key="event_type",
+        value_col="value",
+        quantiles={"p50": 0.5, "p90": 0.9},
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-pass group normalization (z-score per event type). Pass 1: map-side
+# integer-cents partials (n, sum, sumsq) -> tiny driver fold (5 keys,
+# bounded) -> ray.put. Pass 2: one vectorized map stage. Every float op is
+# sequenced identically to the SQL oracle over the SAME exact integers, so
+# the result is bit-identical before rounding.
+
+
+def zscore(sf_dir: str) -> ray.data.Dataset:
+    import ray as _ray
+
+    ds = read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        n = np.bincount(codes, minlength=uniq.size)
+        s1 = np.zeros(uniq.size, dtype=np.int64)
+        s2 = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s1, codes, vc)
+        np.add.at(s2, codes, vc * vc)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    # bounded driver fold: <= num_blocks x 5 tiny partial rows
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    stats: dict[str, tuple[int, int, int]] = {}
+    for r in parts:
+        nn, ss1, ss2 = stats.get(r["event_type"], (0, 0, 0))
+        stats[r["event_type"]] = (nn + r["n"], ss1 + r["s1"], ss2 + r["s2"])
+    mean_std = {}
+    for t, (nn, ss1, ss2) in stats.items():
+        # identical op sequence to the SQL oracle: all operands exact ints
+        # cast to double at the same points
+        m = np.float64(ss1) / np.float64(nn)
+        var = (np.float64(ss2) - np.float64(ss1) * np.float64(ss1) / np.float64(nn)) / np.float64(nn)
+        mean_std[t] = (m, np.sqrt(var))
+    ref = _ray.put(mean_std)
+
+    def apply(tbl: pa.Table) -> pa.Table:
+        ms = _ray.get(ref)
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        means = np.array([ms[t][0] for t in uniq])
+        stds = np.array([ms[t][1] for t in uniq])
+        z = (vc - means[codes]) / stds[codes]
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "value": tbl.column("value"),
+                "zscore": pa.array(np.floor(z * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(round(value*100) AS BIGINT) AS vc
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(vc) AS DOUBLE) AS s1,
+         CAST(sum(vc*vc) AS DOUBLE) AS s2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.value,
+       floor(((c.vc - s.s1/s.n) / sqrt((s.s2 - s.s1*s.s1/s.n)/s.n)) * 1e6 + 0.5)/1e6
+         AS zscore
+FROM c JOIN s USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-user event_type -> columns (wide feature layout for training
+# tables). Map-side integer-cents partials per (user, type), ONE
+# hash-partitioned exchange on user_id, vectorized per-partition fold —
+# the pivot never creates one Ray group per user.
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_user_type(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["user_id", "event_type", "value"])
+    ntypes = len(PIVOT_TYPES)
+    type_arr = np.array(PIVOT_TYPES)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tcode = np.searchsorted(type_arr, tcol)
+        users, ucode = np.unique(uid, return_inverse=True)
+        amt = np.zeros((users.size, ntypes), dtype=np.int64)
+        np.add.at(amt, (ucode, tcode), vc)
+        n = np.bincount(ucode, minlength=users.size).astype(np.int64)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for j, t in enumerate(PIVOT_TYPES):
+            cols[f"{t}_amt_c"] = pa.array(amt[:, j], pa.int64())
+        cols["n_events"] = pa.array(n, pa.int64())
+        return pa.table(cols)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return _assign_pid(tbl, "user_id", num_partitions)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["partition_id"])
+        uid = tbl.column("user_id").to_numpy()
+        users, ucode = np.unique(uid, return_inverse=True)
+        cols: dict[str, pa.Array] = {"user_id": pa.array(users, pa.int64())}
+        for t in PIVOT_TYPES:
+            acc = np.zeros(users.size, dtype=np.int64)
+            np.add.at(acc, ucode, tbl.column(f"{t}_amt_c").to_numpy())
+            cols[f"{t}_amt"] = pa.array(acc / 100.0, pa.float64())
+        acc = np.zeros(users.size, dtype=np.int64)
+        np.add.at(acc, ucode, tbl.column("n_events").to_numpy())
+        cols["n_events"] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+PIVOT_USER_TYPE_SQL = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type='click'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)/100.0 AS click_amt,
+       CAST(sum(CASE WHEN event_type='error'    THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)/100.0 AS error_amt,
+       CAST(sum(CASE WHEN event_type='purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)/100.0 AS purchase_amt,
+       CAST(sum(CASE WHEN event_type='signup'   THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)/100.0 AS signup_amt,
+       CAST(sum(CASE WHEN event_type='view'     THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT)/100.0 AS view_amt,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""

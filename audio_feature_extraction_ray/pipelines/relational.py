@@ -369,3 +369,73 @@ SELECT c_mktsegment,
 FROM customer
 GROUP BY c_mktsegment
 """
+
+# ---------------------------------------------------------------------------
+# raw co-partitioned equi-join surfaced as a first-class query: orders x
+# customer on custkey with NO broadcast side (the large x large path of
+# stages/join.py). Every joined row is emitted, so the driver hash-checks the
+# join itself, not an aggregate of it.
+
+
+def orders_customer_join(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    from ..stages.join import copartitioned_equijoin
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    joined = copartitioned_equijoin(
+        orders,
+        cust,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        fact_cols=["o_orderkey", "o_totalprice"],
+        dim_cols=["c_mktsegment", "c_acctbal"],
+        num_partitions=num_partitions,
+        fact_col_types={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+        dim_col_types={"c_mktsegment": pa.string(), "c_acctbal": pa.float64()},
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["o_custkey", "o_orderkey", "o_totalprice", "c_mktsegment", "c_acctbal"]
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+ORDERS_CUSTOMER_JOIN_SQL = """
+SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment, c.c_acctbal
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k (row_number window): top 3 orders per customer by totalprice.
+
+
+TOP_ORDERS_K = 3
+
+
+def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.window import grouped_topk
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return grouped_topk(
+        ds,
+        key="o_custkey",
+        order_col="o_totalprice",
+        tiebreak="o_orderkey",
+        k=TOP_ORDERS_K,
+        descending=True,
+    )
+
+
+TOP_ORDERS_PER_CUST_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= {TOP_ORDERS_K}
+"""

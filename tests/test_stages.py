@@ -385,3 +385,58 @@ def test_asof_copartitioned_edges(ray_session):
         num_partitions=4,
     ).to_pandas()
     assert len(out2) == 6 and out2["asof_v"].isna().all()
+
+
+def test_grouped_topk_string_key(ray_session):
+    """grouped_topk matches a pandas row_number reference, incl. string keys
+    and deterministic tiebreaks."""
+    from audio_feature_extraction_ray.stages.window import grouped_topk
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.choice(["a", "b", "c", "dd"], size=n).tolist(), pa.string()),
+            "id": pa.array(range(n), pa.int64()),
+            "v": pa.array(np.round(rng.uniform(0, 10, n), 2), pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = (
+        grouped_topk(ds, key="k", order_col="v", tiebreak="id", k=3)
+        .to_pandas()
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = tbl.to_pandas()
+    ref["rank"] = (
+        ref.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k")
+        .cumcount()
+        .add(1)
+    )
+    ref = ref[ref["rank"] <= 3].sort_values(["k", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "id", "v", "rank"]], ref[["k", "id", "v", "rank"]])
+
+
+def test_grouped_quantiles_exact(ray_session):
+    """grouped_quantiles == numpy's linear-interpolation quantile per key."""
+    from audio_feature_extraction_ray.stages.window import grouped_quantiles
+
+    rng = np.random.default_rng(32)
+    n = 3000
+    keys = rng.integers(0, 7, n)
+    vals = np.round(rng.uniform(0, 100, n), 2)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = (
+        grouped_quantiles(ds, key="k", value_col="v", quantiles={"p25": 0.25, "p50": 0.5, "p99": 0.99})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, row in out.iterrows():
+        seg = vals[keys == row["k"]]
+        assert row["n"] == seg.size
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
+            np.testing.assert_allclose(row[name], np.quantile(seg, q), rtol=1e-12)
