@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_augment": splits.docs_augment,  # rows-only (seeded RNG)
         "docs_augment_hashdrop": splits.docs_augment_hashdrop,
         "docs_mask_spans": splits.docs_mask_spans,
+        "docs_mixture_sample": splits.docs_mixture_sample,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -59,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": text_analysis.langid_docs,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,
+        "docs_distinct_tokens": text_analysis.distinct_tokens,
+        "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
+        "docs_bigram_topk": text_analysis.bigram_topk,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "docs_first_per_key": search_dedup.docs_first_per_key,
@@ -112,12 +116,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_stats": splits.DOCS_SPLIT_STATS_SQL,
         "docs_augment_hashdrop": splits.DOCS_AUGMENT_HASHDROP_SQL,
         "docs_mask_spans": splits.DOCS_MASK_SPANS_SQL,
+        "docs_mixture_sample": splits.DOCS_MIXTURE_SAMPLE_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,
+        "docs_distinct_tokens": text_analysis.DISTINCT_TOKENS_SQL,
+        "docs_bigram_topk": text_analysis.BIGRAM_TOPK_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,

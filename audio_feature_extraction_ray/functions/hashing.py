@@ -257,3 +257,56 @@ def simhash64(tok_hashes: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# --------------------------------------------------------------------------
+# vectorized string hashing from Arrow buffers (no per-row Python). Same
+# prefix-polynomial family as the minhash token hashes (length mix + first
+# _TOK_K bytes), plus a splitmix64 finalizer when uniform bit distribution
+# matters (partition routing, HLL registers).
+
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+def avalanche64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — full-width avalanche over a uint64 vector."""
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= _SM1
+        h ^= h >> np.uint64(27)
+        h *= _SM2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def string_hash_array(arr) -> np.ndarray:
+    """uint64 hash per element of a pyarrow string array, fully vectorized
+    from the value buffers (length-mixed polynomial over the first _TOK_K
+    bytes, splitmix64-avalanched). Equal strings always hash equal; strings
+    sharing their first _TOK_K bytes AND length collide — fine for partition
+    routing and sketches, not for exact identity."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    m = len(arr)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + m + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    lens = off[1:] - off[:-1]
+    starts = off[:-1]
+    h = lens.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h *= _TOK_LMIX
+        hi = max(data.size - 1, 0)
+        for j in range(_TOK_K if data.size else 0):
+            idx = np.minimum(starts + j, hi)
+            contrib = data[idx].astype(np.uint64)
+            contrib *= lens > j
+            contrib *= _TOK_W[j]
+            h += contrib
+    return avalanche64(h)

@@ -147,3 +147,46 @@ def docs_augment(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(counts, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deterministic data-mixture sampling: per-language keep rates via the same
+# integer arithmetic hash as the augmentation family, so the sample is
+# exactly reproducible AND SQL-expressible (no RNG state anywhere).
+
+MIXTURE_RATES = {"en": 40, "de": 80, "es": 80, "fr": 80, "zh": 95}
+MIXTURE_DEFAULT = 50
+_MIX_A, _MIX_B = 1000003, 7919
+
+
+def docs_mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """Downsample the dominant language, upweight the tail — the training
+    data mixing step. Keep doc iff (doc_id*A + B) % 100 < rate(lang)."""
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy()
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)
+        rates = np.full(did.size, MIXTURE_DEFAULT, dtype=np.int64)
+        for lg, r in MIXTURE_RATES.items():
+            rates[lang == lg] = r
+        keep = (did * _MIX_A + _MIX_B) % 100 < rates
+        return tbl.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _mixture_case_sql() -> str:
+    whens = "\n".join(
+        f"         WHEN lang = '{lg}' THEN {r}" for lg, r in sorted(MIXTURE_RATES.items())
+    )
+    return f"CASE\n{whens}\n         ELSE {MIXTURE_DEFAULT} END"
+
+
+DOCS_MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (doc_id * {_MIX_A} + {_MIX_B}) % 100 <
+      {_mixture_case_sql()}
+"""

@@ -312,3 +312,183 @@ SELECT doc_id,
   END AS pred_lang
 FROM v
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary operators: exact distinct-token count (hash-partitioned
+# distributed distinct) and a HyperLogLog sketch twin. Tokenization here is
+# raw string_split(text, ' ') — NO lowercasing — so the SQL oracle is exact.
+
+
+def _raw_flat_tokens(tbl: pa.Table) -> pa.Array:
+    toks = pc.split_pattern(tbl.column("text"), " ")
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat
+
+
+DISTINCT_TOKENS_PARTS = 32
+
+
+def distinct_tokens(sf_dir: str):
+    """EXACT count of distinct whitespace tokens across the corpus.
+    Per-batch local unique (the combiner: each token string crosses the
+    exchange once per batch at most), hash-partitioned exchange on the token,
+    per-partition vectorized unique, bounded driver fold of <= P counters."""
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        uniq = pc.unique(flat)
+        pid = (string_hash_array(uniq) % np.uint64(DISTINCT_TOKENS_PARTS)).astype(np.int32)
+        return pa.table({"token": uniq, "__pid": pa.array(pid)})
+
+    def count_unique(tbl: pa.Table) -> pa.Table:
+        n = pc.count_distinct(tbl.column("token")).as_py()
+        return pa.table({"n_partial": pa.array([n], pa.int64())})
+
+    ds = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: count_unique(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    total = sum(r["n_partial"] for r in ds.take_all())  # <= P tiny rows
+    return pd.DataFrame({"n_distinct_tokens": [np.int64(total)]})
+
+
+DISTINCT_TOKENS_SQL = """
+SELECT count(DISTINCT tok) AS n_distinct_tokens
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+"""
+
+
+HLL_P = 12  # 4096 registers
+
+
+def hll_distinct_tokens(sf_dir: str):
+    """HyperLogLog estimate of the distinct-token count (the sketch path for
+    vocabularies too wide to co-locate). Per-batch vectorized register
+    maxima (np.maximum.at over avalanche64 token hashes), merged by
+    element-wise max — the registers are the ONLY bytes that leave a task.
+    Rows-only driver check; the estimate is pinned against the exact count
+    in pytest (test_hll_error_bound)."""
+    from ..functions.hashing import string_hash_array
+
+    m = 1 << HLL_P
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        h = string_hash_array(pc.unique(flat))
+        reg = np.zeros(m, dtype=np.uint8)
+        if h.size:
+            idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+            rest = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))
+            # rank = leading zeros of the remaining bits + 1, via float64 log2
+            # (exact for the <= 52 significant bits that survive the shift)
+            rank = (64 - HLL_P + 1) - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64)
+            np.maximum.at(reg, idx, rank.astype(np.uint8))
+        return pa.table(
+            {"regs": pa.FixedSizeListArray.from_arrays(pa.array(reg, pa.uint8()), m)}
+        )
+
+    parts = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    regs = np.zeros(m, dtype=np.uint8)
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        col = batch.column("regs").combine_chunks()
+        r = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        regs = np.maximum(regs, r.max(axis=0).astype(np.uint8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for the sparse regime
+    return pd.DataFrame({"hll_estimate": [float(est)], "registers_used": [m - zeros]})
+
+
+# ---------------------------------------------------------------------------
+# global n-gram top-k: most frequent bigrams corpus-wide. Map-side partial
+# counts, ONE exchange hash-partitioned on the bigram, per-partition exact
+# sums + local top-k, bounded driver fold of <= P*k rows.
+
+BIGRAM_TOPK = 20
+BIGRAM_PARTS = 32
+
+
+def bigram_topk(sf_dir: str):
+    from ..functions.hashing import avalanche64, string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        if nflat < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+                 "__pid": pa.array([], pa.int32())}
+            )
+        # bigram i pairs flat[i], flat[i+1]; drop pairs that cross documents
+        ends = np.cumsum(ntok) - 1  # last token index of each doc
+        valid = np.ones(nflat - 1, dtype=bool)
+        valid[ends[ends < nflat - 1]] = False
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, nflat - 1), flat.slice(1, nflat - 1), " "
+        ).filter(pa.array(valid))
+        # local count: dictionary-encode, bincount the codes
+        de = pc.dictionary_encode(bg)
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # route by combined token hashes so partitions spread by BOTH words
+        pid = (string_hash_array(uniq) % np.uint64(BIGRAM_PARTS)).astype(np.int32)
+        return pa.table(
+            {"bigram": uniq, "n": pa.array(counts, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        de = pc.dictionary_encode(tbl.column("bigram").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("n").to_numpy())
+        # local top-k (ties broken by bigram asc, matching the SQL ORDER BY)
+        k = min(BIGRAM_TOPK, len(uniq))
+        order = np.lexsort((np.asarray(uniq).astype(str), -sums))[:k]
+        return pa.table(
+            {"bigram": uniq.take(pa.array(order)), "n": pa.array(sums[order], pa.int64())}
+        )
+
+    ds = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: finish(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    # bounded fold: <= P*k rows; each partition owns its bigrams exclusively
+    df = ds.to_pandas()
+    df = df.sort_values(["n", "bigram"], ascending=[False, True], kind="mergesort").head(
+        BIGRAM_TOPK
+    )
+    return df.reset_index(drop=True)
+
+
+BIGRAM_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}
+"""

@@ -440,3 +440,18 @@ def test_grouped_quantiles_exact(ray_session):
         assert row["n"] == seg.size
         for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
             np.testing.assert_allclose(row[name], np.quantile(seg, q), rtol=1e-12)
+
+
+def test_hll_error_bound(ray_session):
+    """The HLL estimate lands within 5% of the exact distinct-token count
+    (4096 registers; the fixture vocab sits in the linear-counting regime)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        distinct_tokens,
+        hll_distinct_tokens,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = int(distinct_tokens(sf)["n_distinct_tokens"].iloc[0])
+    est = float(hll_distinct_tokens(sf)["hll_estimate"].iloc[0])
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05, (est, exact)
