@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_augment_hashdrop": splits.docs_augment_hashdrop,
         "docs_mask_spans": splits.docs_mask_spans,
         "docs_mixture_sample": splits.docs_mixture_sample,
+        "docs_stratified_sample": splits.docs_stratified_sample,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -91,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": events.value_quantiles,
         "events_zscore": events.zscore,
         "events_pivot": events.pivot_user_type,
+        "events_rollup": events.rollup_type_day,
+        "events_signup_window": events.signup_window_agg,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -117,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_augment_hashdrop": splits.DOCS_AUGMENT_HASHDROP_SQL,
         "docs_mask_spans": splits.DOCS_MASK_SPANS_SQL,
         "docs_mixture_sample": splits.DOCS_MIXTURE_SAMPLE_SQL,
+        "docs_stratified_sample": splits.DOCS_STRATIFIED_SAMPLE_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,
@@ -144,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
+        "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
+        "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,

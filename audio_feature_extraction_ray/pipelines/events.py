@@ -721,3 +721,129 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# rollup: (event_type, day) detail + per-type subtotal + grand total in one
+# result (GROUP BY ROLLUP shape). Detail cardinality is types x days —
+# bounded — so partials fold on the driver; the NULL-marker rows are derived
+# from the same exact integer partials, never re-scanned.
+
+
+def rollup_type_day(sf_dir: str):
+    ds = read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        day = (
+            tbl.column("ts").cast(pa.timestamp("us")).cast(pa.date32()).to_numpy(zero_copy_only=False)
+        )
+        vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        key = np.char.add(np.char.add(t.astype(str), "|"), day.astype(str))
+        uniq, codes = np.unique(key, return_inverse=True)
+        n = np.bincount(codes, minlength=uniq.size).astype(np.int64)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, codes, vc)
+        et, dy = zip(*(u.split("|") for u in uniq.tolist()))
+        return pa.table(
+            {
+                "event_type": pa.array(list(et), pa.string()),
+                "day": pa.array(list(dy), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    detail = parts.groupby(["event_type", "day"], as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    )
+    by_type = detail.groupby("event_type", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    by_type["day"] = None
+    grand = pd.DataFrame(
+        {"event_type": [None], "day": [None], "n": [detail["n"].sum()], "s": [detail["s"].sum()]}
+    )
+    out = pd.concat([detail, by_type, grand], ignore_index=True)
+    out["sum_value"] = out.pop("s").astype("int64") / 100.0
+    out["n"] = out["n"].astype("int64")
+    return out[["event_type", "day", "n", "sum_value"]]
+
+
+ROLLUP_TYPE_DAY_SQL = """
+SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# interval / range join: for every signup, aggregate the user's events whose
+# ts falls in [signup_ts, signup_ts + WINDOW). Co-partitioned by user (the
+# one exchange), then ONE global searchsorted over disjoint
+# (user-code << 43 | ts_rel) composite keys + prefix sums — no per-user
+# Python loop (the offset-array form from state/kernels).
+
+RANGE_WINDOW_DAYS = 3
+
+
+def signup_window_agg(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    window_us = RANGE_WINDOW_DAYS * 86_400_000_000
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        is_signup = (
+            tbl.column("event_type").to_numpy(zero_copy_only=False) == "signup"
+        )
+        _, ucode = np.unique(uid, return_inverse=True)
+        ts_rel = (ts - ts.min()).astype(np.uint64)
+        assert int(ts_rel.max(initial=0)) + window_us < (1 << 43), (
+            "ts span + window exceeds composite-key width"
+        )
+        comb = (ucode.astype(np.uint64) << np.uint64(43)) | ts_rel
+        order = np.argsort(comb, kind="stable")
+        comb_s, vc_s = comb[order], vc[order]
+        csum = np.concatenate([[0], np.cumsum(vc_s)])
+        s_comb = comb[is_signup]
+        lo = np.searchsorted(comb_s, s_comb, side="left")
+        hi = np.searchsorted(comb_s, s_comb + np.uint64(window_us), side="left")
+        n = (hi - lo).astype(np.int64)
+        sums = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "signup_id": tbl.column("event_id").filter(pa.array(is_signup)),
+                "user_id": pa.array(uid[is_signup], pa.int64()),
+                "ts": tbl.column("ts").filter(pa.array(is_signup)),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_value": pa.array(sums / 100.0, pa.float64()),
+            }
+        )
+
+    ds = ds.map_batches(
+        functools.partial(_assign_pid, key="user_id", num_partitions=num_partitions),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("partition_id").map_groups(
+        lambda g: kernel(g.drop_columns(["partition_id"])), batch_format="pyarrow"
+    )
+
+
+SIGNUP_WINDOW_AGG_SQL = f"""
+SELECT s.event_id AS signup_id, s.user_id, s.ts,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+FROM events s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts
+ AND e.ts < s.ts + INTERVAL {RANGE_WINDOW_DAYS} DAY
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2, 3
+"""

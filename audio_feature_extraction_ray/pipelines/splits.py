@@ -190,3 +190,39 @@ FROM documents
 WHERE (doc_id * {_MIX_A} + {_MIX_B}) % 100 <
       {_mixture_case_sql()}
 """
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: a fixed-size per-language sample ordered by the
+# arithmetic hash (reservoir-equivalent, but deterministic and
+# SQL-expressible). Rides on stages/window.grouped_topk.
+
+STRAT_SAMPLE_K = 20
+_STRAT_A, _STRAT_B, _STRAT_M = 1000003, 4241, 100000
+
+
+def docs_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.window import grouped_topk
+
+    def add_h(tbl: pa.Table) -> pa.Table:
+        h = (tbl.column("doc_id").to_numpy() * _STRAT_A + _STRAT_B) % _STRAT_M
+        return tbl.append_column("h", pa.array(h, pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(add_h, batch_format="pyarrow")
+    return grouped_topk(
+        ds, key="lang", order_col="h", tiebreak="doc_id", k=STRAT_SAMPLE_K, descending=False
+    )
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars, h, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT doc_id, lang, n_chars,
+         (doc_id * {_STRAT_A} + {_STRAT_B}) % {_STRAT_M} AS h,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY (doc_id * {_STRAT_A} + {_STRAT_B}) % {_STRAT_M}, doc_id)
+           AS rank
+  FROM documents
+)
+WHERE rank <= {STRAT_SAMPLE_K}
+"""
