@@ -492,3 +492,202 @@ WITH toks AS (
 SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. Two distributed passes:
+#   1) document frequencies: per-batch distinct (doc, token) pairs ->
+#      per-token df partials -> hash exchange -> exact df; the vocabulary
+#      (token, df) is BOUNDED (corpus vocab), gathered once and ray.put.
+#   2) scoring: per-batch tf via dictionary codes, idf lookup by
+#      searchsorted into the broadcast vocab, top-k per doc with the same
+#      vectorized segment-rank kernel as stages/window.
+# Ranking uses the ROUNDED score (floor(s*1e6+0.5), token) on both sides so
+# a 1-ulp ln() difference between numpy and DuckDB cannot flip a rank.
+
+TFIDF_K = 3
+
+
+def _doc_token_pairs(tbl: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(row_of_pair, token_dictionary, tf) for distinct (doc, token) pairs."""
+    toks = pc.split_pattern(tbl.column("text"), " ")
+    ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    de = pc.dictionary_encode(flat)
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+    nv = len(de.dictionary)
+    pair = row_of * nv + codes
+    uniq_pair, tf = np.unique(pair, return_counts=True)
+    return uniq_pair // nv, de.dictionary.take(pa.array(uniq_pair % nv)), tf.astype(np.int64)
+
+
+DF_PARTS = 32
+
+
+def _document_frequencies(docs: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-token document frequency; returns (sorted token array, df)."""
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        _, tok_arr, _ = _doc_token_pairs(tbl)
+        de = pc.dictionary_encode(tok_arr)
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        dfp = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
+        pid = (string_hash_array(de.dictionary) % np.uint64(DF_PARTS)).astype(np.int32)
+        return pa.table(
+            {"token": de.dictionary, "df": pa.array(dfp, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        de = pc.dictionary_encode(tbl.column("token").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("df").to_numpy())
+        return pa.table({"token": de.dictionary, "df": pa.array(sums, pa.int64())})
+
+    vocab = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .take_all()
+    )  # bounded: one row per distinct token in the corpus
+    toks = np.array([r["token"] for r in vocab], dtype=str)
+    dfs = np.array([r["df"] for r in vocab], dtype=np.int64)
+    order = np.argsort(toks, kind="stable")
+    return toks[order], dfs[order]
+
+
+def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as _pq
+    import ray as _ray
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    toks, dfs = _document_frequencies(docs)
+    vocab_ref = _ray.put((toks, np.log(np.float64(n_docs) / dfs.astype(np.float64))))
+
+    def score(tbl: pa.Table) -> pa.Table:
+        vt, idf = _ray.get(vocab_ref)
+        rows, tok_arr, tf = _doc_token_pairs(tbl)
+        ta = tok_arr.to_numpy(zero_copy_only=False).astype(str)
+        s = tf.astype(np.float64) * idf[np.searchsorted(vt, ta)]
+        s6 = np.floor(s * 1e6 + 0.5)  # rank on the rounded score (see above)
+        did = tbl.column("doc_id").to_numpy()[rows]
+        idx = np.lexsort((ta, -s6, did))
+        ds_, dids = s6[idx], did[idx]
+        head = np.ones(dids.size, dtype=bool)
+        head[1:] = dids[1:] != dids[:-1]
+        start = np.where(head, np.arange(dids.size), 0)
+        np.maximum.accumulate(start, out=start)
+        rank = np.arange(dids.size) - start + 1
+        keep = rank <= TFIDF_K
+        return pa.table(
+            {
+                "doc_id": pa.array(dids[keep], pa.int64()),
+                "token": pa.array(ta[idx][keep].tolist(), pa.string()),
+                "tfidf": pa.array(ds_[keep] / 1e6, pa.float64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token,
+         floor(tf.tf * ln(CAST(nn.n AS DOUBLE) / df.df) * 1e6 + 0.5) AS s6
+  FROM tf JOIN df USING (token) CROSS JOIN nn
+)
+SELECT doc_id, token, s6 / 1e6 AS tfidf, rank FROM (
+  SELECT doc_id, token, s6,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, token) AS rank
+  FROM sc
+)
+WHERE rank <= {TFIDF_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted index: posting lists for the rarer tokens (df below a fraction
+# of the corpus), emitted as comma-joined sorted doc_id strings so the
+# result is flat-schema and SQL-comparable. Distinct (doc, token) pairs
+# exchange hash-partitioned on the token; each partition owns its tokens
+# exclusively.
+
+POSTINGS_DF_FRAC = 0.78  # keep tokens appearing in < 78% of documents
+
+
+def token_postings(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as _pq
+
+    from ..functions.hashing import string_hash_array
+
+    df_max = int(np.floor(
+        POSTINGS_DF_FRAC * _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    ))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        rows, tok_arr, _ = _doc_token_pairs(tbl)
+        did = tbl.column("doc_id").to_numpy()[rows]
+        pid = (string_hash_array(tok_arr) % np.uint64(DF_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "token": tok_arr,
+                "doc_id": pa.array(did, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def build(tbl: pa.Table) -> pa.Table:
+        de = pc.dictionary_encode(tbl.column("token").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = tbl.column("doc_id").to_numpy()
+        df = np.bincount(codes, minlength=len(de.dictionary))
+        keep_tok = df <= df_max
+        sel = keep_tok[codes]
+        codes, did = codes[sel], did[sel]
+        order = np.lexsort((did, codes))
+        codes, did = codes[order], did[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) if codes.size else np.array([], np.int64)
+        bounds = np.r_[starts, codes.size]
+        toks = de.dictionary.take(pa.array(codes[starts])) if starts.size else pa.array([], de.dictionary.type)
+        posts = [
+            ",".join(map(str, did[bounds[i] : bounds[i + 1]])) for i in range(starts.size)
+        ]  # bounded per-token loop over the partition's OWNED vocabulary slice
+        return pa.table(
+            {
+                "token": toks,
+                "df": pa.array(df[keep_tok] if codes.size else np.array([], np.int64), pa.int64()),
+                "postings": pa.array(posts, pa.string()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: build(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+
+TOKEN_POSTINGS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, count(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs
+GROUP BY token
+HAVING count(*) <= floor({POSTINGS_DF_FRAC} * (SELECT count(*) FROM documents))
+"""
