@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
         "events_quantiles": events.value_quantiles,
+        "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,

@@ -847,3 +847,20 @@ JOIN events e
 WHERE s.event_type = 'signup'
 GROUP BY 1, 2, 3
 """
+
+
+def value_quantile_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Histogram-sketch twin of value_quantiles (rows-only driver check; the
+    one-bin-width error bound is pinned against the exact kernel in
+    test_quantile_sketch_error_bound)."""
+    from ..stages.window import grouped_quantile_sketch
+
+    ds = read_events(sf_dir, ["event_type", "value"])
+    return grouped_quantile_sketch(
+        ds,
+        key="event_type",
+        value_col="value",
+        quantiles={"p50": 0.5, "p90": 0.9},
+        lo=0.0,
+        hi=600.0,
+    )

@@ -134,8 +134,7 @@ def grouped_quantiles(
 
     Exactness requires co-locating all of a key's values — that is the
     operator's semantics (same as any exact-median engine); for sketch-sized
-    summaries at unbounded key width use the t-digest-style rolling family
-    instead."""
+    summaries at unbounded key width use grouped_quantile_sketch instead."""
     qitems = sorted(quantiles.items())
 
     def tag(tbl: pa.Table) -> pa.Table:
@@ -180,4 +179,77 @@ def grouped_quantiles(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__pid")
         .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def grouped_quantile_sketch(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    quantiles: dict[str, float],
+    lo: float,
+    hi: float,
+    bins: int = 4096,
+) -> ray.data.Dataset:
+    """Mergeable histogram quantile sketch — the unbounded-key-width scale
+    path next to grouped_quantiles' exact co-located kernel. Per batch, each
+    key contributes a `bins`-cell count vector over the fixed [lo, hi) range
+    (np.add.at, no per-key Python); partials merge by summing counts, so the
+    exchange carries O(keys_per_batch x bins) integers regardless of row
+    count. Quantile error is bounded by one bin width ((hi-lo)/bins).
+
+    The [lo, hi) range is a declared input (like any histogram sketch);
+    values outside clamp to the edge bins."""
+    qitems = sorted(quantiles.items())
+    width = (hi - lo) / bins
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        kraw = tbl.column(key).to_numpy(zero_copy_only=False)
+        val = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, codes = np.unique(kraw, return_inverse=True)
+        b = np.clip(((val - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.zeros((uniq.size, bins), dtype=np.int64)
+        np.add.at(counts, (codes, b), 1)
+        return pa.table(
+            {
+                key: pa.array(uniq),
+                "__counts": pa.FixedSizeListArray.from_arrays(
+                    pa.array(counts.ravel(), pa.int64()), bins
+                ),
+            }
+        )
+
+    out_fields = [("n", pa.int64())] + [(name, pa.float64()) for name, _ in qitems]
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.schema([(key, tbl.schema.field(key).type)] + out_fields).empty_table()
+        kraw = tbl.column(key).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(kraw, return_inverse=True)
+        flat = tbl.column("__counts").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ).reshape(-1, bins)
+        merged = np.zeros((uniq.size, bins), dtype=np.int64)
+        np.add.at(merged, codes, flat)
+        n = merged.sum(axis=1)
+        csum = np.cumsum(merged, axis=1)
+        cols: dict[str, pa.Array] = {key: pa.array(uniq), "n": pa.array(n, pa.int64())}
+        centers = lo + (np.arange(bins) + 0.5) * width
+        for name, q in qitems:
+            target = np.ceil(q * n).astype(np.int64).clip(min=1)
+            idx = np.array([np.searchsorted(csum[i], target[i]) for i in range(uniq.size)])
+            cols[name] = pa.array(centers[np.clip(idx, 0, bins - 1)], pa.float64())
+        return pa.table(cols)
+
+    # route whole keys to partitions so each key's sketch merges exactly once
+    def tag(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__pid", pa.array(_pid_for_key(tbl.column(key), 32))
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: finish(g.drop_columns(["__pid"])), batch_format="pyarrow")
     )

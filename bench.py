@@ -131,9 +131,21 @@ def run_bench() -> dict:
         ("simhash_pairs_docs", search_dedup.simhash_pairs_docs),
         ("ann_bruteforce", search_dedup.ann_bruteforce),
         ("docs_quarantine_stats", text_analysis.quarantine_stats),
+        ("knn_join_exact", search_dedup.knn_join_exact),
+        ("orders_customer_join", relational.orders_customer_join),
+        ("top_orders_per_cust", relational.top_orders_per_cust),
+        ("events_quantiles", events.value_quantiles),
+        ("events_zscore", events.zscore),
+        ("events_pivot", events.pivot_user_type),
+        ("events_signup_window", events.signup_window_agg),
+        ("doc_tfidf_top_terms", text_analysis.tfidf_top_terms),
+        ("docs_bigram_topk", text_analysis.bigram_topk),
+        ("docs_distinct_tokens", text_analysis.distinct_tokens),
     ]:
         t0 = time.perf_counter()
-        _consume(fn(SF_DIR))
+        res = fn(SF_DIR)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
         timings[name] = round(time.perf_counter() - t0, 3)
 
     result = {

@@ -455,3 +455,22 @@ def test_hll_error_bound(ray_session):
     est = float(hll_distinct_tokens(sf)["hll_estimate"].iloc[0])
     assert exact > 0
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """The histogram sketch returns the bin center holding the ceil(q*n)-th
+    order statistic — within half a bin width of that order statistic."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.events import value_quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    sk = value_quantile_sketch(sf).to_pandas().set_index("event_type")
+    df = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    bin_w = 600.0 / 4096
+    for t, seg in df.groupby("event_type"):
+        vals = np.sort(seg["value"].to_numpy())
+        assert sk.loc[t, "n"] == vals.size
+        for name, q in (("p50", 0.5), ("p90", 0.9)):
+            order_stat = vals[int(np.ceil(q * vals.size)) - 1]
+            assert abs(sk.loc[t, name] - order_stat) <= bin_w / 2 + 1e-9, (t, name)
