@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_stats": relational.segment_stats,
         "orders_customer_join": relational.orders_customer_join,
         "top_orders_per_cust": relational.top_orders_per_cust,
+        "custs_with_big_orders": relational.custs_with_big_orders,
+        "custs_without_orders": relational.custs_without_orders,
+        "orders_percent_rank": relational.orders_percent_rank,
     }
     return q
 
@@ -162,4 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats": relational.SEGMENT_STATS_SQL,
         "orders_customer_join": relational.ORDERS_CUSTOMER_JOIN_SQL,
         "top_orders_per_cust": relational.TOP_ORDERS_PER_CUST_SQL,
+        "custs_with_big_orders": relational.CUSTS_WITH_BIG_ORDERS_SQL,
+        "custs_without_orders": relational.CUSTS_WITHOUT_ORDERS_SQL,
+        "orders_percent_rank": relational.ORDERS_PERCENT_RANK_SQL,
     }

@@ -439,3 +439,124 @@ FROM (
 )
 WHERE rank <= {TOP_ORDERS_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (EXISTS / NOT EXISTS) — the distinct-key probe exchange
+# of stages/join.copartitioned_semi_anti.
+
+BIG_ORDER_CENTS = 350_000 * 100
+
+
+def custs_with_big_orders(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """Customers having at least one order over the threshold (semi join)."""
+    from ..stages.join import copartitioned_semi_anti
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def big(tbl: pa.Table) -> pa.Table:
+        cents = _cents(tbl.column("o_totalprice").to_numpy(zero_copy_only=False))
+        return tbl.filter(pa.array(cents > BIG_ORDER_CENTS)).select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        big, batch_format="pyarrow"
+    )
+    return copartitioned_semi_anti(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        anti=False, num_partitions=num_partitions,
+    )
+
+
+CUSTS_WITH_BIG_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND CAST(round(o.o_totalprice*100) AS BIGINT) > {BIG_ORDER_CENTS}
+)
+"""
+
+
+HUGE_ORDER_CENTS = 450_000 * 100
+
+
+def custs_without_orders(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """Customers with NO order above the high threshold (anti join)."""
+    from ..stages.join import copartitioned_semi_anti
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def huge(tbl: pa.Table) -> pa.Table:
+        cents = _cents(tbl.column("o_totalprice").to_numpy(zero_copy_only=False))
+        return tbl.filter(pa.array(cents > HUGE_ORDER_CENTS)).select(["o_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        huge, batch_format="pyarrow"
+    )
+    return copartitioned_semi_anti(
+        cust, orders, left_key="c_custkey", right_key="o_custkey",
+        anti=True, num_partitions=num_partitions,
+    )
+
+
+CUSTS_WITHOUT_ORDERS_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND CAST(round(o.o_totalprice*100) AS BIGINT) > {HUGE_ORDER_CENTS}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# percent_rank window: each order's within-customer price percentile.
+# Unique (price, orderkey) ordering makes rank == row_number, so
+# percent_rank = (rn-1)/(n-1) from exact small integers — identical IEEE
+# division on both sides.
+
+
+def orders_percent_rank(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    from ..stages.window import _pid_for_key, _seg_starts
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__pid", pa.array(_pid_for_key(tbl.column("o_custkey"), num_partitions))
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        cust = tbl.column("o_custkey").to_numpy()
+        price = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = tbl.column("o_orderkey").to_numpy()
+        idx = np.lexsort((okey, price, cust))
+        cs = cust[idx]
+        starts = _seg_starts(cs)
+        rn = np.arange(cs.size) - starts + 1
+        # segment length broadcast to each row: position of NEXT segment start
+        head = np.ones(cs.size, dtype=bool)
+        head[1:] = cs[1:] != cs[:-1]
+        seg_id = np.cumsum(head) - 1
+        cnts = np.bincount(seg_id)
+        n = cnts[seg_id]
+        pr = np.where(n > 1, (rn - 1) / np.maximum(n - 1, 1), 0.0)
+        out = tbl.take(pa.array(idx))
+        return out.append_column("pct_rank", pa.array(pr, pa.float64()))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+ORDERS_PERCENT_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       percent_rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice, o_orderkey) AS pct_rank
+FROM orders
+"""

@@ -171,3 +171,60 @@ def copartitioned_equijoin(
     return unioned.groupby("__pid").map_groups(
         lambda g: kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
     )
+
+
+def copartitioned_semi_anti(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_key: str,
+    right_key: str,
+    anti: bool = False,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Semi (EXISTS) / anti (NOT EXISTS) join on an integer key with no
+    broadcast side: the right side ships ONLY its distinct keys per batch
+    (the cheapest possible probe side), both sides co-route by hash(key),
+    and each partition filters its left rows with one vectorized
+    searchsorted membership test. Left columns pass through unchanged."""
+    lschema = left.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    lcols = [c for c in lschema.names]
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(left_key).cast(pa.int64()).to_numpy()
+        out = {"__pid": pa.array(_pid_of_i64(keys, num_partitions)),
+               "__side": pa.array(np.zeros(tbl.num_rows, dtype=np.int8))}
+        for c in lcols:
+            out[c] = tbl.column(c)
+        return pa.table(out)
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        # distinct keys only — the whole point of a semi join's probe side
+        keys = np.unique(tbl.column(right_key).cast(pa.int64()).to_numpy())
+        out = {"__pid": pa.array(_pid_of_i64(keys, num_partitions)),
+               "__side": pa.array(np.ones(keys.size, dtype=np.int8))}
+        for c in lcols:
+            out[c] = (
+                pa.array(keys, pa.int64()) if c == left_key else pa.nulls(keys.size, ltypes[c])
+            )
+        return pa.table(out)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        l = tbl.filter(pa.array(side == 0)).drop_columns(["__side"])
+        probe = np.unique(
+            tbl.filter(pa.array(side == 1)).column(left_key).cast(pa.int64()).to_numpy()
+        )
+        lk = l.column(left_key).cast(pa.int64()).to_numpy()
+        pos = np.searchsorted(probe, lk)
+        hit = pos < probe.size
+        hit[hit] = probe[pos[hit]] == lk[hit]
+        return l.filter(pa.array(~hit if anti else hit))
+
+    return unioned.groupby("__pid").map_groups(
+        lambda g: kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
