@@ -474,3 +474,32 @@ def test_quantile_sketch_error_bound(ray_session):
         for name, q in (("p50", 0.5), ("p90", 0.9)):
             order_stat = vals[int(np.ceil(q * vals.size)) - 1]
             assert abs(sk.loc[t, name] - order_stat) <= bin_w / 2 + 1e-9, (t, name)
+
+
+def test_semi_anti_join_edges(ray_session):
+    """Semi/anti joins: empty probe side, all-match probe, and the general
+    case all agree with a set-based reference."""
+    from audio_feature_extraction_ray.stages.join import copartitioned_semi_anti
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+         "v": pa.array(list("abcdef"), pa.string())}
+    )
+    lds = ray.data.from_arrow(left).repartition(3)
+
+    def probe(keys):
+        return ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.int64())}))
+
+    # general case
+    semi = copartitioned_semi_anti(lds, probe([2, 4, 4, 9]), "k", "k").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = copartitioned_semi_anti(lds, probe([2, 4, 4, 9]), "k", "k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5, 6]
+    # all-match probe
+    allm = copartitioned_semi_anti(lds, probe([1, 2, 3, 4, 5, 6]), "k", "k").to_pandas()
+    assert sorted(allm["k"]) == [1, 2, 3, 4, 5, 6]
+    # empty probe: semi -> empty, anti -> everything
+    anti_all = copartitioned_semi_anti(lds, probe([]), "k", "k", anti=True).to_pandas()
+    assert sorted(anti_all["k"]) == [1, 2, 3, 4, 5, 6]
+    semi_none = copartitioned_semi_anti(lds, probe([]), "k", "k").to_pandas()
+    assert len(semi_none) == 0
