@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
         "events_signup_window": events.signup_window_agg,
+        "events_session_funnel": events.session_funnel,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
         "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
+        "events_session_funnel": events.SESSION_FUNNEL_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,

@@ -864,3 +864,78 @@ def value_quantile_sketch(sf_dir: str) -> ray.data.Dataset:
         lo=0.0,
         hi=600.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionized conversion funnel: per (user, session) — did a purchase follow
+# the session's first signup? Composition of the sessionize kernel and a
+# segment-reduceat aggregation, all inside the ONE ordered pass.
+
+FUNNEL_GAP_S = 86400.0
+
+
+def session_funnel(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        head = _seg_head(uid)
+        dt = np.full(n, np.nan)
+        if n > 1:
+            dt[1:] = (ts[1:] - ts[:-1]) / 1e6
+        dt[head] = np.nan
+        with np.errstate(invalid="ignore"):
+            flag = dt > FUNNEL_GAP_S
+        c = np.cumsum(flag)
+        head_base = np.where(head, c - flag, 0)
+        session_id = (c - _propagate_last(head_base, head)).astype(np.int64)
+        seg_head = head | flag
+        starts = np.flatnonzero(seg_head)
+        seg_n = np.diff(np.append(starts, n))
+        is_sig = et == "signup"
+        is_pur = et == "purchase"
+        # first signup ts per session: min-reduceat over a +inf-masked copy
+        sig_ts = np.where(is_sig, ts, np.iinfo(np.int64).max)
+        seg_sig_ts = np.minimum.reduceat(sig_ts, starts)
+        seg_of_row = np.cumsum(seg_head) - 1
+        pas_row = is_pur & (ts > seg_sig_ts[seg_of_row])
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(session_id[starts], pa.int64()),
+                "n_events": pa.array(seg_n, pa.int64()),
+                "n_signups": pa.array(np.add.reduceat(is_sig, starts), pa.int64()),
+                "purchases_after_signup": pa.array(
+                    np.add.reduceat(pas_row, starts), pa.int64()
+                ),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+SESSION_FUNNEL_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, event_type,
+         date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(CASE WHEN gap_s > {FUNNEL_GAP_S} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), f AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id, session_id) AS sig_ts
+  FROM s
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signups,
+       CAST(count(CASE WHEN event_type = 'purchase' AND ts > sig_ts THEN 1 END) AS BIGINT)
+         AS purchases_after_signup
+FROM f
+GROUP BY user_id, session_id
+"""
