@@ -129,3 +129,58 @@ def test_chunked_equals_oneshot(rows, cut, window_k):
     a = np.array(one.column("features").combine_chunks().flatten().to_numpy(zero_copy_only=False))
     b = np.array(two.column("features").combine_chunks().flatten().to_numpy(zero_copy_only=False))
     np.testing.assert_array_equal(a.reshape(-1, W).view(np.uint64), b.reshape(-1, W).view(np.uint64))
+
+
+# ---------------------------------------------------------------------------
+# window-stage kernel properties (pure, no Ray)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),                # key (few -> collisions)
+            st.integers(-50, 50),             # value scaled to 0.1 steps -> ties
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 5),  # k
+    st.booleans(),      # descending
+)
+@settings(max_examples=60, deadline=None)
+def test_topk_kernel_matches_pandas_and_is_idempotent_combiner(rows, k, descending):
+    import pandas as pd
+
+    from audio_feature_extraction_ray.stages.window import _topk_kernel
+
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "id": pa.array(range(len(rows)), pa.int64()),
+            "v": pa.array([r[1] / 10.0 for r in rows], pa.float64()),
+        }
+    )
+    out = _topk_kernel(tbl, "k", "v", "id", k, descending, with_rank=True).to_pandas()
+    ref = tbl.to_pandas()
+    ref["rank"] = (
+        ref.sort_values(["v", "id"], ascending=[not descending, True])
+        .groupby("k")
+        .cumcount()
+        .add(1)
+    )
+    ref = ref[ref["rank"] <= k]
+    a = out.sort_values(["k", "rank"]).reset_index(drop=True)
+    b = ref.sort_values(["k", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "id", "v", "rank"]], b[["k", "id", "v", "rank"]])
+    # combiner property: splitting the input, pre-filtering each half with
+    # the same kernel, then finishing == finishing the raw input directly
+    cut = len(rows) // 2
+    halves = [tbl.slice(0, cut), tbl.slice(cut)]
+    pre = pa.concat_tables(
+        _topk_kernel(h, "k", "v", "id", k, descending, with_rank=False)
+        for h in halves
+        if h.num_rows
+    )
+    out2 = _topk_kernel(pre, "k", "v", "id", k, descending, with_rank=True).to_pandas()
+    c = out2.sort_values(["k", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["k", "id", "v", "rank"]], c[["k", "id", "v", "rank"]])
