@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": search_dedup.ann_ivf,  # rows-only (approximate)
         "ann_ivf_fullprobe": search_dedup.ann_ivf_fullprobe,  # == brute force
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
+        "embedding_normalize": search_dedup.embedding_normalize,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,
         "events_sessionize": events.sessionize,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,
+        "embedding_normalize": search_dedup.EMBEDDING_NORMALIZE_SQL,
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,

@@ -305,3 +305,60 @@ def ann_ivf_fullprobe(sf_dir: str) -> ray.data.Dataset:
     q, qids = _load_queries(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=16)
+
+
+# ---------------------------------------------------------------------------
+# embedding transform: L2 normalization, emitted long-format (vec_id, dim,
+# nval) so the flat schema is hash-comparable. Norms are computed with a
+# SEQUENTIAL cumsum reduction, matching DuckDB's left-to-right
+# list_dot_product order bit-for-bit (numpy's pairwise .sum() would not).
+
+NORM_IDS = 50
+
+
+def embedding_normalize(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), NORM_IDS)),
+        batch_format="pyarrow",
+    )
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "nval": pa.array([], pa.float64())}
+            )
+        arr = tbl.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(tbl.num_rows, -1)
+        d = m.shape[1]
+        # sequential (left-to-right) sum of squares == SQL list_dot_product
+        norm = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+        norm[norm == 0] = 1.0
+        nv = m / norm[:, None]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(tbl.column("vec_id").to_numpy(), d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), tbl.num_rows)),
+                "nval": pa.array(np.floor(nv.ravel() * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+EMBEDDING_NORMALIZE_SQL = f"""
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < {NORM_IDS}
+)
+SELECT vec_id,
+       unnest(range(len(e))) AS dim,
+       unnest(list_transform(e, x -> floor(x / sqrt(list_dot_product(e, e)) * 1e6 + 0.5) / 1e6))
+         AS nval
+FROM t
+"""
