@@ -268,8 +268,17 @@ def knn_join_exact(sf_dir: str) -> ray.data.Dataset:
         lambda t: t.filter(pc.less(t.column("vec_id"), KNN_JOIN_QUERIES)),
         batch_format="pyarrow",
     )
+    # k-means sample from a pushdown-filtered driver read (bounded) so the
+    # corpus plan is not executed a third time just to sample it
+    sample = ann._emb_matrix(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["embedding"],
+            filters=[("vec_id", "<", 4096)],
+        )
+    )
     return ann.ivf_knn_join(
-        corpus, queries, k=KNN_JOIN_K, n_clusters=8, nprobe=8
+        corpus, queries, k=KNN_JOIN_K, n_clusters=8, nprobe=8, sample=sample
     )
 
 

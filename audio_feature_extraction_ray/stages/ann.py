@@ -131,6 +131,9 @@ def ivf_knn_join(
     against the cross-join oracle); smaller nprobe trades recall for a
     candidate-only exchange."""
     if sample is None:
+        # bounded k-means sample. Callers reading from parquet should pass
+        # `sample` from a pushdown-filtered driver read instead — this
+        # fallback executes the corpus plan once just to sample it.
         sample_tbl = pa.concat_tables(
             b for b in corpus.limit(4096).iter_batches(batch_size=4096, batch_format="pyarrow")
         )
