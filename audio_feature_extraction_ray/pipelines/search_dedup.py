@@ -371,3 +371,53 @@ SELECT vec_id,
          AS nval
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over exact-Jaccard pairs (the
+# iterative label-propagation operator in stages/graph.py), hash-checked
+# against a recursive-CTE SQL oracle.
+
+CLUSTER_N = 500
+CLUSTER_MIN_J = 0.9
+
+
+def dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.graph import connected_components
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CLUSTER_N)),
+        batch_format="pyarrow",
+    )
+    pairs = dedup.jaccard_pairs(ds, min_jaccard=CLUSTER_MIN_J)
+    out = connected_components(pairs, a_col="a", b_col="b")
+    return out.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node"), "cluster_id": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {CLUSTER_N}
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= {CLUSTER_MIN_J}
+), e AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), reach(id, anc) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.anc FROM e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""

@@ -1,0 +1,162 @@
+"""Iterative graph operators over edge Datasets: connected components.
+
+The dedup-clustering step of a near-dup pipeline: candidate pairs (from
+LSH / SimHash / exact Jaccard) are edges; each connected component is one
+duplicate cluster, and keep-one-per-cluster falls out as `min(id) ==
+cluster label`.
+
+Algorithm: synchronous min-label propagation. Each iteration ships
+(neighbor_label) messages along the SYMMETRIC edge list via the
+co-partitioned equi-join exchange (stages/join.py) and folds them with a
+vectorized per-partition group-min — no per-node Python anywhere. The
+label total strictly decreases until fixpoint, so convergence detection is
+one cheap sum over the (bounded, node-count-sized) label table.
+
+Iterations needed = component diameter; near-dup clusters are dense so a
+handful suffices (the fixture's 265-node/9k-edge graph converges in 4).
+For adversarially chain-shaped graphs the O(log n) star-contraction
+variant is the upgrade path; the exchange shape here is already the one it
+would reuse.
+
+Scale notes: edges and labels are PAIR-scale (candidate output), far
+smaller than the corpus; both stay in Ray Datasets end-to-end —
+materialize() between iterations holds them in the object store, never on
+the driver. The only driver-side values are the per-iteration label sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _pid_i64(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        pid = ((keys.astype(np.int64).view(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(
+            num_partitions
+        )
+    return pid.astype(np.int32)
+
+
+def _group_min(ds: ray.data.Dataset, num_partitions: int) -> ray.data.Dataset:
+    """(node, label) -> per-node min label: in-batch combiner + ONE hash
+    exchange + vectorized per-partition segment min."""
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        node = tbl.column("node").to_numpy()
+        lbl = tbl.column("label").to_numpy()
+        order = np.lexsort((lbl, node))
+        ns, ls = node[order], lbl[order]
+        head = np.ones(ns.size, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        starts = np.flatnonzero(head)
+        return pa.table(
+            {
+                "node": pa.array(ns[starts], pa.int64()),
+                "label": pa.array(ls[starts], pa.int64()),  # sorted: first == min
+                "__pid": pa.array(_pid_i64(ns[starts], num_partitions)),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        if tbl.num_rows == 0:
+            return tbl
+        node = tbl.column("node").to_numpy()
+        lbl = tbl.column("label").to_numpy()
+        order = np.lexsort((lbl, node))
+        ns, ls = node[order], lbl[order]
+        head = np.ones(ns.size, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        starts = np.flatnonzero(head)
+        return pa.table(
+            {"node": pa.array(ns[starts], pa.int64()), "label": pa.array(ls[starts], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 16,
+    max_iter: int = 25,
+) -> ray.data.Dataset:
+    """Label every node of the undirected edge Dataset with the minimum node
+    id reachable from it. Returns a Dataset (node, label); nodes without
+    edges are not emitted (singletons are their own trivial cluster).
+
+    Raises RuntimeError if max_iter passes without reaching the fixpoint —
+    a diameter larger than max_iter, see the star-contraction note above."""
+    from .join import copartitioned_equijoin
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).cast(pa.int64()).combine_chunks()
+        b = tbl.column(b_col).cast(pa.int64()).combine_chunks()
+        # both directions PLUS self-loops: the self-loop forwards a node's
+        # own current label, so each iteration is ONE message exchange —
+        # no labels-union inside the loop (dataset unions in a loop compound
+        # the plan and each materialize gets slower than the last)
+        ends = pa.concat_arrays([a, b])
+        u = np.unique(ends.to_numpy())
+        loops = pa.array(u, pa.int64())
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b, loops]),
+                "dst": pa.concat_arrays([b, a, loops]),
+            }
+        )
+
+    sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    sym_edges = ray.data.from_arrow_refs(
+        [r for r in sym_edges.to_arrow_refs()]
+    )  # pinned: consumed once per iteration (see _pin below)
+
+    def seed(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("src").to_numpy()
+        u = np.unique(n)
+        return pa.table({"node": pa.array(u, pa.int64()), "label": pa.array(u, pa.int64())})
+
+    def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Hard lineage cut: rebase the dataset on its materialized block
+        refs. A bare materialize() is not enough here — consuming iteration
+        i's MaterializedDataset re-executed its ancestry, so loop walls grew
+        every round (measured 1.5s -> 9.4s over 6 iterations); from_arrow_refs
+        pins the blocks in the object store and keeps every round flat."""
+        refs = [r for r in ds.materialize().to_arrow_refs()]
+        return ray.data.from_arrow_refs(refs)
+
+    labels = _pin(_group_min(sym_edges.map_batches(seed, batch_format="pyarrow"), num_partitions))
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iter):
+        # messages: each edge (incl. the self-loop) forwards its src's
+        # CURRENT label to dst; the per-node min IS the next label table
+        msgs = copartitioned_equijoin(
+            sym_edges,
+            labels,
+            fact_key="src",
+            dim_key="node",
+            fact_cols=["dst"],
+            dim_cols=["label"],
+            num_partitions=num_partitions,
+            fact_col_types={"dst": pa.int64()},
+            dim_col_types={"label": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "label": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = _pin(_group_min(msgs, num_partitions))
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

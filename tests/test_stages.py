@@ -503,3 +503,25 @@ def test_semi_anti_join_edges(ray_session):
     assert sorted(anti_all["k"]) == [1, 2, 3, 4, 5, 6]
     semi_none = copartitioned_semi_anti(lds, probe([]), "k", "k").to_pandas()
     assert len(semi_none) == 0
+
+
+def test_connected_components(ray_session):
+    """Min-label propagation CC: multiple components, chains, isolated
+    self-edges; matches a union-find reference."""
+    from audio_feature_extraction_ray.stages.graph import connected_components
+
+    edges = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 10, 20, 21, 30], pa.int64()),
+            "b": pa.array([2, 3, 4, 11, 21, 22, 30], pa.int64()),
+        }
+    )
+    out = (
+        connected_components(ray.data.from_arrow(edges).repartition(3))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30}
+    got = dict(zip(out["node"], out["label"]))
+    assert got == expect
