@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
         "dup_clusters": search_dedup.dup_clusters,
+        "doc_pagerank": search_dedup.doc_pagerank,
         "minhash_lsh_docs": search_dedup.minhash_lsh_docs,  # rows-only
         "simhash_pairs_docs": search_dedup.simhash_pairs_docs,  # rows-only
         "doc_signatures": search_dedup.doc_signatures,  # rows-only
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "dup_clusters": search_dedup.DUP_CLUSTERS_SQL,
+        "doc_pagerank": search_dedup.DOC_PAGERANK_SQL,
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,

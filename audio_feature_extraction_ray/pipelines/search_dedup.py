@@ -421,3 +421,66 @@ WITH RECURSIVE d AS (
 SELECT id AS doc_id, CAST(min(anc) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup similarity graph (fixed-point integer
+# arithmetic -> bit-exact; the SQL oracle unrolls the same integer update).
+
+PR_N = 300
+PR_ITERS = 5
+
+
+def doc_pagerank(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.graph import pagerank
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), PR_N)),
+        batch_format="pyarrow",
+    )
+    pairs = dedup.jaccard_pairs(ds, min_jaccard=CLUSTER_MIN_J)
+    out = pagerank(pairs, a_col="a", b_col="b", iters=PR_ITERS)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "rank_fp": t.column("rank_fp")}),
+        batch_format="pyarrow",
+    )
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {PR_N}
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= {CLUSTER_MIN_J}
+), e AS (
+  SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), nn AS (SELECT count(*) AS c FROM deg),
+p0 AS (
+  SELECT deg.src AS node,
+         CAST(1000000000000 // nn.c AS BIGINT) AS r
+  FROM deg, nn
+)"""
+    step = """,
+p{i} AS (
+  SELECT e.dst AS node,
+         CAST((SELECT CAST(floor(0.15 * 1000000000000.0 / c) AS BIGINT) FROM nn)
+              + 85 * sum(p.r // dg.deg) // 100 AS BIGINT) AS r
+  FROM e
+  JOIN p{prev} p ON p.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+)"""
+    body = "".join(step.format(i=i, prev=i - 1) for i in range(1, PR_ITERS + 1))
+    return head + body + f"\nSELECT node AS doc_id, r AS rank_fp FROM p{PR_ITERS}"
+
+
+DOC_PAGERANK_SQL = _pagerank_sql()

@@ -160,3 +160,145 @@ def connected_components(
             return labels
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed-point integer arithmetic. All state is int64 "rank units"
+# (RANK_SCALE = 1e12 per unit mass): contributions are r // deg and the
+# damped update is base + damping_pct * sum // 100 — integer ops only, so
+# the result is BIT-EXACT and independent of summation order, and a SQL
+# oracle can reproduce it with the same unrolled integer expressions.
+
+RANK_SCALE = 1_000_000_000_000  # 1e12
+
+
+def _pagerank_edges(edges, a_col, b_col, num_partitions):
+    """Symmetric (src, dst, deg) edge table, src-partitioned, deg exact
+    (all of a src's edges land in one partition)."""
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).cast(pa.int64()).combine_chunks()
+        b = tbl.column(b_col).cast(pa.int64()).combine_chunks()
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        pid = _pid_i64(src.to_numpy(), num_partitions)
+        return pa.table({"src": src, "dst": dst, "__pid": pa.array(pid)})
+
+    def attach_deg(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        src = tbl.column("src").to_numpy()
+        uniq, codes = np.unique(src, return_inverse=True)
+        deg = np.bincount(codes, minlength=uniq.size)
+        return tbl.append_column("deg", pa.array(deg[codes], pa.int64()))
+
+    return (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(attach_deg, batch_format="pyarrow")
+    )
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    iters: int = 5,
+    damping_pct: int = 85,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Fixed-iteration PageRank over the undirected edge Dataset. Returns
+    (node, rank_fp) with rank_fp in RANK_SCALE units; sum over nodes stays
+    ~RANK_SCALE. Deterministic integer arithmetic end to end."""
+    from .join import copartitioned_equijoin
+
+    sym_deg = _pagerank_edges(edges, a_col, b_col, num_partitions).materialize()
+    sym_deg = ray.data.from_arrow_refs([r for r in sym_deg.to_arrow_refs()])
+
+    # node count: one tiny distinct pass (symmetric graph -> every node is a src)
+    def count_nodes(tbl: pa.Table) -> pa.Table:
+        u = np.unique(tbl.column("src").to_numpy())
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    n_nodes = (
+        _group_min(
+            sym_deg.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("src"),
+                        "label": t.column("src"),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            num_partitions,
+        )
+        .count()
+    )
+    init_r = RANK_SCALE // n_nodes
+    base = int(np.floor((100 - damping_pct) / 100 * RANK_SCALE / n_nodes))
+
+    def seed(tbl: pa.Table) -> pa.Table:
+        u = np.unique(tbl.column("src").to_numpy())
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "rank_fp": pa.array(np.full(u.size, init_r, dtype=np.int64)),
+            }
+        )
+
+    def group_first(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return _group_min(
+            ds.map_batches(
+                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+            ),
+            num_partitions,
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "rank_fp"]), batch_format="pyarrow"
+        )
+
+    ranks = group_first(sym_deg.map_batches(seed, batch_format="pyarrow"))
+    ranks = ray.data.from_arrow_refs([r for r in ranks.materialize().to_arrow_refs()])
+
+    def fold_contribs(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        dst = tbl.column("node").to_numpy()
+        c = tbl.column("contrib").to_numpy()
+        uniq, codes = np.unique(dst, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, codes, c)
+        r = base + damping_pct * sums // 100
+        return pa.table(
+            {"node": pa.array(uniq, pa.int64()), "rank_fp": pa.array(r, pa.int64())}
+        )
+
+    for _ in range(iters):
+        contribs = copartitioned_equijoin(
+            sym_deg,
+            ranks,
+            fact_key="src",
+            dim_key="node",
+            fact_cols=["dst", "deg"],
+            dim_cols=["rank_fp"],
+            num_partitions=num_partitions,
+            fact_col_types={"dst": pa.int64(), "deg": pa.int64()},
+            dim_col_types={"rank_fp": pa.int64()},
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("dst"),
+                    "contrib": pa.array(
+                        t.column("rank_fp").to_numpy() // t.column("deg").to_numpy(),
+                        pa.int64(),
+                    ),
+                    "__pid": pa.array(
+                        _pid_i64(t.column("dst").to_numpy(), num_partitions)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            contribs.groupby("__pid").map_groups(fold_contribs, batch_format="pyarrow")
+        )
+        ranks = ray.data.from_arrow_refs([r for r in ranks.materialize().to_arrow_refs()])
+    return ranks

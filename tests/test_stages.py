@@ -525,3 +525,35 @@ def test_connected_components(ray_session):
     expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 30: 30}
     got = dict(zip(out["node"], out["label"]))
     assert got == expect
+
+
+def test_pagerank_fixed_point(ray_session):
+    """Fixed-point PageRank matches a single-process integer reference and
+    ranks the hub above leaves."""
+    from audio_feature_extraction_ray.stages.graph import RANK_SCALE, pagerank
+
+    # star: node 0 center with 4 leaves, plus a disjoint pair
+    edges = pa.table(
+        {"a": pa.array([0, 0, 0, 0, 10], pa.int64()),
+         "b": pa.array([1, 2, 3, 4, 11], pa.int64())}
+    )
+    out = (
+        pagerank(ray.data.from_arrow(edges).repartition(2), iters=5)
+        .to_pandas()
+        .set_index("node")["rank_fp"]
+    )
+    # reference: same integer update
+    sym = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11)]
+    sym = sym + [(b, a) for a, b in sym]
+    nodes = sorted({x for e in sym for x in e})
+    deg = {n: sum(1 for s, _ in sym if s == n) for n in nodes}
+    n = len(nodes)
+    r = {x: RANK_SCALE // n for x in nodes}
+    base = int(np.floor(0.15 * RANK_SCALE / n))
+    for _ in range(5):
+        acc = {x: 0 for x in nodes}
+        for s, d in sym:
+            acc[d] += r[s] // deg[s]
+        r = {x: base + 85 * acc[x] // 100 for x in nodes}
+    assert dict(out) == r
+    assert out[0] > out[1]  # hub outranks leaf
