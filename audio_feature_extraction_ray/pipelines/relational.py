@@ -560,3 +560,262 @@ SELECT o_custkey, o_orderkey, o_totalprice,
                             ORDER BY o_totalprice, o_orderkey) AS pct_rank
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# macro-query: TPC-H Q3 analog (segment-filtered 3-way join -> grouped
+# revenue -> global top-10). Broadcast the filtered customer keys, map-side
+# combine lineitem revenue per order, ONE co-partitioned exchange, then a
+# bounded per-partition top-k + driver merge.
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = np.datetime64("1996-06-15", "us")
+Q3_K = 10
+
+
+def q3_shipping(sf_dir: str, num_partitions: int = 32):
+    import ray as _ray
+
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    cust = gather_small_side(_read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    keys = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), Q3_SEGMENT))
+        .column("c_custkey")
+        .to_numpy()
+    )
+    kref = _ray.put(keys)
+    lo = pa.scalar(Q3_DATE)
+
+    def orders_side(tbl: pa.Table) -> pa.Table:
+        ks = _ray.get(kref)
+        tbl = tbl.filter(pc.less(tbl.column("o_orderdate"), lo))
+        cu = tbl.column("o_custkey").to_numpy()
+        pos = np.searchsorted(ks, cu)
+        hit = pos < ks.size
+        hit[hit] = ks[pos[hit]] == cu[hit]
+        tbl = tbl.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": tbl.column("o_orderdate"),
+                "o_orderpriority": tbl.column("o_orderpriority"),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_side, batch_format="pyarrow")
+
+    def li_partial(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.greater(tbl.column("l_shipdate"), lo))
+        ok = tbl.column("l_orderkey").to_numpy()
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        rev4 = price_c * (100 - disc)
+        order = np.argsort(ok, kind="stable")
+        ok_s, rev_s = ok[order], rev4[order]
+        head = np.ones(ok_s.size, dtype=bool)
+        head[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(head)
+        sums = np.add.reduceat(rev_s, starts) if starts.size else np.empty(0, np.int64)
+        return pa.table(
+            {"l_orderkey": pa.array(ok_s[starts], pa.int64()), "rev4": pa.array(sums, pa.int64())}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = copartitioned_equijoin(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["rev4"],
+        dim_cols=["o_orderdate", "o_orderpriority"],
+        num_partitions=num_partitions,
+        fact_col_types={"rev4": pa.int64()},
+        dim_col_types={"o_orderdate": pa.timestamp("us"), "o_orderpriority": pa.string()},
+    )
+
+    def part_topk(tbl: pa.Table) -> pa.Table:
+        # partition owns whole orderkeys: fold partials, keep local top-k
+        ok = tbl.column("l_orderkey").to_numpy()
+        rev = tbl.column("rev4").to_numpy()
+        uniq, codes = np.unique(ok, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, codes, rev)
+        first = np.zeros(uniq.size, dtype=np.int64)
+        first[codes[::-1]] = np.arange(ok.size - 1, -1, -1)
+        order = np.lexsort((uniq, -sums))[: min(Q3_K, uniq.size)]
+        sel = tbl.take(pa.array(first[order]))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uniq[order], pa.int64()),
+                "rev4": pa.array(sums[order], pa.int64()),
+                "o_orderdate": sel.column("o_orderdate"),
+                "o_orderpriority": sel.column("o_orderpriority"),
+            }
+        )
+
+    import pandas as pd
+
+    parts = joined.map_batches(part_topk, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["rev4", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(Q3_K)
+    parts["revenue"] = parts.pop("rev4") / 10000.0
+    return parts[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(
+        drop=True
+    )
+
+
+Q3_SHIPPING_SQL = f"""
+SELECT o.o_orderkey,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '1996-06-15'
+  AND l.l_shipdate > TIMESTAMP '1996-06-15'
+GROUP BY 1, 3, 4
+ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC, o.o_orderkey
+LIMIT {Q3_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# macro-query: TPC-H Q5 analog (5-way join, local-supplier volume per
+# nation). Every dimension side (region/nation/supplier/customer) is a
+# bounded broadcast; the one large x large step (orders x lineitem) is the
+# co-partitioned exchange; nation partials fold on the driver (<= 25 rows).
+
+
+def q5_local_volume(sf_dir: str, num_partitions: int = 32):
+    import ray as _ray
+
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    region = gather_small_side(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rname = min(region.column("r_name").to_pylist())
+    rkey = region.filter(pc.equal(region.column("r_name"), rname)).column(
+        "r_regionkey"
+    ).to_pylist()[0]
+    nation = gather_small_side(_read(sf_dir, "nation"))
+    nmask = pc.equal(nation.column("n_regionkey"), rkey)
+    region_nations = nation.filter(nmask)
+    nkeys = region_nations.column("n_nationkey").to_numpy().astype(np.int64)
+    nnames = region_nations.column("n_name").to_pylist()
+    sup = gather_small_side(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = sup.column("s_suppkey").to_numpy()
+    sorder = np.argsort(sk, kind="stable")
+    cust = gather_small_side(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ck = cust.column("c_custkey").to_numpy()
+    corder = np.argsort(ck, kind="stable")
+    ref = _ray.put(
+        (
+            sk[sorder],
+            sup.column("s_nationkey").to_numpy().astype(np.int64)[sorder],
+            ck[corder],
+            cust.column("c_nationkey").to_numpy().astype(np.int64)[corder],
+            np.sort(nkeys),
+        )
+    )
+
+    def orders_side(tbl: pa.Table) -> pa.Table:
+        _, _, cks, cnat, _ = _ray.get(ref)
+        cu = tbl.column("o_custkey").to_numpy()
+        nat = cnat[np.searchsorted(cks, cu)]  # FK: every order has a customer
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "cust_nation": pa.array(nat, pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow"
+    )
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        sks, snat, _, _, region_keys = _ray.get(ref)
+        su = tbl.column("l_suppkey").to_numpy()
+        nat = snat[np.searchsorted(sks, su)]
+        pos = np.searchsorted(region_keys, nat)
+        hit = pos < region_keys.size
+        hit[hit] = region_keys[pos[hit]] == nat[hit]
+        tbl = tbl.filter(pa.array(hit))
+        nat = nat[hit]
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "supp_nation": pa.array(nat, pa.int64()),
+                "rev4": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    joined = copartitioned_equijoin(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["supp_nation", "rev4"],
+        dim_cols=["cust_nation"],
+        num_partitions=num_partitions,
+        fact_col_types={"supp_nation": pa.int64(), "rev4": pa.int64()},
+        dim_col_types={"cust_nation": pa.int64()},
+    )
+
+    nkeys_sorted = np.sort(nkeys)
+
+    def nation_partial(tbl: pa.Table) -> pa.Table:
+        m = pc.equal(tbl.column("supp_nation"), tbl.column("cust_nation"))
+        tbl = tbl.filter(m)
+        nat = tbl.column("supp_nation").to_numpy()
+        rev = tbl.column("rev4").to_numpy()
+        sums = np.zeros(nkeys_sorted.size, dtype=np.int64)
+        np.add.at(sums, np.searchsorted(nkeys_sorted, nat), rev)
+        return pa.table(
+            {"nkey": pa.array(nkeys_sorted, pa.int64()), "rev4": pa.array(sums, pa.int64())}
+        )
+
+    import pandas as pd
+
+    parts = joined.map_batches(nation_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("nkey", as_index=False)["rev4"].sum()
+    name_of = dict(zip(nkeys, nnames))
+    agg = agg[agg["rev4"] > 0]
+    out = pd.DataFrame(
+        {
+            "n_name": [name_of[k] for k in agg["nkey"]],
+            "revenue": agg["rev4"].to_numpy() / 10000.0,
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+Q5_LOCAL_VOLUME_SQL = """
+SELECT n.n_name,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = (SELECT min(r_name) FROM region)
+  AND c.c_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
