@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_tokens": text_analysis.distinct_tokens,
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
         "docs_bigram_topk": text_analysis.bigram_topk,
+        "token_heavy_hitters": text_analysis.token_heavy_hitters,
         "doc_tfidf_top_terms": text_analysis.tfidf_top_terms,
         "token_postings": text_analysis.token_postings,
         # dedup family
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,
         "docs_distinct_tokens": text_analysis.DISTINCT_TOKENS_SQL,
         "docs_bigram_topk": text_analysis.BIGRAM_TOPK_SQL,
+        "token_heavy_hitters": text_analysis.TOKEN_HEAVY_HITTERS_SQL,
         "doc_tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
         "token_postings": text_analysis.TOKEN_POSTINGS_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,

@@ -691,3 +691,65 @@ FROM pairs
 GROUP BY token
 HAVING count(*) <= floor({POSTINGS_DF_FRAC} * (SELECT count(*) FROM documents))
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable frequent-items sketch over tokens.
+# Per batch, exact counts compress to <= MG_K counters (subtract the
+# (K+1)-th count, drop non-positive); summaries merge by summing retained
+# counters then compressing again. Guarantee: true_count - estimate <=
+# total subtracted mass <= n/(MG_K+1). When the corpus has <= MG_K distinct
+# tokens the sketch is EXACT — the fixture vocabulary is, so the driver
+# oracle checks that regime; the lossy regime's undercount bound is pinned
+# in test_misra_gries_bound.
+
+MG_K = 64
+MG_TOP = 20
+
+
+def _mg_compress(toks: np.ndarray, counts: np.ndarray, k: int):
+    if toks.size <= k:
+        return toks, counts
+    order = np.argsort(-counts, kind="stable")
+    t = counts[order[k]]
+    kept = order[counts[order] > t]
+    return toks[kept], counts[kept] - t
+
+
+def token_heavy_hitters(sf_dir: str):
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        de = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            de.indices.to_numpy(zero_copy_only=False), minlength=len(de.dictionary)
+        ).astype(np.int64)
+        toks = de.dictionary.to_numpy(zero_copy_only=False)
+        toks, counts = _mg_compress(toks, counts, MG_K)
+        return pa.table(
+            {"token": pa.array(toks.tolist(), pa.string()), "est": pa.array(counts, pa.int64())}
+        )
+
+    import pandas as pd
+
+    # merge: <= MG_K counters per batch -> bounded fold on the driver
+    parts = (
+        _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow").to_pandas()
+    )
+    agg = parts.groupby("token", as_index=False)["est"].sum()
+    toks, counts = _mg_compress(
+        agg["token"].to_numpy(), agg["est"].to_numpy().astype(np.int64), MG_K
+    )
+    out = pd.DataFrame({"token": toks, "est": counts})
+    out = out.sort_values(["est", "token"], ascending=[False, True], kind="mergesort").head(
+        MG_TOP
+    )
+    return out.reset_index(drop=True)
+
+
+TOKEN_HEAVY_HITTERS_SQL = f"""
+SELECT tok AS token, count(*) AS est
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY est DESC, tok
+LIMIT {MG_TOP}
+"""

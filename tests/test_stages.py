@@ -557,3 +557,24 @@ def test_pagerank_fixed_point(ray_session):
         r = {x: base + 85 * acc[x] // 100 for x in nodes}
     assert dict(out) == r
     assert out[0] > out[1]  # hub outranks leaf
+
+
+def test_misra_gries_bound():
+    """Lossy regime: every estimate undercounts its true count by at most
+    the total subtracted mass <= n/(k+1); top item survives."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import _mg_compress
+
+    rng = np.random.default_rng(44)
+    # zipf-ish stream over 200 distinct items, compressed to k=16
+    items = rng.zipf(1.5, 5000) % 200
+    toks, true_counts = np.unique(items.astype(str), return_counts=True)
+    k = 16
+    est_t, est_c = _mg_compress(toks, true_counts.astype(np.int64), k)
+    n = items.size
+    est = dict(zip(est_t, est_c))
+    for t, c in zip(toks, true_counts):
+        e = est.get(t, 0)
+        assert e <= c
+        assert c - e <= n / (k + 1) + 1
+    top = toks[np.argmax(true_counts)]
+    assert top in est
