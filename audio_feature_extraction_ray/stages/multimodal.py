@@ -73,8 +73,21 @@ class RealDecoder:
                 "decoding compressed audio requires the 'soundfile' codec "
                 "library (not installed); PCM WAV payloads decode natively"
             )
+        if self.kind == "image":
+            if payload[:2] == b"BM":
+                from ..functions.image import decode_bmp, to_gray
+
+                # flat luma in [-1, 1): the common "waveform" contract the
+                # windowed feature stage expects from every decoder kind
+                return (to_gray(decode_bmp(payload)).ravel() / 128.0 - 1.0).astype(
+                    np.float32
+                )
+            raise NotImplementedError(
+                "decoding compressed images requires the 'PIL' codec library "
+                "(not installed); 24-bit BMP payloads decode natively"
+            )
         raise NotImplementedError(
-            f"decoding {self.kind!r} payloads requires the 'PIL'/ffmpeg codec "
+            f"decoding {self.kind!r} payloads requires the ffmpeg codec "
             "libraries, which are not installed in this environment; "
             "use FakeDecoder for plumbing tests"
         )
@@ -283,3 +296,110 @@ def synthetic_media_table(n: int = 64, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image path: 24-bit BMP payloads decode with the pure-numpy codec in
+# functions/image.py (no library needed — BMP is a 54-byte header plus raw
+# BGR rows), then resize / features / perceptual hash, all in one actor
+# stage. Compressed formats (jpeg/png) still require PIL and raise with the
+# dependency named — same honesty contract as compressed audio.
+
+from ..functions.image import (  # noqa: E402  (grouped with the image stage)
+    IMAGE_FEATURE_ORDER,
+    ahash64,
+    decode_bmp,
+    encode_bmp,
+    image_features,
+    resize_nearest,
+)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: BMP decode -> thumbnail resize -> scalar features +
+    64-bit average perceptual hash (the image near-dup fingerprint)."""
+
+    def __init__(self, thumb: int = 32):
+        self.thumb = thumb
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        width = len(IMAGE_FEATURE_ORDER)
+        ids, hashes, rows, hs, ws = [], [], [], [], []
+        for mid, payload in zip(
+            tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+        ):
+            img = decode_bmp(payload)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            small = resize_nearest(img, self.thumb, self.thumb)
+            feats = image_features(small)
+            rows.append(np.array([feats[k] for k in IMAGE_FEATURE_ORDER]))
+            hashes.append(np.int64(np.uint64(ahash64(img))))
+            ids.append(mid)
+        mat = np.stack(rows) if rows else np.zeros((0, width))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "ahash64": pa.array(hashes, pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.ravel(), pa.float64()), width
+                ),
+            }
+        )
+
+
+def extract_image_features(
+    ds: ray.data.Dataset, concurrency: int = 4, batch_size: int = 16
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synthetic_bmp_table(n: int = 24, seed: int = 7) -> pa.Table:
+    """Deterministic REAL-BMP fixture: gradients, solids, and noise patterns
+    with known statistics; includes one exact-duplicate pair (rows 0 and
+    n-1) so the perceptual hash has a planted match."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    imgs = []
+    for i in range(n - 1):
+        h = int(rng.integers(16, 64))
+        w = int(rng.integers(16, 64))
+        kind = i % 3
+        if kind == 0:  # horizontal gradient
+            row = np.linspace(0, 255, w, dtype=np.uint8)
+            img = np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2)
+        elif kind == 1:  # solid color
+            img = np.full((h, w, 3), rng.integers(0, 256, 3, dtype=np.uint8)[None, None, :])
+        else:  # noise
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        imgs.append(img)
+        payloads.append(encode_bmp(np.ascontiguousarray(img, dtype=np.uint8)))
+    payloads.append(payloads[0])  # planted exact duplicate of row 0
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+            "n_channels": pa.array([3] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_image_features(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: pixel DSP is not SQL-expressible;
+    the codec round-trip and feature closed-forms are pinned in pytest):
+    REAL BMP decode + thumbnail features + perceptual hash over the
+    deterministic synthetic BMP fixture."""
+    n = 48 if "0.1" in sf_dir else 24
+    ds = ray.data.from_arrow(synthetic_bmp_table(n))
+    return extract_image_features(ds, concurrency=4, batch_size=8)

@@ -140,3 +140,51 @@ def test_audio_pipeline_end_to_end(ray_session):
     a = np.stack(out.sort_values("media_id")["features"].to_numpy())
     b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# image codec + feature tests (functions/image.py — the BMP twin of the
+# stdlib-WAV audio path)
+
+
+def test_bmp_roundtrip():
+    from audio_feature_extraction_ray.functions.image import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (5, 3), (16, 17), (33, 64)]:  # odd widths hit row padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+
+
+def test_image_features_closed_form():
+    from audio_feature_extraction_ray.functions.image import image_features
+
+    solid = np.full((10, 20, 3), 100, dtype=np.uint8)
+    f = image_features(solid)
+    assert f["mean_r"] == f["mean_g"] == f["mean_b"] == 100.0
+    assert f["luma_std"] == 0.0 and f["edge_energy"] == 0.0
+    assert f["aspect"] == 2.0
+    grad = np.repeat(np.arange(0, 250, 10, dtype=np.uint8)[None, :, None], 8, axis=0).repeat(3, axis=2)
+    g = image_features(grad)
+    assert g["edge_energy"] > 0 and abs(g["mean_r"] - 120.0) < 1e-9
+
+
+def test_ahash_dup_detection():
+    from audio_feature_extraction_ray.functions.image import ahash64
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    assert ahash64(img) == ahash64(img.copy())
+    assert ahash64(img) != ahash64(255 - img)  # inverted image -> different hash
+
+
+def test_media_image_features_pipeline(ray_session):
+    from audio_feature_extraction_ray.stages.multimodal import media_image_features
+
+    df = media_image_features("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 24
+    # planted duplicate: first and last rows share the perceptual hash
+    h = df.set_index("media_id")["ahash64"]
+    assert h[0] == h[23]
+    assert df["features"].iloc[0].shape == (6,)
