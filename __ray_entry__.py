@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from audio_feature_extraction_ray.stages.multimodal import (
         media_image_features as _media_image_features,
     )
+    from audio_feature_extraction_ray.stages.multimodal import (
+        media_video_frames as _media_video_frames,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # split / augment family (SURVEY §2.1 S6, §2.2 M6)
@@ -82,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal: REAL PCM-WAV decode + log-mel/scalar DSP (rows-only)
         "media_audio_features": _media_audio_features,
         "media_image_features": _media_image_features,
+        "media_video_frames": _media_video_frames,
         # similarity search over `embeddings`
         "ann_bruteforce": search_dedup.ann_bruteforce,
         "embedding_dups": search_dedup.embedding_dups,

@@ -7,14 +7,16 @@ This is the direct descendant of the reference's audio path
 decoder loaded ONCE per actor, small batches because payload rows are wide,
 fixed-width feature vectors out.
 
-Round 2: the AUDIO path is REAL, no external codecs needed — PCM WAV
-payloads are decoded with the stdlib `wave` module and run through a real
-numpy DSP chain (Hann STFT -> HTK mel filterbank -> log-mel + RMS/ZCR/
-spectral centroid; functions/audio.py), mirroring the reference's
-STFT/mel extractors. Compressed audio (mp3/flac) still needs `soundfile`
-and raises with that dependency named; image/video decode remains stubbed
-behind the same contract (`PIL`/ffmpeg absent here), with `FakeDecoder`
-keeping the plumbing testable for those kinds.
+Round 2: all three kinds have a REAL no-external-codec path —
+- audio: stdlib `wave` PCM decode -> numpy Hann-STFT/HTK-log-mel + frame
+  scalars (functions/audio.py), mirroring the reference's STFT/mel chain;
+- image: pure-numpy 24-bit BMP codec -> resize / scalar features / 64-bit
+  average perceptual hash (functions/image.py);
+- video: the declared "RAWV" raw container (length-prefixed BMP frames) ->
+  frame sampling, per-frame hashes, inter-frame motion energy.
+Compressed formats (mp3/flac, jpeg/png, h264) genuinely require
+soundfile/PIL/ffmpeg and raise with the dependency named; `FakeDecoder`
+keeps that plumbing testable.
 """
 
 from __future__ import annotations
@@ -75,8 +77,6 @@ class RealDecoder:
             )
         if self.kind == "image":
             if payload[:2] == b"BM":
-                from ..functions.image import decode_bmp, to_gray
-
                 # flat luma in [-1, 1): the common "waveform" contract the
                 # windowed feature stage expects from every decoder kind
                 return (to_gray(decode_bmp(payload)).ravel() / 128.0 - 1.0).astype(
@@ -312,6 +312,7 @@ from ..functions.image import (  # noqa: E402  (grouped with the image stage)
     encode_bmp,
     image_features,
     resize_nearest,
+    to_gray,
 )
 
 
@@ -403,3 +404,113 @@ def media_image_features(sf_dir: str) -> ray.data.Dataset:
     n = 48 if "0.1" in sf_dir else 24
     ds = ray.data.from_arrow(synthetic_bmp_table(n))
     return extract_image_features(ds, concurrency=4, batch_size=8)
+
+
+# ---------------------------------------------------------------------------
+# video frame-sampling: a DECLARED raw container ("RAWV": u32 frame count,
+# then length-prefixed 24-bit BMP frames). Real codecs (h264 etc.) require
+# ffmpeg and stay stubbed; this container exercises the real frame-sample
+# plumbing — parse, decode every k-th frame, per-frame perceptual hash,
+# inter-frame motion energy — with genuinely decoded pixels.
+
+import struct as _struct  # noqa: E402
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    parts = [b"RAWV", _struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(np.ascontiguousarray(f, dtype=np.uint8))
+        parts.append(_struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def iter_rawv_frames(payload: bytes):
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV payload")
+    (n,) = _struct.unpack_from("<I", payload, 4)
+    off = 8
+    for _ in range(n):
+        (ln,) = _struct.unpack_from("<I", payload, off)
+        off += 4
+        yield decode_bmp(payload[off : off + ln])
+        off += ln
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample every k-th frame of a RAWV payload, emit
+    per-record frame count, sampled count, first/last frame hashes, and
+    mean inter-sample motion energy (mean |luma diff|)."""
+
+    def __init__(self, every_k: int = 2):
+        self.every_k = every_k
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids, nf, ns, h0, h1, motion = [], [], [], [], [], []
+        for mid, payload in zip(
+            tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+        ):
+            frames = list(iter_rawv_frames(payload))
+            sampled = frames[:: self.every_k]
+            lumas = [to_gray(f) for f in sampled]
+            diffs = [
+                np.abs(a - b).mean() for a, b in zip(lumas[1:], lumas[:-1]) if a.shape == b.shape
+            ]
+            ids.append(mid)
+            nf.append(len(frames))
+            ns.append(len(sampled))
+            h0.append(np.int64(np.uint64(ahash64(sampled[0]))))
+            h1.append(np.int64(np.uint64(ahash64(sampled[-1]))))
+            motion.append(float(np.mean(diffs)) if diffs else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "n_sampled": pa.array(ns, pa.int64()),
+                "ahash_first": pa.array(h0, pa.int64()),
+                "ahash_last": pa.array(h1, pa.int64()),
+                "motion_energy": pa.array(motion, pa.float64()),
+            }
+        )
+
+
+def synthetic_rawv_table(n: int = 12, seed: int = 9) -> pa.Table:
+    """Deterministic RAWV fixture: each clip is a horizontally scrolling
+    gradient (nonzero motion); clip 0 is a STATIC clip (zero motion)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        h, w = 24, 32
+        nfr = int(rng.integers(4, 10))
+        base = np.linspace(0, 255, w, dtype=np.uint8)
+        frames = []
+        for t in range(nfr):
+            shift = 0 if i == 0 else 3 * t
+            row = np.roll(base, shift)
+            frames.append(np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2))
+        payloads.append(encode_rawv(frames))
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["video"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+            "n_channels": pa.array([3] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_video_frames(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only): frame sampling + motion energy
+    over the deterministic RAWV fixture; clip 0's zero motion and the
+    scrolling clips' nonzero motion are pinned in pytest."""
+    n = 24 if "0.1" in sf_dir else 12
+    ds = ray.data.from_arrow(synthetic_rawv_table(n))
+    return ds.map_batches(
+        VideoFrameSampler,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=4,
+        num_cpus=1,
+    )

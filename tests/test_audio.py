@@ -188,3 +188,21 @@ def test_media_image_features_pipeline(ray_session):
     h = df.set_index("media_id")["ahash64"]
     assert h[0] == h[23]
     assert df["features"].iloc[0].shape == (6,)
+
+
+def test_rawv_roundtrip_and_motion(ray_session):
+    from audio_feature_extraction_ray.stages.multimodal import (
+        iter_rawv_frames,
+        media_video_frames,
+        synthetic_rawv_table,
+    )
+
+    tbl = synthetic_rawv_table(4)
+    frames = list(iter_rawv_frames(tbl.column("payload").to_pylist()[1]))
+    assert frames[0].shape == (24, 32, 3)
+    df = media_video_frames("/root/testdata/sf0.001").to_pandas().set_index("media_id")
+    assert len(df) == 12
+    assert df.loc[0, "motion_energy"] == 0.0          # static clip
+    assert (df.drop(index=0)["motion_energy"] > 0).all()  # scrolling clips
+    assert df.loc[0, "ahash_first"] == df.loc[0, "ahash_last"]
+    assert (df["n_sampled"] == (df["n_frames"] + 1) // 2).all()
