@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custs_with_big_orders": relational.custs_with_big_orders,
         "custs_without_orders": relational.custs_without_orders,
         "orders_percent_rank": relational.orders_percent_rank,
+        "orders_ntile": relational.orders_ntile,
         "q3_shipping": relational.q3_shipping,
         "q5_local_volume": relational.q5_local_volume,
     }
@@ -188,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
         "custs_with_big_orders": relational.CUSTS_WITH_BIG_ORDERS_SQL,
         "custs_without_orders": relational.CUSTS_WITHOUT_ORDERS_SQL,
         "orders_percent_rank": relational.ORDERS_PERCENT_RANK_SQL,
+        "orders_ntile": relational.ORDERS_NTILE_SQL,
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "q5_local_volume": relational.Q5_LOCAL_VOLUME_SQL,
     }

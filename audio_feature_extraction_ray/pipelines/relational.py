@@ -819,3 +819,62 @@ WHERE r.r_name = (SELECT min(r_name) FROM region)
   AND c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# ntile + cume_dist windows over the same hash-partitioned segment kernel as
+# percent_rank. Unique ordering makes both pure integer-derived:
+# ntile = ((rn-1)*k) // n + 1; cume_dist = rn / n (exact int division,
+# IEEE-identical on both sides).
+
+NTILE_K = 4
+
+
+def orders_ntile(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    from ..stages.window import _pid_for_key, _seg_starts
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "__pid", pa.array(_pid_for_key(tbl.column("o_custkey"), num_partitions))
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        cust = tbl.column("o_custkey").to_numpy()
+        price = tbl.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = tbl.column("o_orderkey").to_numpy()
+        idx = np.lexsort((okey, price, cust))
+        cs = cust[idx]
+        rn = np.arange(cs.size) - _seg_starts(cs) + 1
+        head = np.ones(cs.size, dtype=bool)
+        head[1:] = cs[1:] != cs[:-1]
+        seg_id = np.cumsum(head) - 1
+        n = np.bincount(seg_id)[seg_id]
+        # ntile semantics: the first n%k buckets hold one extra row
+        q, r = n // NTILE_K, n % NTILE_K
+        cut = r * (q + 1)
+        tile = np.where(
+            rn <= cut,
+            (rn - 1) // (q + 1) + 1,
+            r + (rn - 1 - cut) // np.maximum(q, 1) + 1,
+        )
+        out = tbl.take(pa.array(idx))
+        out = out.append_column("tile", pa.array(tile, pa.int64()))
+        return out.append_column("cume", pa.array(rn / n, pa.float64()))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+ORDERS_NTILE_SQL = f"""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(ntile({NTILE_K}) OVER w AS BIGINT) AS tile,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
