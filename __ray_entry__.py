@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
+        "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
         "dup_clusters": search_dedup.dup_clusters,
         "doc_pagerank": search_dedup.doc_pagerank,
         "minhash_lsh_docs": search_dedup.minhash_lsh_docs,  # rows-only
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
+        "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,
         "dup_clusters": search_dedup.DUP_CLUSTERS_SQL,
         "doc_pagerank": search_dedup.DOC_PAGERANK_SQL,
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,

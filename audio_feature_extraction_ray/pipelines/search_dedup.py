@@ -484,3 +484,33 @@ p{i} AS (
 
 
 DOC_PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup pairs (sample-bound), SQL-oracled via DuckDB's
+# levenshtein over the same prefixes.
+
+EDIST_N = 40
+EDIST_PREFIX = 64
+EDIST_MAX = 45
+
+
+def edit_distance_pairs_sample(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), EDIST_N)),
+        batch_format="pyarrow",
+    )
+    return dedup.edit_distance_pairs(
+        ds, prefix_len=EDIST_PREFIX, max_dist=EDIST_MAX
+    )
+
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+SELECT a.doc_id AS a, b.doc_id AS b,
+       levenshtein(substr(a.text, 1, {EDIST_PREFIX}), substr(b.text, 1, {EDIST_PREFIX})) AS edist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < {EDIST_N} AND b.doc_id < {EDIST_N}
+  AND levenshtein(substr(a.text, 1, {EDIST_PREFIX}), substr(b.text, 1, {EDIST_PREFIX})) <= {EDIST_MAX}
+"""

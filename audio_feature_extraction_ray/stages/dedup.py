@@ -668,3 +668,82 @@ def jaccard_pairs(
     )
     out = ds.groupby("_g").map_groups(lambda g: fn(g.drop(columns=["_g"])), batch_format="pandas")
     return out
+
+
+# ---------------------------------------------------------------------------
+# edit-distance pairs (sample-bound, like jaccard_pairs): Levenshtein over
+# fixed-length prefixes, vectorized ACROSS ALL PAIRS at once — the DP
+# iterates only the 'b' positions; the within-column dependency
+# new[i] = min(c[i], new[i-1]+1) collapses to one np.minimum.accumulate via
+# the (c - i) shift trick, so a batch of P pairs costs prefix_len vector
+# ops total, never P x len^2 Python.
+
+
+def _levenshtein_batch(sa: list[str], sb: list[str], prefix_len: int) -> np.ndarray:
+    p = len(sa)
+    A = np.zeros((p, prefix_len), dtype=np.uint8)
+    B = np.zeros((p, prefix_len), dtype=np.uint8)
+    la = np.empty(p, dtype=np.int64)
+    lb = np.empty(p, dtype=np.int64)
+    for i, (x, y) in enumerate(zip(sa, sb)):
+        xb = x.encode("utf-8")[:prefix_len]
+        yb = y.encode("utf-8")[:prefix_len]
+        la[i], lb[i] = len(xb), len(yb)
+        A[i, : la[i]] = np.frombuffer(xb, dtype=np.uint8)
+        B[i, : lb[i]] = np.frombuffer(yb, dtype=np.uint8)
+    n = prefix_len
+    ar0 = np.arange(n + 1)
+    # D rows indexed by position in A; iterate positions of B
+    D = np.broadcast_to(ar0, (p, n + 1)).astype(np.int64).copy()
+    snapshots = np.empty((p,), dtype=np.int64)
+    for j in range(1, n + 1):
+        cost = (A != B[:, j - 1 : j]).astype(np.int64)  # (p, n)
+        c = np.minimum(D[:, 1:] + 1, D[:, :-1] + cost)
+        # new[0] = j seeds the within-column chain new[i] = min(c[i],
+        # new[i-1]+1); the chain is a prefix-min of (value - position)
+        arr = np.concatenate([np.full((p, 1), j, dtype=np.int64), c], axis=1)
+        D = np.minimum.accumulate(arr - ar0, axis=1) + ar0
+        done = lb == j
+        if done.any():
+            snapshots[done] = D[done, la[done]]
+    zero_b = lb == 0
+    if zero_b.any():
+        snapshots[zero_b] = la[zero_b]
+    return snapshots
+
+
+def edit_distance_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 64,
+    max_dist: int = 64,
+) -> ray.data.Dataset:
+    """All-pairs Levenshtein over text prefixes for a SAMPLE-BOUND input
+    (the caller limits ds, same contract as jaccard_pairs); emits pairs with
+    edist <= max_dist. Matches SQL levenshtein(substr(a,1,L), substr(b,1,L))
+    for ASCII text."""
+    import pandas as pd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        texts = list(df[text_col])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        if ii.size == 0:
+            return pd.DataFrame({"a": [], "b": [], "edist": []}).astype(
+                {"a": "int64", "b": "int64", "edist": "int64"}
+            )
+        d = _levenshtein_batch(
+            [texts[i] for i in ii], [texts[j] for j in jj], prefix_len
+        )
+        keep = d <= max_dist
+        return pd.DataFrame(
+            {"a": ids[ii[keep]], "b": ids[jj[keep]], "edist": d[keep]}
+        )
+
+    ds = ds.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int32))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("_g").map_groups(lambda g: fn(g.drop(columns=["_g"])), batch_format="pandas")

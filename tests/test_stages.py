@@ -578,3 +578,24 @@ def test_misra_gries_bound():
         assert c - e <= n / (k + 1) + 1
     top = toks[np.argmax(true_counts)]
     assert top in est
+
+
+def test_edit_distance_pairs(ray_session):
+    """Vectorized batch Levenshtein == classic DP on planted cases."""
+    from audio_feature_extraction_ray.stages.dedup import (
+        _levenshtein_batch,
+        edit_distance_pairs,
+    )
+
+    assert _levenshtein_batch(["kitten"], ["sitting"], 16)[0] == 3
+    assert _levenshtein_batch(["", "abc"], ["abc", ""], 8).tolist() == [3, 3]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["hello world", "hello worlds", "xyz"], pa.string()),
+        }
+    )
+    out = edit_distance_pairs(ray.data.from_arrow(tbl), max_dist=100).to_pandas()
+    got = {(a, b): d for a, b, d in zip(out["a"], out["b"], out["edist"])}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 11  # len("hello world") replacements/inserts
