@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": events.zscore,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
+        "events_cube": events.cube_type_day,
         "events_signup_window": events.signup_window_agg,
         "events_session_funnel": events.session_funnel,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": events.ZSCORE_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
+        "events_cube": events.CUBE_TYPE_DAY_SQL,
         "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
         "events_session_funnel": events.SESSION_FUNNEL_SQL,
         "q1_pricing": relational.Q1_SQL,

@@ -939,3 +939,31 @@ SELECT user_id, session_id,
 FROM f
 GROUP BY user_id, session_id
 """
+
+
+def cube_type_day(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): every subtotal level derived from
+    the same exact integer detail partials as the rollup (bounded fold)."""
+    import pandas as pd
+
+    base = rollup_type_day(sf_dir)  # detail + per-type + grand (exact ints)
+    detail = base[base["event_type"].notna() & base["day"].notna()].copy()
+    cents = (detail["sum_value"] * 100).round().astype("int64")
+    by_day = detail.assign(c=cents).groupby("day", as_index=False).agg(
+        n=("n", "sum"), c=("c", "sum")
+    )
+    by_day["event_type"] = None
+    by_day["sum_value"] = by_day.pop("c") / 100.0
+    out = pd.concat([base, by_day[["event_type", "day", "n", "sum_value"]]], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+CUBE_TYPE_DAY_SQL = """
+SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+FROM events
+GROUP BY CUBE(event_type, day)
+"""
