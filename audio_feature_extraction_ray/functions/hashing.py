@@ -281,6 +281,73 @@ def avalanche64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+def _string_buffers(arr) -> tuple[int, np.ndarray, np.ndarray, np.ndarray]:
+    """(n, starts, lens, data) int64/uint8 views of a pyarrow string array's
+    value buffers. Accepts pa.Array / pa.ChunkedArray / list / numpy object."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(
+            [s if isinstance(s, str) else str(s) for s in arr], pa.string()
+        )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    m = len(arr)
+    if m == 0:
+        return 0, np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + m + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.empty(0, np.uint8)
+    return m, off[:-1], off[1:] - off[:-1], data
+
+
+# distinct odd-weight families for the suffix / stride byte samples so a byte
+# contributing via the prefix never cancels the same byte via the suffix
+_SUF_W = avalanche64(np.arange(101, 101 + _TOK_K, dtype=np.uint64)) | np.uint64(1)
+_STRIDE_W = avalanche64(np.arange(211, 211 + 7, dtype=np.uint64)) | np.uint64(1)
+
+
+def string_hash_strong(arr) -> np.ndarray:
+    """uint64 hash per string, fully vectorized from the Arrow buffers,
+    covering the WHOLE string: length + first 16 bytes + last 16 bytes + a
+    7-point stride sample of the interior, splitmix64-avalanched.
+
+    Use this wherever hash quality matters beyond equal-strings-hash-equal:
+    partition routing of urls/hosts (long shared prefixes — "https://www."
+    — would collapse a prefix-only hash into a handful of partitions) and
+    sketch registers (HLL), per round-2 ADVICE on `string_hash_array`'s
+    16-byte-prefix collisions. ~39 byte gathers per batch, no per-row Python."""
+    n, starts, lens, data = _string_buffers(arr)
+    h = lens.astype(np.uint64)
+    if n == 0:
+        return h
+    with np.errstate(over="ignore"):
+        h *= _TOK_LMIX
+        if data.size:
+            hi = data.size - 1
+            ends = starts + lens
+            for j in range(_TOK_K):
+                mask = lens > j
+                contrib = data[np.minimum(starts + j, hi)].astype(np.uint64)
+                contrib *= mask
+                contrib *= _TOK_W[j]
+                h += contrib
+                sidx = np.clip(ends - 1 - j, 0, hi)
+                contrib = data[sidx].astype(np.uint64)
+                contrib *= mask
+                contrib *= _SUF_W[j]
+                h += contrib
+            nz = lens > 0
+            for k in range(1, 8):
+                pos = np.minimum(starts + (lens * k) // 8, hi)
+                contrib = data[pos].astype(np.uint64)
+                contrib *= nz
+                contrib *= _STRIDE_W[k - 1]
+                h += contrib
+    return avalanche64(h)
+
+
 def string_hash_array(arr) -> np.ndarray:
     """uint64 hash per element of a pyarrow string array, fully vectorized
     from the value buffers (length-mixed polynomial over the first _TOK_K

@@ -516,6 +516,7 @@ def asof_join_two_table(sf_dir: str) -> ray.data.Dataset:
         right_value_cols=["sig_value"],
         num_partitions=NUM_PARTITIONS,
         col_types={"event_id": pa.int64(), "sig_value": pa.float64()},
+        key_type=pa.int64(),
     )
 
     def finish(tbl: pa.Table) -> pa.Table:

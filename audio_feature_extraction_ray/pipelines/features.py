@@ -165,9 +165,7 @@ _SIG_NULL_COLS = ("sig_ts", "sig_rank", "sig_ok")
 
 
 def _tag_pages_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Table:
-    hosts = tbl.column("host").to_pylist()
-    urls = tbl.column("url").to_pylist()
-    pid = partitioner.partition_ids(hosts, urls)
+    pid = partitioner.partition_ids(tbl.column("host"), tbl.column("url"))
     n = tbl.num_rows
     return pa.table(
         {
@@ -186,26 +184,51 @@ def _tag_pages_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Tabl
 
 
 def _replicate_signals_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Table:
-    hosts = tbl.column("host").to_pylist()
+    """Vectorized: normal hosts route in one hash call; only rows of HOT
+    hosts (a handful by construction) fan out to their salt block."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import string_hash_strong
+
+    hosts = tbl.column("host")
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    nrows = len(hosts)
+    base_pid = (
+        string_hash_strong(hosts) % np.uint64(partitioner.num_partitions)
+    ).astype(np.int64)
+    if partitioner.hot_hosts:
+        hot_idx = (
+            pc.index_in(hosts, value_set=pa.array(list(partitioner.hot_hosts), pa.string()))
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+    else:
+        hot_idx = np.full(nrows, -1, dtype=np.int64)
+    hot = hot_idx >= 0
+    S = partitioner.hot_salt
+    # normal rows once + hot rows replicated S times
+    sel = np.concatenate([np.nonzero(~hot)[0], np.repeat(np.nonzero(hot)[0], S)])
+    hot_base = partitioner.num_partitions + hot_idx[hot] * S
+    pids = np.concatenate(
+        [base_pid[~hot], (hot_base[:, None] + np.arange(S, dtype=np.int64)[None, :]).ravel()]
+    )
     ts = tbl.column("ts").cast(pa.int64()).to_numpy()
     rank = tbl.column("rank").to_numpy(zero_copy_only=False).astype(np.float64)
     ok = tbl.column("fetch_ok").to_numpy(zero_copy_only=False).astype(np.float64)
-    idx: list[int] = []
-    pids: list[int] = []
-    for i, h in enumerate(hosts):
-        for p in partitioner.signal_partition_ids(h):
-            idx.append(i)
-            pids.append(p)
-    sel = np.asarray(idx, dtype=np.int64)
     n = sel.size
+    sel_pa = pa.array(sel)
+    empty = pa.array(np.zeros(n, dtype=np.int32), pa.int32())  # offsets trick below
+    blank = pa.DictionaryArray.from_arrays(empty, pa.array([""], pa.string())).dictionary_decode()
     return pa.table(
         {
-            "url": pa.array([""] * n, pa.string()),
+            "url": blank,
             "warc_ts": pa.nulls(n, pa.timestamp("us")),
-            "host": pa.array([hosts[i] for i in idx], pa.string()),
-            "text": pa.array([""] * n, pa.string()),
-            "lang": pa.array([""] * n, pa.string()),
-            "partition_id": pa.array(np.asarray(pids, dtype=np.int32)),
+            "host": hosts.take(sel_pa),
+            "text": blank,
+            "lang": blank,
+            "partition_id": pa.array(pids.astype(np.int32)),
             "__side": pa.array(np.ones(n, dtype=np.int8)),
             "sig_ts": pa.array(ts[sel], pa.int64()),
             "sig_rank": pa.array(rank[sel], pa.float64()),

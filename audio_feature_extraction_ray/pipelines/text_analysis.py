@@ -375,14 +375,17 @@ def hll_distinct_tokens(sf_dir: str):
     maxima (np.maximum.at over avalanche64 token hashes), merged by
     element-wise max — the registers are the ONLY bytes that leave a task.
     Rows-only driver check; the estimate is pinned against the exact count
-    in pytest (test_hll_error_bound)."""
-    from ..functions.hashing import string_hash_array
+    in pytest (test_hll_error_bound). Registers hash with the FULL-coverage
+    string hash (prefix+suffix+stride sample) — a 16-byte-prefix hash would
+    collapse long shared-prefix tokens (urls, identifiers) into one register
+    and undercount (round-2 ADVICE)."""
+    from ..functions.hashing import string_hash_strong
 
     m = 1 << HLL_P
 
     def partial(tbl: pa.Table) -> pa.Table:
         flat = _raw_flat_tokens(tbl)
-        h = string_hash_array(pc.unique(flat))
+        h = string_hash_strong(pc.unique(flat))
         reg = np.zeros(m, dtype=np.uint8)
         if h.size:
             idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)

@@ -27,7 +27,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..state.partition import url_hash64
+from ..functions.hashing import avalanche64, string_hash_strong
+
+
+def _key_partition_ids(col, num_partitions: int) -> np.ndarray:
+    """Vectorized routing hash for a key column of ANY type: strings hash
+    from the Arrow buffers, integral/temporal keys avalanche their int64
+    view. No per-row Python (round-2 verdict #1)."""
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        h = string_hash_strong(col)
+    else:
+        v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = avalanche64(np.asarray(v, dtype=np.int64).view(np.uint64))
+    return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
 def _tag_and_project(
@@ -41,11 +53,14 @@ def _tag_and_project(
 ) -> pa.Table:
     n = tbl.num_rows
     cols: dict[str, pa.Array] = {}
-    keys = tbl.column(key).to_pylist()
-    pid = (url_hash64([str(k) for k in keys]) % np.uint64(num_partitions)).astype(np.int32)
-    cols["__pid"] = pa.array(pid)
+    kcol = tbl.column(key)
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    cols["__pid"] = pa.array(_key_partition_ids(kcol, num_partitions))
     cols["__side"] = pa.array(np.full(n, side, dtype=np.int8))
-    cols["__key"] = tbl.column(key).cast(pa.string())
+    # native key type preserved end-to-end (round-2 ADVICE); cast unifies
+    # minor dtype drift between the two sides (e.g. int32 vs int64)
+    cols["__key"] = kcol if kcol.type == col_types["__key"] else kcol.cast(col_types["__key"])
     cols["__ts"] = tbl.column(ts).cast(pa.int64())
     for c in all_cols:
         # absent columns are typed from the OTHER side's schema so the union
@@ -65,20 +80,27 @@ def asof_join_copartitioned(
     num_partitions: int = 32,
     prefix: str = "asof_",
     col_types: dict | None = None,
+    key_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """Returns key + left_ts + left_cols + prefixed right value columns
     (float64, NaN when no right row with right.ts <= left.ts exists for the
-    key). Pass col_types (column -> pa.DataType for left_cols +
-    right_value_cols) when known — the .schema() fallback partially EXECUTES
-    both upstream pipelines just to sample their schemas."""
+    key). The key keeps its NATIVE type (string or integral) in the output —
+    including on the empty-partition path. Pass col_types (column ->
+    pa.DataType for left_cols + right_value_cols) and key_type when known —
+    the .schema() fallback partially EXECUTES both upstream pipelines just
+    to sample their schemas."""
 
     all_left = left_cols
     all_cols = all_left + right_value_cols
-    if col_types is None:
+    if col_types is None or key_type is None:
         lschema, rschema = left.schema(), right.schema()  # ray.data.Schema
         ltypes = dict(zip(lschema.names, lschema.types))
         rtypes = dict(zip(rschema.names, rschema.types))
-        col_types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
+        if col_types is None:
+            col_types = {c: ltypes.get(c, rtypes.get(c)) for c in all_cols}
+        if key_type is None:
+            key_type = ltypes[key]
+    col_types = {**col_types, "__key": key_type}
     tag_l = functools.partial(
         _tag_and_project, side=0, key=key, ts=left_ts, all_cols=all_cols,
         col_types=col_types, num_partitions=num_partitions,
@@ -92,7 +114,7 @@ def asof_join_copartitioned(
     unioned = lt.union(rt)
 
     out_schema = pa.schema(
-        [(key, pa.string()), (left_ts, pa.timestamp("us"))]
+        [(key, key_type), (left_ts, pa.timestamp("us"))]
         + [(c, col_types[c]) for c in all_left]
         + [(prefix + c, pa.float64()) for c in right_value_cols]
     )

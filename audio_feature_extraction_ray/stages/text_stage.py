@@ -240,6 +240,5 @@ def per_row_text_features(tbl: pa.Table, cfg: FeatureConfig) -> pa.Table:
 
 
 def assign_partition_batch(tbl: pa.Table, partitioner) -> pa.Table:
-    urls = tbl.column("url").to_pylist()
-    pids = partitioner.partition_ids(urls)
+    pids = partitioner.partition_ids(tbl.column("url"))
     return tbl.append_column("partition_id", pa.array(pids, pa.int32()))

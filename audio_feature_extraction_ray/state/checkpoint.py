@@ -26,17 +26,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .partition import url_hash64
+from ..functions.hashing import string_hash_strong
 
 MANIFEST_DIR = "_manifests"
 
 
 def partition_checksum(tbl: pa.Table) -> int:
     """Order-independent 64-bit checksum over (url, warc_ts) plus the feature
-    vectors: xor of per-row hashes."""
+    vectors: xor of per-row hashes. Vectorized from the Arrow buffers — this
+    runs inside the partition writer, so no per-row Python here."""
     if tbl.num_rows == 0:
         return 0
-    uh = url_hash64(tbl.column("url").to_pylist())
+    uh = string_hash_strong(tbl.column("url"))
     ts = tbl.column("warc_ts").cast(pa.int64()).to_numpy().view(np.uint64)
     h = uh ^ (ts * np.uint64(0x9E3779B97F4A7C15))
     if "features" in tbl.column_names:

@@ -19,9 +19,18 @@ from dataclasses import dataclass
 from zlib import crc32
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import string_hash_strong
 
 
 def url_hash64(urls: list[str] | np.ndarray) -> np.ndarray:
+    """crc32-pair hash, per-row Python. Kept ONLY for the output-affecting
+    split/mask assignments (stages/split_augment) whose DuckDB oracles pin
+    this exact arithmetic. All partition ROUTING goes through the vectorized
+    `string_hash_strong` (round-2 verdict #1) — routing is key-local so the
+    hash family is free to differ."""
     out = np.empty(len(urls), dtype=np.uint64)
     for i, u in enumerate(urls):
         b = u.encode("utf-8")
@@ -33,8 +42,8 @@ def url_hash64(urls: list[str] | np.ndarray) -> np.ndarray:
 class HashPartitioner:
     num_partitions: int
 
-    def partition_ids(self, urls: list[str] | np.ndarray) -> np.ndarray:
-        return (url_hash64(urls) % np.uint64(self.num_partitions)).astype(np.int32)
+    def partition_ids(self, urls) -> np.ndarray:
+        return (string_hash_strong(urls) % np.uint64(self.num_partitions)).astype(np.int32)
 
 
 @dataclass
@@ -66,13 +75,28 @@ class HostSaltPartitioner:
     def total_partitions(self) -> int:
         return self.num_partitions + self.hot_salt * len(self.hot_hosts)
 
-    def partition_ids(self, hosts: list[str], urls: list[str]) -> np.ndarray:
-        out = (url_hash64(hosts) % np.uint64(self.num_partitions)).astype(np.int32)
+    def partition_ids(self, hosts, urls) -> np.ndarray:
+        """Vectorized: hosts/urls may be pyarrow string arrays (zero-copy
+        buffer hashing) or python lists. Hot-host detection is one Arrow
+        `index_in` against the (small) hot set — no per-row dict lookups."""
+        if not isinstance(hosts, (pa.Array, pa.ChunkedArray)):
+            hosts = pa.array(list(hosts), pa.string())
+        out = (string_hash_strong(hosts) % np.uint64(self.num_partitions)).astype(np.int32)
         if self._hot_index:
-            hot_idx = np.array([self._hot_index.get(h, -1) for h in hosts], dtype=np.int64)
+            hot_idx = (
+                pc.index_in(hosts, value_set=pa.array(list(self.hot_hosts), pa.string()))
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
             hot = hot_idx >= 0
             if hot.any():
-                salts = url_hash64([urls[i] for i in np.nonzero(hot)[0]]) % np.uint64(self.hot_salt)
+                if not isinstance(urls, (pa.Array, pa.ChunkedArray)):
+                    urls = pa.array(list(urls), pa.string())
+                elif isinstance(urls, pa.ChunkedArray):
+                    urls = urls.combine_chunks()
+                hot_urls = urls.take(pa.array(np.nonzero(hot)[0]))
+                salts = string_hash_strong(hot_urls) % np.uint64(self.hot_salt)
                 out[hot] = (
                     self.num_partitions + hot_idx[hot] * self.hot_salt + salts.astype(np.int64)
                 ).astype(np.int32)
@@ -82,7 +106,7 @@ class HostSaltPartitioner:
         """All partition ids a signal row for `host` must be replicated to."""
         i = self._hot_index.get(host)
         if i is None:
-            return [int(url_hash64([host])[0] % np.uint64(self.num_partitions))]
+            return [int(string_hash_strong(pa.array([host]))[0] % np.uint64(self.num_partitions))]
         base = self.num_partitions + i * self.hot_salt
         return list(range(base, base + self.hot_salt))
 
@@ -123,14 +147,24 @@ class RangePartitioner:
     def num_partitions(self) -> int:
         return int(self._offsets[-1])
 
-    def partition_ids(self, urls: list[str] | np.ndarray) -> np.ndarray:
-        u = np.asarray(urls, dtype=object)
+    def partition_ids(self, urls) -> np.ndarray:
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        arrow_in = isinstance(urls, pa.Array)
+        u = (
+            np.asarray(urls.to_numpy(zero_copy_only=False), dtype=object)
+            if arrow_in
+            else np.asarray(urls, dtype=object)
+        )
         ranges = np.searchsorted(np.asarray(self.bounds, dtype=object), u, side="right")
         out = self._offsets[ranges].astype(np.int32)
         salts = np.asarray(self.salts)[ranges]
         hot = salts > 1
         if hot.any():
-            h = url_hash64(u[hot]) % salts[hot].astype(np.uint64)
+            hot_urls = (
+                urls.take(pa.array(np.nonzero(hot)[0])) if arrow_in else list(u[hot])
+            )
+            h = string_hash_strong(hot_urls) % salts[hot].astype(np.uint64)
             out[hot] += h.astype(np.int32)
         return out
 
