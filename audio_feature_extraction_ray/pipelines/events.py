@@ -676,6 +676,15 @@ def pivot_user_type(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.da
         tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
         vc = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         tcode = np.searchsorted(type_arr, tcol)
+        # searchsorted silently maps unknown types onto a neighbor's column
+        # (round-2 ADVICE): verify the round-trip and fail loudly instead of
+        # mis-attributing amounts
+        known = type_arr[np.clip(tcode, 0, ntypes - 1)] == tcol
+        if not known.all():
+            from ..errors import SchemaError
+
+            bad = sorted(set(np.asarray(tcol)[~known].tolist()))[:5]
+            raise SchemaError(f"pivot_user_type: unknown event_type values {bad}")
         users, ucode = np.unique(uid, return_inverse=True)
         amt = np.zeros((users.size, ntypes), dtype=np.int64)
         np.add.at(amt, (ucode, tcode), vc)
@@ -786,8 +795,13 @@ GROUP BY ROLLUP(event_type, day)
 # interval / range join: for every signup, aggregate the user's events whose
 # ts falls in [signup_ts, signup_ts + WINDOW). Co-partitioned by user (the
 # one exchange), then ONE global searchsorted over disjoint
-# (user-code << 43 | ts_rel) composite keys + prefix sums — no per-user
-# Python loop (the offset-array form from state/kernels).
+# (user-code << ts_bits | ts_rel) composite keys + prefix sums — no per-user
+# Python loop (the offset-array form from state/kernels). The key layout is
+# ADAPTIVE (round-2 ADVICE): ts is offset per USER (not per partition) and
+# ts_bits is computed from the actual per-user span + window, so the packing
+# holds for arbitrarily long crawls as long as log2(span)+log2(users) <= 64;
+# beyond that it fails loudly with SchemaError instead of silently
+# overflowing into the user bits.
 
 RANGE_WINDOW_DAYS = 3
 
@@ -803,12 +817,22 @@ def signup_window_agg(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.
         is_signup = (
             tbl.column("event_type").to_numpy(zero_copy_only=False) == "signup"
         )
-        _, ucode = np.unique(uid, return_inverse=True)
-        ts_rel = (ts - ts.min()).astype(np.uint64)
-        assert int(ts_rel.max(initial=0)) + window_us < (1 << 43), (
-            "ts span + window exceeds composite-key width"
-        )
-        comb = (ucode.astype(np.uint64) << np.uint64(43)) | ts_rel
+        users, ucode = np.unique(uid, return_inverse=True)
+        umin = np.full(users.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(umin, ucode, ts)
+        ts_rel = (ts - umin[ucode]).astype(np.uint64)
+        span = int(ts_rel.max(initial=0)) + window_us
+        ts_bits = max(span.bit_length() + 1, 1)  # +1: s_comb + window must not wrap
+        if ts_bits + max(users.size - 1, 0).bit_length() > 64:
+            from ..errors import SchemaError
+
+            raise SchemaError(
+                f"signup_window composite key overflow: per-user ts span+window "
+                f"needs {ts_bits} bits, {users.size} users need "
+                f"{max(users.size - 1, 0).bit_length()} — exceeds 64. "
+                f"Raise num_partitions to shrink users-per-partition."
+            )
+        comb = (ucode.astype(np.uint64) << np.uint64(ts_bits)) | ts_rel
         order = np.argsort(comb, kind="stable")
         comb_s, vc_s = comb[order], vc[order]
         csum = np.concatenate([[0], np.cumsum(vc_s)])

@@ -64,7 +64,8 @@ FROM (
 
 # --- exact token-set Jaccard pairs over a small sample (SQL-checkable) ------
 
-JACCARD_SAMPLE_N = 40
+JACCARD_SAMPLE_N = 400  # 10x the round-2 sample — the vectorized Gram kernel
+# needs no per-pair Python, so the bound is oracle cost, not engine cost
 JACCARD_MIN = 0.05
 
 

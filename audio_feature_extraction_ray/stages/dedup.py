@@ -34,6 +34,7 @@ import logging
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.hashing import minhash_signatures_batch
@@ -643,23 +644,58 @@ def simhash_pairs(
 def jaccard_pairs(
     ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text", min_jaccard: float = 0.0
 ) -> ray.data.Dataset:
+    """ALL-pairs token-set Jaccard, vectorized end-to-end (round-2 verdict
+    #6: no per-pair Python). Tokenization mirrors the SQL oracle's
+    string_split(text, ' ') INCLUDING empty tokens; token identity is the
+    full-coverage string_hash_strong, so hash collisions (the only way this
+    can diverge from true set Jaccard) need equal length + equal 32 sampled
+    bytes. All pairwise intersection counts come from ONE incidence-matrix
+    Gram product, chunked over the vocabulary so scratch stays bounded."""
     import pandas as pd
+
+    from ..functions.hashing import string_hash_strong
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(id_col)
         ids = df[id_col].to_numpy()
-        sets = [_token_hash_set(t) for t in df[text_col]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = np.intersect1d(sets[i], sets[j], assume_unique=True).size
-                union = sets[i].size + sets[j].size - inter
-                jac = inter / union if union else 1.0
-                if jac >= min_jaccard:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(np.floor(jac * 1e6 + 0.5) / 1e6)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        n = len(ids)
+        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+        if n < 2:
+            return empty
+        texts = pa.array([t if isinstance(t, str) else "" for t in df[text_col]], pa.string())
+        tok_lists = pc.split_pattern(texts, " ")
+        ntok = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = string_hash_strong(pc.list_flatten(tok_lists))
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        order = np.lexsort((h, row_of))
+        rs, hs = row_of[order], h[order]
+        uniq = np.ones(rs.size, dtype=bool)
+        uniq[1:] = (rs[1:] != rs[:-1]) | (hs[1:] != hs[:-1])
+        rs, hs = rs[uniq], hs[uniq]
+        sizes = np.bincount(rs, minlength=n).astype(np.int64)
+        _, codes = np.unique(hs, return_inverse=True)
+        U = int(codes.max()) + 1 if codes.size else 0
+        inter = np.zeros((n, n), dtype=np.float32)
+        CHUNK = 1 << 15  # vocab chunk: incidence scratch stays < n*32k floats
+        for c0 in range(0, U, CHUNK):
+            sel = (codes >= c0) & (codes < c0 + CHUNK)
+            a = np.zeros((n, min(CHUNK, U - c0)), dtype=np.float32)
+            a[rs[sel], codes[sel] - c0] = 1.0
+            inter += a @ a.T
+        ii, jj = np.triu_indices(n, k=1)
+        iv = inter[ii, jj].astype(np.int64)
+        union = sizes[ii] + sizes[jj] - iv
+        jac = np.where(union > 0, iv / np.maximum(union, 1), 1.0)
+        keep = jac >= min_jaccard
+        return pd.DataFrame(
+            {
+                "a": ids[ii[keep]].astype(np.int64),
+                "b": ids[jj[keep]].astype(np.int64),
+                "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6,
+            }
+        )
 
     # single group: the caller limits ds to a small sample
     ds = ds.map_batches(
@@ -680,17 +716,20 @@ def jaccard_pairs(
 
 
 def _levenshtein_batch(sa: list[str], sb: list[str], prefix_len: int) -> np.ndarray:
+    # CODEPOINT matrices (utf-32-le view), truncated by CHARACTER — matches
+    # the character semantics of SQL substr/levenshtein for non-ASCII text
+    # too (round-2 ADVICE: the old byte-truncated form diverged on zh docs)
     p = len(sa)
-    A = np.zeros((p, prefix_len), dtype=np.uint8)
-    B = np.zeros((p, prefix_len), dtype=np.uint8)
+    A = np.zeros((p, prefix_len), dtype=np.uint32)
+    B = np.zeros((p, prefix_len), dtype=np.uint32)
     la = np.empty(p, dtype=np.int64)
     lb = np.empty(p, dtype=np.int64)
     for i, (x, y) in enumerate(zip(sa, sb)):
-        xb = x.encode("utf-8")[:prefix_len]
-        yb = y.encode("utf-8")[:prefix_len]
-        la[i], lb[i] = len(xb), len(yb)
-        A[i, : la[i]] = np.frombuffer(xb, dtype=np.uint8)
-        B[i, : lb[i]] = np.frombuffer(yb, dtype=np.uint8)
+        xc = np.frombuffer(x[:prefix_len].encode("utf-32-le"), dtype=np.uint32)
+        yc = np.frombuffer(y[:prefix_len].encode("utf-32-le"), dtype=np.uint32)
+        la[i], lb[i] = xc.size, yc.size
+        A[i, : la[i]] = xc
+        B[i, : lb[i]] = yc
     n = prefix_len
     ar0 = np.arange(n + 1)
     # D rows indexed by position in A; iterate positions of B
@@ -721,8 +760,8 @@ def edit_distance_pairs(
 ) -> ray.data.Dataset:
     """All-pairs Levenshtein over text prefixes for a SAMPLE-BOUND input
     (the caller limits ds, same contract as jaccard_pairs); emits pairs with
-    edist <= max_dist. Matches SQL levenshtein(substr(a,1,L), substr(b,1,L))
-    for ASCII text."""
+    edist <= max_dist. Character-based (codepoint DP): matches SQL
+    levenshtein(substr(a,1,L), substr(b,1,L)) for non-ASCII text too."""
     import pandas as pd
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
