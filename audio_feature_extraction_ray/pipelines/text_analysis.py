@@ -498,13 +498,16 @@ ORDER BY n DESC, bigram LIMIT {BIGRAM_TOPK}
 
 
 # ---------------------------------------------------------------------------
-# TF-IDF top terms per document. Two distributed passes:
-#   1) document frequencies: per-batch distinct (doc, token) pairs ->
-#      per-token df partials -> hash exchange -> exact df; the vocabulary
-#      (token, df) is BOUNDED (corpus vocab), gathered once and ray.put.
-#   2) scoring: per-batch tf via dictionary codes, idf lookup by
-#      searchsorted into the broadcast vocab, top-k per doc with the same
-#      vectorized segment-rank kernel as stages/window.
+# TF-IDF top terms per document — fully distributed, NO driver-side
+# vocabulary (round-2 verdict #3: a web corpus's vocab is unbounded; the old
+# take_all()+broadcast would OOM the driver at 100 TB). Two hash exchanges:
+#   1) per-batch distinct (doc_id, token, tf) pairs routed by hash(token):
+#      each partition OWNS its tokens, so df is an exact per-partition
+#      bincount (every doc lives in one batch -> pairs are globally
+#      distinct), and the idf score attaches right there — the (token, df)
+#      table never exists in one place;
+#   2) scored pairs route back by hash(doc_id) for the per-doc top-k with
+#      the same vectorized segment-rank kernel as stages/window.
 # Ranking uses the ROUNDED score (floor(s*1e6+0.5), token) on both sides so
 # a 1-ulp ln() difference between numpy and DuckDB cannot flip a rank.
 
@@ -530,56 +533,71 @@ def _doc_token_pairs(tbl: pa.Table) -> tuple[np.ndarray, pa.Array, np.ndarray]:
 DF_PARTS = 32
 
 
-def _document_frequencies(docs: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
-    """Exact per-token document frequency; returns (sorted token array, df)."""
-    from ..functions.hashing import string_hash_array
-
-    def partial(tbl: pa.Table) -> pa.Table:
-        _, tok_arr, _ = _doc_token_pairs(tbl)
-        de = pc.dictionary_encode(tok_arr)
-        codes = de.indices.to_numpy(zero_copy_only=False)
-        dfp = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
-        pid = (string_hash_array(de.dictionary) % np.uint64(DF_PARTS)).astype(np.int32)
-        return pa.table(
-            {"token": de.dictionary, "df": pa.array(dfp, pa.int64()), "__pid": pa.array(pid)}
-        )
-
-    def fold(tbl: pa.Table) -> pa.Table:
-        de = pc.dictionary_encode(tbl.column("token").combine_chunks())
-        codes = de.indices.to_numpy(zero_copy_only=False)
-        sums = np.zeros(len(de.dictionary), dtype=np.int64)
-        np.add.at(sums, codes, tbl.column("df").to_numpy())
-        return pa.table({"token": de.dictionary, "df": pa.array(sums, pa.int64())})
-
-    vocab = (
-        docs.map_batches(partial, batch_format="pyarrow")
-        .groupby("__pid")
-        .map_groups(lambda g: fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
-        .take_all()
-    )  # bounded: one row per distinct token in the corpus
-    toks = np.array([r["token"] for r in vocab], dtype=str)
-    dfs = np.array([r["df"] for r in vocab], dtype=np.int64)
-    order = np.argsort(toks, kind="stable")
-    return toks[order], dfs[order]
-
-
 def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as _pq
-    import ray as _ray
+
+    from ..functions.hashing import avalanche64, string_hash_strong
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    toks, dfs = _document_frequencies(docs)
-    vocab_ref = _ray.put((toks, np.log(np.float64(n_docs) / dfs.astype(np.float64))))
 
-    def score(tbl: pa.Table) -> pa.Table:
-        vt, idf = _ray.get(vocab_ref)
+    def pairs(tbl: pa.Table) -> pa.Table:
+        """distinct (doc_id, token, tf) pairs, routed by hash(token)."""
         rows, tok_arr, tf = _doc_token_pairs(tbl)
-        ta = tok_arr.to_numpy(zero_copy_only=False).astype(str)
-        s = tf.astype(np.float64) * idf[np.searchsorted(vt, ta)]
-        s6 = np.floor(s * 1e6 + 0.5)  # rank on the rounded score (see above)
         did = tbl.column("doc_id").to_numpy()[rows]
-        idx = np.lexsort((ta, -s6, did))
+        pid = (string_hash_strong(tok_arr) % np.uint64(DF_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": tok_arr if not isinstance(tok_arr, pa.ChunkedArray) else tok_arr.combine_chunks(),
+                "tf": pa.array(tf, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        """This partition owns its tokens exclusively: df = per-token pair
+        count (pairs are globally distinct), idf/score attach in place."""
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        de = pc.dictionary_encode(tok)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        df = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
+        idf = np.log(np.float64(n_docs) / df.astype(np.float64))
+        tf = tbl.column("tf").to_numpy()
+        s6 = np.floor(tf.astype(np.float64) * idf[codes] * 1e6 + 0.5)
+        did = tbl.column("doc_id").to_numpy()
+        pid2 = (
+            avalanche64(np.asarray(did, dtype=np.int64).view(np.uint64))
+            % np.uint64(DF_PARTS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": tok,
+                "s6": pa.array(s6, pa.float64()),
+                "__pid2": pa.array(pid2),
+            }
+        )
+
+    def topk_partition(tbl: pa.Table) -> pa.Table:
+        """Per-doc top-k via the vectorized segment-rank kernel; this
+        partition owns its doc_ids exclusively."""
+        did = tbl.column("doc_id").to_numpy()
+        s6 = tbl.column("s6").to_numpy()
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        # tie-break on the token STRING via its dictionary rank (argsort of
+        # the dictionary), not numpy object comparisons
+        de = pc.dictionary_encode(tok)
+        drank = np.empty(len(de.dictionary), dtype=np.int64)
+        drank[
+            pc.array_sort_indices(de.dictionary).to_numpy(zero_copy_only=False)
+        ] = np.arange(len(de.dictionary))
+        trank = drank[de.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        idx = np.lexsort((trank, -s6, did))
         ds_, dids = s6[idx], did[idx]
         head = np.ones(dids.size, dtype=bool)
         head[1:] = dids[1:] != dids[:-1]
@@ -590,13 +608,19 @@ def tfidf_top_terms(sf_dir: str) -> ray.data.Dataset:
         return pa.table(
             {
                 "doc_id": pa.array(dids[keep], pa.int64()),
-                "token": pa.array(ta[idx][keep].tolist(), pa.string()),
+                "token": tok.take(pa.array(idx[keep])),
                 "tfidf": pa.array(ds_[keep] / 1e6, pa.float64()),
                 "rank": pa.array(rank[keep], pa.int64()),
             }
         )
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .groupby("__pid2")
+        .map_groups(lambda g: topk_partition(g.drop_columns(["__pid2"])), batch_format="pyarrow")
+    )
 
 
 TFIDF_TOP_TERMS_SQL = f"""
@@ -755,4 +779,72 @@ FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY tok
 ORDER BY est DESC, tok
 LIMIT {MG_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# string-keyed co-partitioned equi-join (round-2 verdict #5 proof query):
+# attach each lang's corpus-wide document count to every doc. The dimension
+# side is ITSELF built by a distributed exchange (per-batch partial counts
+# hash-routed on the lang string), then joined large x large on the string
+# key through stages.join.copartitioned_equijoin's dictionary-code merge —
+# the token<->df join shape TF-IDF uses, in an SQL-checkable form.
+
+LANG_JOIN_PARTS = 8
+
+
+def docs_lang_join(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_strong
+    from ..stages.join import copartitioned_equijoin
+
+    docs = _read_docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
+        pid = (string_hash_strong(de.dictionary) % np.uint64(LANG_JOIN_PARTS)).astype(np.int32)
+        return pa.table(
+            {"lang": de.dictionary, "n_partial": pa.array(n, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("n_partial").to_numpy())
+        return pa.table({"lang": de.dictionary, "lang_docs": pa.array(sums, pa.int64())})
+
+    dim = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    return copartitioned_equijoin(
+        docs,
+        dim,
+        fact_key="lang",
+        dim_key="lang",
+        fact_cols=["doc_id"],
+        dim_cols=["lang_docs"],
+        num_partitions=LANG_JOIN_PARTS,
+        fact_col_types={"doc_id": pa.int64()},
+        dim_col_types={"lang_docs": pa.int64()},
+        key_type=pa.string(),
+    )
+
+
+DOCS_LANG_JOIN_SQL = """
+SELECT d.lang, d.doc_id, c.lang_docs
+FROM documents d
+JOIN (
+  SELECT lang, CAST(count(*) AS BIGINT) AS lang_docs
+  FROM documents GROUP BY lang
+) c USING (lang)
 """

@@ -13,17 +13,22 @@ Two shapes, same switch philosophy as the flagship's as-of signals side
   equality semantics. For large x large (orders x lineitem class) where no
   side may touch driver or broadcast memory.
 
-Keys must be integer (int64-castable); the dimension side must be unique
-per key (FK -> dimension row). Inner semantics: fact rows without a match
-are dropped.
+Keys may be integer (int64-castable) OR string (round-2 verdict #5): string
+keys route via the vectorized buffer hash and merge on per-partition
+dictionary codes — no per-row Python either way. The dimension side must be
+unique per key (FK -> dimension row). Inner semantics: fact rows without a
+match are dropped.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+from ..functions.hashing import string_hash_strong
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -34,6 +39,16 @@ def _pid_of_i64(keys: np.ndarray, num_partitions: int) -> np.ndarray:
             num_partitions
         )
     return pid.astype(np.int32)
+
+
+def _is_string(dt: pa.DataType) -> bool:
+    return pa.types.is_string(dt) or pa.types.is_large_string(dt)
+
+
+def _key_pids(col: pa.Array, key_type: pa.DataType, num_partitions: int) -> np.ndarray:
+    if _is_string(key_type):
+        return (string_hash_strong(col) % np.uint64(num_partitions)).astype(np.int32)
+    return _pid_of_i64(col.to_numpy(), num_partitions)
 
 
 def gather_small_side(ds: ray.data.Dataset) -> pa.Table:
@@ -88,28 +103,37 @@ def copartitioned_equijoin(
     num_partitions: int = 32,
     fact_col_types: dict | None = None,
     dim_col_types: dict | None = None,
+    key_type: pa.DataType | None = None,
 ) -> ray.data.Dataset:
     """Inner equi-join with NO broadcast side: both datasets are routed by
     hash(key) into the same partition ids, unioned with a side tag, and each
-    partition is joined by ONE vectorized kernel (sort dim, searchsorted,
-    Arrow take). Output columns: fact_key, *fact_cols, *dim_cols.
+    partition is joined by ONE vectorized kernel (dictionary-encode the
+    partition's keys to int codes, sort dim, searchsorted, Arrow take).
+    Works for int64-castable AND string keys; the key keeps its native type
+    in the output. Output columns: fact_key, *fact_cols, *dim_cols.
 
-    Pass fact_col_types / dim_col_types (name -> pa.DataType) when known:
-    the .schema() fallback partially EXECUTES each upstream pipeline just to
-    sample its schema."""
-    if fact_col_types is None:
+    Pass fact_col_types / dim_col_types (name -> pa.DataType) and key_type
+    when known: the .schema() fallback partially EXECUTES each upstream
+    pipeline just to sample its schema."""
+    if fact_col_types is None or key_type is None:
         fschema = fact.schema()
-        fact_col_types = dict(zip(fschema.names, fschema.types))
+        if fact_col_types is None:
+            fact_col_types = dict(zip(fschema.names, fschema.types))
+        if key_type is None:
+            key_type = dict(zip(fschema.names, fschema.types))[fact_key]
     if dim_col_types is None:
         dschema = dim.schema()
         dim_col_types = dict(zip(dschema.names, dschema.types))
     ftypes, dtypes = fact_col_types, dim_col_types
+    key_type = key_type if _is_string(key_type) else pa.int64()
 
     def tag_fact(tbl: pa.Table) -> pa.Table:
-        keys = tbl.column(fact_key).cast(pa.int64())
+        keys = tbl.column(fact_key).cast(key_type)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         n = tbl.num_rows
         cols = {
-            "__pid": pa.array(_pid_of_i64(keys.to_numpy(), num_partitions)),
+            "__pid": pa.array(_key_pids(keys, key_type, num_partitions)),
             "__side": pa.array(np.zeros(n, dtype=np.int8)),
             "__key": keys,
         }
@@ -120,10 +144,12 @@ def copartitioned_equijoin(
         return pa.table(cols)
 
     def tag_dim(tbl: pa.Table) -> pa.Table:
-        keys = tbl.column(dim_key).cast(pa.int64())
+        keys = tbl.column(dim_key).cast(key_type)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
         n = tbl.num_rows
         cols = {
-            "__pid": pa.array(_pid_of_i64(keys.to_numpy(), num_partitions)),
+            "__pid": pa.array(_key_pids(keys, key_type, num_partitions)),
             "__side": pa.array(np.ones(n, dtype=np.int8)),
             "__key": keys,
         }
@@ -138,30 +164,36 @@ def copartitioned_equijoin(
     )
 
     out_schema = pa.schema(
-        [(fact_key, pa.int64())]
+        [(fact_key, key_type)]
         + [(c, ftypes[c]) for c in fact_cols]
         + [(c, dtypes[c]) for c in dim_cols]
     )
 
     def kernel(tbl: pa.Table) -> pa.Table:
         side = tbl.column("__side").to_numpy(zero_copy_only=False)
-        d = tbl.filter(pa.array(side == 1))
-        f = tbl.filter(pa.array(side == 0))
+        key_col = tbl.column("__key")
+        if isinstance(key_col, pa.ChunkedArray):
+            key_col = key_col.combine_chunks()
+        # one dictionary encode covers both sides -> int codes; string keys
+        # never hit numpy object comparisons
+        kc = pc.dictionary_encode(key_col).indices.to_numpy(zero_copy_only=False)
+        is_d = side == 1
+        d = tbl.filter(pa.array(is_d))
+        f = tbl.filter(pa.array(~is_d))
         if f.num_rows == 0 or d.num_rows == 0:
             return out_schema.empty_table()
-        dk = d.column("__key").to_numpy()
+        dk = kc[is_d]
         dorder = np.argsort(dk, kind="stable")
         dks = dk[dorder]
-        fk = f.column("__key").to_numpy()
+        fk = kc[~is_d]
         pos = np.searchsorted(dks, fk)
         hit = pos < dks.size
         hit[hit] = dks[pos[hit]] == fk[hit]
         if not hit.all():
             f = f.filter(pa.array(hit))
-            fk = fk[hit]
             pos = pos[hit]
         gathered = d.select(dim_cols).take(pa.array(dorder[pos]))
-        cols = {fact_key: pa.array(fk, pa.int64())}
+        cols = {fact_key: f.column("__key")}
         for c in fact_cols:
             cols[c] = f.column(c)
         for c in dim_cols:
