@@ -150,10 +150,45 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return q, sub.column("vec_id").to_numpy()
 
 
+def _query_side(sf_dir: str, max_id: int) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("vec_id"), max_id)), batch_format="pyarrow"
+    )
+
+
+def _kmeans_sample(sf_dir: str) -> np.ndarray:
+    # bounded pushdown-filtered driver read so the corpus plan is never
+    # executed just to sample it
+    return ann._emb_matrix(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["embedding"],
+            filters=[("vec_id", "<", 4096)],
+        )
+    )
+
+
 def ann_bruteforce(sf_dir: str) -> ray.data.Dataset:
-    q, qids = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.brute_force_topk(ds, q, qids, k=TOP_K)
+    """Exact cosine top-k via the Dataset x Dataset join at FULL probe
+    (round-2 verdict #7: both sides distributed, no driver-side query
+    matrix — exactness is unchanged because every cell is probed).
+    ann.brute_force_topk remains as the ndarray convenience for tiny
+    in-memory query sets."""
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann.ivf_knn_join(
+        corpus,
+        _query_side(sf_dir, N_QUERIES),
+        k=TOP_K,
+        n_clusters=8,
+        nprobe=8,
+        sample=_kmeans_sample(sf_dir),
+    )
 
 
 ANN_BRUTEFORCE_SQL = f"""
@@ -245,9 +280,19 @@ FROM s WHERE sim >= {EMB_DUP_THRESHOLD}
 
 
 def ann_ivf(sf_dir: str) -> ray.data.Dataset:
-    q, qids = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ann.ivf_topk(ds, q, qids, k=TOP_K, n_clusters=16, nprobe=4)
+    """Approximate IVF top-k via the distributed Dataset x Dataset join
+    (round-2 verdict #7); recall vs brute force pinned in pytest."""
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ann.ivf_knn_join(
+        corpus,
+        _query_side(sf_dir, N_QUERIES),
+        k=TOP_K,
+        n_clusters=16,
+        nprobe=4,
+        sample=_kmeans_sample(sf_dir),
+    )
 
 
 KNN_JOIN_QUERIES = 100
