@@ -527,6 +527,28 @@ def test_connected_components(ray_session):
     assert got == expect
 
 
+def test_connected_components_long_chain(ray_session):
+    """A 200-node path (diameter 199 >> max_iter=25) converges thanks to the
+    pointer-jumping shortcut — O(log n) rounds, not O(diameter)."""
+    from audio_feature_extraction_ray.stages.graph import connected_components
+
+    n = 200
+    edges = pa.table(
+        {
+            "a": pa.array(np.arange(n - 1), pa.int64()),
+            "b": pa.array(np.arange(1, n), pa.int64()),
+        }
+    )
+    out = (
+        connected_components(ray.data.from_arrow(edges).repartition(4), max_iter=25)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n
+    assert (out["label"] == 0).all()
+
+
 def test_pagerank_fixed_point(ray_session):
     """Fixed-point PageRank matches a single-process integer reference and
     ranks the hub above leaves."""
