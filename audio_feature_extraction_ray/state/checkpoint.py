@@ -175,14 +175,36 @@ def load_completed(out_dir: str | Path) -> dict[int, dict]:
     return done
 
 
-def job_report(manifests: list[dict]) -> dict:
+def job_report(manifests: list[dict], slow_threshold: float = 0.5) -> dict:
     """Global report = reduce over partition manifests (reference analog:
     ExecutionReport, design.md:1786-1792). Latency stats (SURVEY A1,
     design.md:2005-2061): per-partition wall aggregates + overall rows/s so
-    stragglers are visible without scanning the manifest dir."""
+    stragglers are visible without scanning the manifest dir.
+
+    Latency threshold predicate (reference analog: LatencyMonitor's
+    sliding-window threshold check, design.md:2005-2061): partitions whose
+    rows_per_s falls below slow_threshold x the run MEDIAN are flagged in
+    `slow_partitions` — the straggler list a scheduler or operator would
+    alert on — plus the median and cutoff used, so the flag is auditable."""
+    import numpy as _np
+
     walls = [m.get("wall_s") for m in manifests if m.get("wall_s")]
     rows_in = sum(m.get("rows_in", 0) for m in manifests)
+    rps = [
+        (int(m["partition_id"]), float(m["rows_per_s"]))
+        for m in manifests
+        if m.get("rows_per_s") is not None and m.get("partition_id") is not None
+    ]
+    if rps:
+        med = float(_np.median([v for _, v in rps]))
+        cutoff = slow_threshold * med
+        slow = sorted(pid for pid, v in rps if v < cutoff)
+    else:
+        med, cutoff, slow = None, None, []
     return {
+        "rows_per_s_median": round(med, 1) if med is not None else None,
+        "slow_cutoff_rows_per_s": round(cutoff, 1) if cutoff is not None else None,
+        "slow_partitions": slow,
         "partitions": len(manifests),
         "rows_in": rows_in,
         "rows_out": sum(m.get("rows_out", 0) for m in manifests),

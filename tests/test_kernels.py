@@ -197,3 +197,25 @@ def test_locf_runs_matches_per_host_locf():
         r1, o1 = lk.locf(h, ts[bounds[k] : bounds[k + 1]])
         np.testing.assert_allclose(r1, r2[bounds[k] : bounds[k + 1]], equal_nan=True)
         np.testing.assert_allclose(o1, o2[bounds[k] : bounds[k + 1]], equal_nan=True)
+
+
+def test_job_report_slow_partition_predicate():
+    """Latency threshold predicate: partitions below slow_threshold x the
+    median rows_per_s are flagged, with the cutoff recorded for audit."""
+    from audio_feature_extraction_ray.state.checkpoint import job_report
+
+    manifests = [
+        {"partition_id": i, "rows_in": 1000, "rows_out": 1000,
+         "wall_s": 1.0, "rows_per_s": v}
+        for i, v in enumerate([100.0, 110.0, 90.0, 105.0, 10.0])  # pid 4 straggles
+    ]
+    rep = job_report(manifests)
+    assert rep["slow_partitions"] == [4]
+    assert rep["rows_per_s_median"] == 100.0
+    assert rep["slow_cutoff_rows_per_s"] == 50.0
+    # all-healthy run flags nothing
+    rep2 = job_report(manifests[:4])
+    assert rep2["slow_partitions"] == []
+    # empty run: predicate fields are null, not crashing
+    rep3 = job_report([])
+    assert rep3["slow_partitions"] == [] and rep3["rows_per_s_median"] is None
