@@ -95,3 +95,145 @@ def image_features(img: np.ndarray) -> dict[str, float]:
 
 
 IMAGE_FEATURE_ORDER = ["mean_r", "mean_g", "mean_b", "luma_std", "edge_energy", "aspect"]
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (stdlib zlib only). PNG is the one COMPRESSED image format that
+# needs no codec library: chunks are (len, tag, data, crc32) and IDAT is a
+# zlib stream of per-row filtered scanlines — both fully covered by struct +
+# zlib + numpy. This makes the image decode path cover a real compressed
+# format honestly (reference analog: the compressed-format decode step of
+# AudioFileLoader, design.md:451-475, recast for the image kind; jpeg still
+# requires libjpeg and stays a named NotImplementedError).
+
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (8-bit truecolor, filter 0 rows,
+    one IDAT chunk). Minimal but spec-conformant: any PNG reader opens it."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8 RGB")
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)  # filter byte 0 per row
+    raw[:, 1:] = img.reshape(h, w * 3)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _defilter(scan: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG row filters. scan is (h, 1 + w*ch) uint8 (filter byte +
+    filtered bytes per row). Filters 0 (None) / 1 (Sub) / 2 (Up) are
+    vectorized whole-row (Sub is a per-lane cumsum mod 256); 3 (Average) and
+    4 (Paeth) carry a left-pixel dependency and walk the row in ch-wide
+    numpy steps — fine for the thumbnail-scale payloads this stage handles."""
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        ft = int(scan[y, 0])
+        row = scan[y, 1:].copy()
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub: recon[x] = row[x] + recon[x-ch]
+            row = (np.cumsum(row.reshape(w, ch), axis=0, dtype=np.uint64) & 0xFF).astype(
+                np.uint8
+            ).reshape(w * ch)
+        elif ft == 2:  # Up
+            row += prev
+        elif ft == 3:  # Average
+            for x in range(w):
+                s, e = x * ch, (x + 1) * ch
+                left = row[s - ch : s].astype(np.uint16) if x else np.zeros(ch, np.uint16)
+                up = prev[s:e].astype(np.uint16)
+                row[s:e] += ((left + up) >> 1).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            for x in range(w):
+                s, e = x * ch, (x + 1) * ch
+                a = row[s - ch : s].astype(np.int16) if x else np.zeros(ch, np.int16)
+                b = prev[s:e].astype(np.int16)
+                c = (
+                    out[y - 1, s - ch : s].astype(np.int16)
+                    if (x and y)
+                    else np.zeros(ch, np.int16)
+                )
+                p = a + b - c
+                pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+                row[s:e] += pred.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB. Supports 8-bit depth, color types
+    0 (gray, broadcast to RGB), 2 (RGB), 6 (RGBA, alpha dropped), all five
+    row filters, non-interlaced, multi-IDAT. Raises ValueError on anything
+    else (16-bit, palette, interlace) naming the unsupported feature."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln  # len + tag + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, interlace={interlace}); "
+            "only 8-bit non-interlaced supported"
+        )
+    ch = {0: 1, 2: 3, 6: 4}.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color} (palette needs PLTE)")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * ch
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    px = _defilter(scan, h, w, ch).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    if color == 6:
+        return px[:, :, :3].copy()
+    return px
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the payload magic and decode: BMP or PNG -> (h, w, 3) uint8
+    RGB. The format-dispatch entry every image stage should use."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "image payload is neither BMP nor PNG; jpeg decode requires PIL/libjpeg "
+        "(not installed)"
+    )

@@ -10,11 +10,13 @@ fixed-width feature vectors out.
 Round 2: all three kinds have a REAL no-external-codec path —
 - audio: stdlib `wave` PCM decode -> numpy Hann-STFT/HTK-log-mel + frame
   scalars (functions/audio.py), mirroring the reference's STFT/mel chain;
-- image: pure-numpy 24-bit BMP codec -> resize / scalar features / 64-bit
-  average perceptual hash (functions/image.py);
+- image: pure-numpy 24-bit BMP codec AND a stdlib-zlib PNG codec (all five
+  row filters, gray/RGB/RGBA) -> resize / scalar features / 64-bit average
+  perceptual hash (functions/image.py) — PNG makes a real COMPRESSED format
+  native;
 - video: the declared "RAWV" raw container (length-prefixed BMP frames) ->
   frame sampling, per-frame hashes, inter-frame motion energy.
-Compressed formats (mp3/flac, jpeg/png, h264) genuinely require
+Remaining compressed formats (mp3/flac, jpeg, h264) genuinely require
 soundfile/PIL/ffmpeg and raise with the dependency named; `FakeDecoder`
 keeps that plumbing testable.
 """
@@ -76,15 +78,12 @@ class RealDecoder:
                 "library (not installed); PCM WAV payloads decode natively"
             )
         if self.kind == "image":
-            if payload[:2] == b"BM":
-                # flat luma in [-1, 1): the common "waveform" contract the
-                # windowed feature stage expects from every decoder kind
-                return (to_gray(decode_bmp(payload)).ravel() / 128.0 - 1.0).astype(
-                    np.float32
-                )
-            raise NotImplementedError(
-                "decoding compressed images requires the 'PIL' codec library "
-                "(not installed); 24-bit BMP payloads decode natively"
+            # BMP and (stdlib-zlib) PNG decode natively; decode_image raises a
+            # named NotImplementedError for jpeg. Flat luma in [-1, 1): the
+            # common "waveform" contract the windowed feature stage expects
+            # from every decoder kind.
+            return (to_gray(decode_image(payload)).ravel() / 128.0 - 1.0).astype(
+                np.float32
             )
         raise NotImplementedError(
             f"decoding {self.kind!r} payloads requires the ffmpeg codec "
@@ -301,15 +300,18 @@ def synthetic_media_table(n: int = 64, seed: int = 5) -> pa.Table:
 # ---------------------------------------------------------------------------
 # REAL image path: 24-bit BMP payloads decode with the pure-numpy codec in
 # functions/image.py (no library needed — BMP is a 54-byte header plus raw
-# BGR rows), then resize / features / perceptual hash, all in one actor
-# stage. Compressed formats (jpeg/png) still require PIL and raise with the
-# dependency named — same honesty contract as compressed audio.
+# BGR rows), PNG payloads with the stdlib-zlib codec, then resize /
+# features / perceptual hash, all in one actor stage. jpeg still requires
+# PIL and raises with the dependency named — same honesty contract as
+# compressed audio.
 
 from ..functions.image import (  # noqa: E402  (grouped with the image stage)
     IMAGE_FEATURE_ORDER,
     ahash64,
     decode_bmp,
+    decode_image,
     encode_bmp,
+    encode_png,
     image_features,
     resize_nearest,
     to_gray,
@@ -329,7 +331,7 @@ class ImageFeatureExtractor:
         for mid, payload in zip(
             tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
         ):
-            img = decode_bmp(payload)
+            img = decode_image(payload)
             hs.append(img.shape[0])
             ws.append(img.shape[1])
             small = resize_nearest(img, self.thumb, self.thumb)
@@ -363,10 +365,13 @@ def extract_image_features(
     )
 
 
-def synthetic_bmp_table(n: int = 24, seed: int = 7) -> pa.Table:
-    """Deterministic REAL-BMP fixture: gradients, solids, and noise patterns
-    with known statistics; includes one exact-duplicate pair (rows 0 and
-    n-1) so the perceptual hash has a planted match."""
+def synthetic_image_table(n: int = 24, seed: int = 7) -> pa.Table:
+    """Deterministic real-image fixture: gradients, solids, and noise
+    patterns with known statistics, alternating BMP (even rows) and PNG
+    (odd rows) payloads so BOTH native codecs are exercised; the planted
+    duplicate pair (rows 0 and n-1) stores the SAME pixels in DIFFERENT
+    formats, so a matching perceptual hash proves format-independent
+    decode, not byte equality."""
     rng = np.random.default_rng(seed)
     payloads = []
     imgs = []
@@ -381,9 +386,11 @@ def synthetic_bmp_table(n: int = 24, seed: int = 7) -> pa.Table:
             img = np.full((h, w, 3), rng.integers(0, 256, 3, dtype=np.uint8)[None, None, :])
         else:  # noise
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        img = np.ascontiguousarray(img, dtype=np.uint8)
         imgs.append(img)
-        payloads.append(encode_bmp(np.ascontiguousarray(img, dtype=np.uint8)))
-    payloads.append(payloads[0])  # planted exact duplicate of row 0
+        payloads.append(encode_bmp(img) if i % 2 == 0 else encode_png(img))
+    # planted pixel-duplicate of row 0 in the OTHER format (row 0 is BMP)
+    payloads.append(encode_png(imgs[0]))
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),
@@ -399,10 +406,10 @@ def synthetic_bmp_table(n: int = 24, seed: int = 7) -> pa.Table:
 def media_image_features(sf_dir: str) -> ray.data.Dataset:
     """Driver-contract query (rows-only: pixel DSP is not SQL-expressible;
     the codec round-trip and feature closed-forms are pinned in pytest):
-    REAL BMP decode + thumbnail features + perceptual hash over the
-    deterministic synthetic BMP fixture."""
+    real BMP + PNG decode (format-sniffed) + thumbnail features +
+    perceptual hash over the deterministic mixed-format image fixture."""
     n = 48 if "0.1" in sf_dir else 24
-    ds = ray.data.from_arrow(synthetic_bmp_table(n))
+    ds = ray.data.from_arrow(synthetic_image_table(n))
     return extract_image_features(ds, concurrency=4, batch_size=8)
 
 

@@ -179,6 +179,136 @@ def test_ahash_dup_detection():
     assert ahash64(img) != ahash64(255 - img)  # inverted image -> different hash
 
 
+def test_png_roundtrip():
+    from audio_feature_extraction_ray.functions.image import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (1, 7), (5, 1), (16, 17), (33, 64)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def _png_filter_forward(img, ftypes, ch):
+    """Spec-derived FORWARD filter (RFC 2083 §6.2-6.6), written
+    independently of the decoder's inverse, byte arithmetic mod 256."""
+    h, w = img.shape[0], img.shape[1]
+    raw = img.reshape(h, w * ch).astype(np.int32)
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        scan[y, 0] = ft
+        prev = raw[y - 1] if y else np.zeros(w * ch, np.int32)
+        for i in range(w * ch):
+            a = raw[y, i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if (i >= ch and y) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pp = a + b - c
+                pa_, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            scan[y, 1 + i] = (raw[y, i] - pred) % 256
+    return scan
+
+
+def test_png_decode_all_filters_and_color_types():
+    """Hand-build PNGs using an independent spec-derived forward filter for
+    every filter type x color type {gray, RGB, RGBA}; decode must invert."""
+    import struct
+    import zlib
+
+    from audio_feature_extraction_ray.functions.image import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(6)
+    for color, ch in [(0, 1), (2, 3), (6, 4)]:
+        for ftypes in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            h, w = 9, 7
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            scan = _png_filter_forward(img, ftypes, ch)
+            payload = (
+                PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+                + _png_chunk(b"IDAT", zlib.compress(scan.tobytes()))
+                + _png_chunk(b"IEND", b"")
+            )
+            out = decode_png(payload)
+            if color == 0:
+                np.testing.assert_array_equal(out, np.repeat(img, 3, axis=2), err_msg=str(ftypes))
+            elif color == 2:
+                np.testing.assert_array_equal(out, img, err_msg=str(ftypes))
+            else:
+                np.testing.assert_array_equal(out, img[:, :, :3], err_msg=str(ftypes))
+
+
+def test_png_multi_idat_and_errors():
+    import struct
+    import zlib
+
+    from audio_feature_extraction_ray.functions.image import (
+        PNG_SIG,
+        _png_chunk,
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+    import pytest as _pytest
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    # split the IDAT stream across two chunks — decoders must concatenate
+    scan = np.zeros((5, 1 + 4 * 3), dtype=np.uint8)
+    scan[:, 1:] = img.reshape(5, 12)
+    z = zlib.compress(scan.tobytes())
+    payload = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", z[:7])
+        + _png_chunk(b"IDAT", z[7:])
+        + _png_chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(payload), img)
+    # 16-bit depth / palette / interlace / non-image magic fail loudly
+    bad_depth = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", z)
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="depth"):
+        decode_png(bad_depth)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\x00" * 60)
+    with _pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xff" + b"\x00" * 20)  # jpeg magic
+    # sniffing dispatch: PNG payload routes through decode_png
+    np.testing.assert_array_equal(decode_image(encode_png(img)), img)
+
+
+def test_cross_format_perceptual_hash():
+    """The planted duplicate stores identical pixels as BMP and PNG; equal
+    ahash64 proves decode is format-independent."""
+    from audio_feature_extraction_ray.functions.image import (
+        ahash64,
+        decode_image,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (30, 41, 3), dtype=np.uint8)
+    assert ahash64(decode_image(encode_bmp(img))) == ahash64(decode_image(encode_png(img)))
+
+
 def test_media_image_features_pipeline(ray_session):
     from audio_feature_extraction_ray.stages.multimodal import media_image_features
 
