@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters": text_analysis.token_heavy_hitters,
         "doc_tfidf_top_terms": text_analysis.tfidf_top_terms,
         "token_postings": text_analysis.token_postings,
+        "doc_repetition_stats": text_analysis.repetition_stats,
+        "doc_unigram_logprob": text_analysis.unigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "token_heavy_hitters": text_analysis.TOKEN_HEAVY_HITTERS_SQL,
         "doc_tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
         "token_postings": text_analysis.TOKEN_POSTINGS_SQL,
+        "doc_repetition_stats": text_analysis.REPETITION_STATS_SQL,
+        "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,

@@ -848,3 +848,215 @@ JOIN (
   FROM documents GROUP BY lang
 ) c USING (lang)
 """
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition stats (Gopher-style repetition quality rule:
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", Rae et al. 2021, §A1.1 — documents dominated by repeated
+# tokens/lines are low-quality training data). Per-doc computation, so the
+# operator is embarrassingly batch-local: ONE pass, no shuffle, scales
+# linearly. Tokens follow the split(text, ' ') convention of the TF-IDF
+# family (empty tokens from runs of spaces count; empty text -> 0 tokens).
+
+
+def repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        text = tbl.column("text").combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok_raw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+        ntok = np.where(nonempty, ntok_raw, 0)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), ntok_raw)
+        # drop the single spurious '' token a 0-length text contributes
+        keep = np.repeat(nonempty, ntok_raw)
+        rows, codes = rows[keep], codes[keep]
+        # one lexsort -> per-row distinct counts AND per-row max run length
+        order = np.lexsort((codes, rows))
+        rc, cc = rows[order], codes[order]
+        first = np.ones(rc.size, dtype=bool)
+        first[1:] = (rc[1:] != rc[:-1]) | (cc[1:] != cc[:-1])
+        ndist = np.bincount(rc[first], minlength=n)
+        starts = np.flatnonzero(first)
+        runlens = np.diff(np.append(starts, rc.size))
+        row_of_run = rc[starts]
+        run_first = np.ones(starts.size, dtype=bool)
+        run_first[1:] = row_of_run[1:] != row_of_run[:-1]
+        topc = np.zeros(n, dtype=np.int64)
+        if starts.size:
+            topc[row_of_run[run_first]] = np.maximum.reduceat(
+                runlens, np.flatnonzero(run_first)
+            )
+        ntok_f = ntok.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_frac = np.where(ntok > 0, (ntok - ndist) / ntok_f, 0.0)
+            top_frac = np.where(ntok > 0, topc / ntok_f, 0.0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "token_count": pa.array(ntok, pa.int64()),
+                "distinct_tokens": pa.array(ndist.astype(np.int64), pa.int64()),
+                "top_count": pa.array(topc, pa.int64()),
+                "dup_token_frac": pa.array(dup_frac, pa.float64()),
+                "top_token_frac": pa.array(top_frac, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+REPETITION_STATS_SQL = """
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE length(text) > 0)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS ntok,
+         CAST(count(*) AS BIGINT) AS ndistinct,
+         CAST(max(c) AS BIGINT) AS top_count
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.ntok, 0) AS token_count,
+       COALESCE(a.ndistinct, 0) AS distinct_tokens,
+       COALESCE(a.top_count, 0) AS top_count,
+       CASE WHEN a.ntok IS NULL THEN 0.0
+            ELSE (a.ntok - a.ndistinct) / CAST(a.ntok AS DOUBLE) END AS dup_token_frac,
+       CASE WHEN a.ntok IS NULL THEN 0.0
+            ELSE a.top_count / CAST(a.ntok AS DOUBLE) END AS top_token_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-unigram-LM document scoring (the distributable core of a
+# CCNet/KenLM-style perplexity quality filter — Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data": score each document by its per-token log-probability under a
+# corpus-level language model; here the LM is the corpus unigram
+# distribution itself, which already exercises the full two-exchange
+# distributed shape a real KenLM scorer would need).
+#
+# Plan (all exchanges bounded, nothing corpus-sized on the driver):
+#   1. one O(1)-output aggregate for the corpus token total T;
+#   2. distinct (doc_id, token, tf) pairs routed by hash(token) — each
+#      partition then owns its tokens exclusively, so the token's corpus
+#      count c is a partition-local sum;
+#   3. per-token score quantized to INTEGER micro-nats s6 =
+#      floor(ln(c/T)*1e6+0.5) (the TF-IDF parity idiom: integer partials
+#      make the cross-partition per-doc sums order-free and exact);
+#   4. per-doc integer partials routed by hash(doc_id), folded, and the
+#      average emitted as (sum/1e6)/ntok.
+
+UNIGRAM_PARTS = 32
+
+
+def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64, string_hash_strong
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    # corpus token total T: one streaming pass, O(1) result on the driver
+    def ntok_batch(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        n = pc.sum(pc.list_value_length(toks).cast(pa.int64())).as_py() or 0
+        return pa.table({"ntok": pa.array([n], pa.int64())})
+
+    total = float(docs.map_batches(ntok_batch, batch_format="pyarrow").sum("ntok"))
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        rows, tok_arr, tf = _doc_token_pairs(tbl)
+        did = tbl.column("doc_id").to_numpy()[rows]
+        pid = (string_hash_strong(tok_arr) % np.uint64(UNIGRAM_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": tok_arr if not isinstance(tok_arr, pa.ChunkedArray) else tok_arr.combine_chunks(),
+                "tf": pa.array(tf, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        """Owns its tokens exclusively: c = corpus occurrences of the token,
+        s6 its integer micro-nat log-prob; per-doc integer partials out."""
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        de = pc.dictionary_encode(tok)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl.column("tf").to_numpy()
+        c = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(c, codes, tf)
+        s6 = np.floor(np.log(c.astype(np.float64) / total) * 1e6 + 0.5).astype(np.int64)
+        contrib = tf * s6[codes]
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        psum = np.zeros(uniq.size, dtype=np.int64)
+        pnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(psum, inv, contrib)
+        np.add.at(pnt, inv, tf)
+        pid2 = (
+            avalanche64(uniq.astype(np.int64).view(np.uint64)) % np.uint64(UNIGRAM_PARTS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "psum": pa.array(psum, pa.int64()),
+                "pnt": pa.array(pnt, pa.int64()),
+                "__pid2": pa.array(pid2),
+            }
+        )
+
+    def fold_partition(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, tbl.column("psum").to_numpy())
+        np.add.at(n, inv, tbl.column("pnt").to_numpy())
+        avg = (s.astype(np.float64) / 1e6) / n.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "token_count": pa.array(n, pa.int64()),
+                "sum_logprob_e6": pa.array(s, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .groupby("__pid2")
+        .map_groups(lambda g: fold_partition(g.drop_columns(["__pid2"])), batch_format="pyarrow")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), cnt AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+sc AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(ln(cnt.c / tot.t) * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM tf JOIN cnt USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS token_count,
+       CAST(sum(tf * s6) AS BIGINT) AS sum_logprob_e6,
+       (sum(tf * s6) / 1e6) / sum(tf) AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
