@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_join": text_analysis.docs_lang_join,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
+        "dedup_incremental": search_dedup.dedup_incremental_docs,
+        "dedup_keep_best": search_dedup.dedup_keep_best_docs,
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
         "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
@@ -163,6 +165,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
+        "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
+        "dedup_keep_best": search_dedup._dedup_keep_best_sql(),
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,

@@ -75,6 +75,15 @@ class EngineConfig:
     range_sample_size: int = 10_000  # driver-side url sample for range bounds
     hot_salt: int = 4               # salts applied to ranges holding > 2x median rows
     batch_size: int = 4096          # map_batches batch size for stateless stages
+    # Upstream block-count override for the pages read. The sort-based shuffle
+    # emits one reduce block (-> one grouped-kernel task) per upstream block,
+    # so aligning this to a multiple of the worker count packs the merge stage
+    # into full scheduling waves with no straggler wave (measured: 64 blocks /
+    # 960 partitions beats the default ~45 uneven blocks by ~30% at 32 cpus).
+    # Pair with batch_size <= rows-per-block so one read block = one map task,
+    # and num_partitions >> blocks so sampled sort ranges hold many partitions
+    # each and even out by row count. None = let Ray pick.
+    read_num_blocks: int | None = None
     broadcast_signals_max_rows: int = 5_000_000  # above this, co-partition instead of broadcast
     copartition_signals: bool = False  # force the co-partitioned as-of path (host-keyed)
     output_dir: str | None = None   # when set, partition kernels write parquet + manifest

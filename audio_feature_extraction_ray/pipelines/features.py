@@ -129,7 +129,11 @@ def _load_signals(fcfg: FeatureConfig):
 def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     """Lazy Dataset of prepared + partition-tagged rows (pre-shuffle)."""
     cfg.validate()
-    ds = ray.data.read_parquet(cfg.input_path, columns=_input_columns(cfg.input_path))
+    ds = ray.data.read_parquet(
+        cfg.input_path,
+        columns=_input_columns(cfg.input_path),
+        override_num_blocks=cfg.engine.read_num_blocks,
+    )
     prep = functools.partial(prepare_batch, cfg=cfg.features)
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.engine.batch_size)
     partitioner = _build_partitioner(cfg)
@@ -327,7 +331,11 @@ def build_copartitioned(cfg: PipelineConfig) -> tuple[ray.data.Dataset, HostSalt
     partitioner = HostSaltPartitioner.from_sample(
         _sample_hosts(cfg), cfg.engine.num_partitions, hot_salt=cfg.engine.hot_salt
     )
-    pages = ray.data.read_parquet(cfg.input_path, columns=_input_columns(cfg.input_path))
+    pages = ray.data.read_parquet(
+        cfg.input_path,
+        columns=_input_columns(cfg.input_path),
+        override_num_blocks=cfg.engine.read_num_blocks,
+    )
     pages = pages.map_batches(
         functools.partial(prepare_batch, cfg=cfg.features),
         batch_format="pyarrow",

@@ -38,6 +38,80 @@ FROM (
 """
 
 
+# --- incremental dedup: new batch vs already-ingested corpus ----------------
+
+
+def _split_id(sf_dir: str) -> int:
+    """floor(max_doc_id / 2) from parquet FOOTER stats (no data read)."""
+    md = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    mx = None
+    for rg in range(md.num_row_groups):
+        for ci in range(md.row_group(rg).num_columns):
+            col = md.row_group(rg).column(ci)
+            if col.path_in_schema == "doc_id" and col.statistics is not None:
+                m = col.statistics.max
+                mx = m if mx is None else max(mx, m)
+    if mx is None:  # stats absent: one tiny column scan
+        import pyarrow.compute as pc
+
+        mx = int(pc.max(pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column("doc_id")).as_py())
+    return int(mx) // 2
+
+
+def dedup_incremental_docs(sf_dir: str) -> ray.data.Dataset:
+    """Docs with doc_id >= split are the incoming batch; keep those whose
+    content never occurs among doc_id < split (the ingested corpus), min-id
+    per content within the batch. One digest-keyed exchange over BOTH sides."""
+    return dedup.incremental_dedup(_docs(sf_dir), split_id=_split_id(sf_dir))
+
+
+DEDUP_INCREMENTAL_DOCS_SQL = """
+WITH split AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS s FROM documents),
+old AS (SELECT DISTINCT md5(text) AS h FROM documents, split WHERE doc_id < s),
+new AS (SELECT doc_id, md5(text) AS h FROM documents, split WHERE doc_id >= s)
+SELECT doc_id, h AS content_md5
+FROM (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM new WHERE h NOT IN (SELECT h FROM old)
+) WHERE rn = 1
+"""
+
+
+# --- keep-best representative per duplicate cluster -------------------------
+
+
+def dedup_keep_best_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per identical text keep the copy with the highest quality score
+    (fixed-point, identical arithmetic to the doc_quality oracle), ties ->
+    min doc_id."""
+    from .text_analysis import quality_scores
+
+    def attach_quality(tbl: pa.Table) -> pa.Table:
+        q = quality_scores(tbl.column("text"))
+        return tbl.append_column("quality", pa.array(q, pa.float64()))
+
+    ds = _docs(sf_dir).map_batches(attach_quality, batch_format="pyarrow")
+    out = dedup.keep_best_dedup(ds, score_col="quality", id_col="doc_id", text_col="text")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_md5", "quality"]), batch_format="pyarrow"
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from .text_analysis import QUALITY_EXPR, QUALITY_T_CTE
+
+    return f"""
+WITH {QUALITY_T_CTE},
+q AS (SELECT doc_id, md5(text) AS content_md5, {QUALITY_EXPR} AS quality FROM t)
+SELECT doc_id, content_md5, quality
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY content_md5
+                               ORDER BY quality DESC, doc_id) AS rn
+  FROM q
+) WHERE rn = 1
+"""
+
+
 # --- keep-first-per-key over a coarser key (real drops on this data) --------
 
 

@@ -125,36 +125,39 @@ _PUNCT_RE = r"[^.,;:!?'\"()\-]"
 _EN_STOP = sorted(_STOPWORDS["en"])
 
 
-def quality(sf_dir: str) -> ray.data.Dataset:
+def quality_scores(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Fixed-point quality score per row (floor(q*1e6+0.5)/1e6 — identical
+    arithmetic to QUALITY_SQL). Reused by the keep-best dedup variant."""
     stop_set = pa.array(_EN_STOP, pa.string())
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
+    ntok_a, flat, offs = _token_lists(text)
+    ntok = ntok_a.to_numpy().astype(np.float64)
+    sum_tok_len = np.where(ntok > 0, charc - (ntok - 1), 0.0)
+    stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
+    stop_cnt = _segment_sums(stop_mask, offs).astype(np.float64)
+    punct_cnt = charc - pc.utf8_length(
+        pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
+    ).cast(pa.int64()).to_numpy().astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mean_tok_len = sum_tok_len / ntok
+        punct_ratio = punct_cnt / charc
+        stop_ratio = stop_cnt / ntok
+        len_score = np.minimum(ntok, 256.0) / 256.0
+        wl_score = np.maximum(0.0, 1.0 - np.abs(mean_tok_len - 5.0) / 5.0)
+        q = (
+            0.4 * len_score
+            + 0.3 * wl_score
+            + 0.2 * stop_ratio
+            + 0.1 * (1.0 - np.minimum(punct_ratio * 4.0, 1.0))
+        )
+    return np.where((charc == 0) | (ntok == 0), 0.0, np.floor(q * 1e6 + 0.5) / 1e6)
 
+
+def quality(sf_dir: str) -> ray.data.Dataset:
     def fn(tbl: pa.Table) -> pa.Table:
-        text = tbl.column("text").combine_chunks()
-        n = len(text)
-        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
-        ntok_a, flat, offs = _token_lists(text)
-        ntok = ntok_a.to_numpy().astype(np.float64)
-        # sum of token lengths == chars - (ntok - 1) for single-space text
-        sum_tok_len = np.where(ntok > 0, charc - (ntok - 1), 0.0)
-        stop_mask = pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False)
-        stop_cnt = _segment_sums(stop_mask, offs).astype(np.float64)
-        punct_cnt = charc - pc.utf8_length(
-            pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
-        ).cast(pa.int64()).to_numpy().astype(np.float64)
-
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mean_tok_len = sum_tok_len / ntok
-            punct_ratio = punct_cnt / charc
-            stop_ratio = stop_cnt / ntok
-            len_score = np.minimum(ntok, 256.0) / 256.0
-            wl_score = np.maximum(0.0, 1.0 - np.abs(mean_tok_len - 5.0) / 5.0)
-            q = (
-                0.4 * len_score
-                + 0.3 * wl_score
-                + 0.2 * stop_ratio
-                + 0.1 * (1.0 - np.minimum(punct_ratio * 4.0, 1.0))
-            )
-        q = np.where((charc == 0) | (ntok == 0), 0.0, np.floor(q * 1e6 + 0.5) / 1e6)
+        q = quality_scores(tbl.column("text"))
         return pa.table({"doc_id": tbl.column("doc_id"), "quality": pa.array(q, pa.float64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
@@ -164,9 +167,11 @@ def _stoplist_sql(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
-QUALITY_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
+# composable SQL pieces (shared with the keep-best dedup oracle): the `t`
+# CTE computes the raw text statistics, QUALITY_EXPR folds them into the
+# fixed-point score — identical arithmetic to quality_scores()
+QUALITY_T_CTE = f"""t AS (
+  SELECT *,
          CAST(length(text) AS DOUBLE) AS charc,
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) END AS ntok,
@@ -174,14 +179,18 @@ WITH t AS (
                               x -> list_contains({_stoplist_sql(_EN_STOP)}, x))) AS DOUBLE) AS stop_cnt,
          CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS DOUBLE) AS punct_cnt
   FROM documents
-)
-SELECT doc_id,
-  CASE WHEN charc = 0 OR ntok = 0 THEN 0.0 ELSE
+)"""
+
+QUALITY_EXPR = """CASE WHEN charc = 0 OR ntok = 0 THEN 0.0 ELSE
     floor((0.4 * (least(ntok, 256.0) / 256.0)
          + 0.3 * greatest(0.0, 1.0 - abs((charc - (ntok - 1)) / ntok - 5.0) / 5.0)
          + 0.2 * (stop_cnt / ntok)
          + 0.1 * (1.0 - least(punct_cnt / charc * 4.0, 1.0))) * 1e6 + 0.5) / 1e6
-  END AS quality
+  END"""
+
+QUALITY_SQL = f"""
+WITH {QUALITY_T_CTE}
+SELECT doc_id, {QUALITY_EXPR} AS quality
 FROM t
 """
 

@@ -149,6 +149,131 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    ds: ray.data.Dataset,
+    split_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
+) -> ray.data.Dataset:
+    """Exact dedup of a NEW batch against an EXISTING corpus in one pass:
+    rows with id < split_id are the already-ingested corpus; rows with
+    id >= split_id are the incoming batch. A new row survives iff its content
+    digest never occurs in the corpus AND it is the min-id new row for that
+    digest (within-batch dedup).
+
+    Same exchange shape as exact_dedup — digest-hash partitioning with a
+    within-batch pre-shrink — plus a side flag. The reduce kernel is one
+    sort + head-of-run mask: corpus rows sort FIRST within a digest run, so
+    a digest whose run head is a corpus row contributes nothing, and
+    otherwise the head is exactly the min-id new row. At scale the corpus
+    side pre-shrinks to one row per distinct digest per batch, so the
+    exchange carries O(distinct) corpus rows, not O(corpus)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        fps, pid = _md5_and_pid(tbl, text_col, num_partitions)
+        ids = tbl.column(id_col).to_numpy()
+        is_new = ids >= split_id
+        out = pa.table(
+            {
+                id_col: tbl.column(id_col),
+                "content_md5": pa.array(fps, pa.string()),
+                "__new": pa.array(is_new.astype(np.int8)),
+                "__pid": pa.array(pid),
+            }
+        )
+        # pre-shrink: min (is_new, id) per digest — keeps one corpus witness
+        # per digest when present, else the min-id new row
+        fps_obj = np.asarray(fps, dtype=object)
+        # corpus rows (is_new False) sort first within a digest
+        order = np.lexsort((ids, is_new, fps_obj))
+        fps_sorted = fps_obj[order]
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = fps_sorted[1:] != fps_sorted[:-1]
+        # ALSO keep each digest's min-id new row (the reduce drops it if a
+        # corpus witness exists in some other batch)
+        is_new_sorted = is_new[order]
+        run_id = np.cumsum(first) - 1
+        # first new row per digest run
+        first_new = np.ones(order.size, dtype=bool)
+        first_new[1:] = (run_id[1:] != run_id[:-1]) | (
+            is_new_sorted[1:] != is_new_sorted[:-1]
+        )
+        keep = first | (first_new & is_new_sorted)
+        keep_rows = np.sort(order[keep])
+        if keep_rows.size == out.num_rows:
+            return out
+        return out.take(pa.array(keep_rows))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"]).sort_by(
+            [("content_md5", "ascending"), ("__new", "ascending"), (id_col, "ascending")]
+        )
+        head = _neq_prev_mask(tbl.column("content_md5"))
+        is_new = tbl.column("__new").to_numpy(zero_copy_only=False).astype(bool)
+        out = tbl.filter(pa.array(head & is_new))
+        return out.drop_columns(["__new"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def keep_best_dedup(
+    ds: ray.data.Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
+) -> ray.data.Dataset:
+    """Duplicate-cluster representative selection: per identical text, keep
+    the row with the HIGHEST score (ties -> min id). The training-data
+    variant of exact_dedup — when duplicates differ in an attached quality
+    signal, keep the best copy, not the first-seen one.
+
+    `score_col` must already be attached (pure per-row function of the row,
+    e.g. the fixed-point quality score). Same digest exchange as exact_dedup;
+    the pre-shrink and the reduce kernel both order by (digest, -score, id)
+    and keep the head of each digest run."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        fps, pid = _md5_and_pid(tbl, text_col, num_partitions)
+        tbl = tbl.append_column("content_md5", pa.array(fps, pa.string()))
+        tbl = tbl.append_column("__pid", pa.array(pid))
+        ids = tbl.column(id_col).to_numpy()
+        scores = tbl.column(score_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        fps_obj = np.asarray(fps, dtype=object)
+        order = np.lexsort((ids, -scores, fps_obj))
+        fps_sorted = fps_obj[order]
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = fps_sorted[1:] != fps_sorted[:-1]
+        keep_rows = np.sort(order[first])
+        if keep_rows.size == tbl.num_rows:
+            return tbl
+        return tbl.take(pa.array(keep_rows))
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"]).sort_by(
+            [
+                ("content_md5", "ascending"),
+                (score_col, "descending"),
+                (id_col, "ascending"),
+            ]
+        )
+        head = _neq_prev_mask(tbl.column("content_md5"))
+        if head.all():
+            return tbl
+        return tbl.filter(pa.array(head))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 

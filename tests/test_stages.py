@@ -621,3 +621,44 @@ def test_edit_distance_pairs(ray_session):
     got = {(a, b): d for a, b, d in zip(out["a"], out["b"], out["edist"])}
     assert got[(0, 1)] == 1
     assert got[(0, 2)] == 11  # len("hello world") replacements/inserts
+
+
+def test_incremental_dedup(ray_session):
+    """New-batch rows survive iff content unseen in the corpus side; min-id
+    per content within the batch."""
+    from audio_feature_extraction_ray.stages.dedup import incremental_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 10, 11, 12, 13, 14], pa.int64()),
+            "text": pa.array(
+                ["aa", "bb", "cc",  # corpus (ids < 10)
+                 "aa",              # dup of corpus -> dropped
+                 "dd", "dd",        # new content, within-batch dup -> keep 11
+                 "bb",              # dup of corpus -> dropped
+                 "ee"],             # new -> kept
+                pa.string(),
+            ),
+        }
+    )
+    out = incremental_dedup(
+        ray.data.from_arrow(tbl), split_id=10, num_partitions=4
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [11, 14]
+
+
+def test_keep_best_dedup(ray_session):
+    """Per identical text keep max score, ties -> min id."""
+    from audio_feature_extraction_ray.stages.dedup import keep_best_dedup
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aa", "aa", "aa", "bb", "bb"], pa.string()),
+            "score": pa.array([0.1, 0.9, 0.9, 0.5, 0.5], pa.float64()),
+        }
+    )
+    out = keep_best_dedup(
+        ray.data.from_arrow(tbl), score_col="score", num_partitions=4
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
