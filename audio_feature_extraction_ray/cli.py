@@ -102,6 +102,15 @@ def cmd_export_npy(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Compact a completed run's per-partition files into ~target-size files."""
+    _init_ray(args.num_cpus)
+    from .pipelines.features import compact_output
+
+    print(json.dumps(compact_output(args.output, args.dest, args.target_rows)))
+    return 0
+
+
 def cmd_gen_fixture(args) -> int:
     from .testdata import materialize_fixture
 
@@ -137,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     x.add_argument("--with-signals", action="store_true", help="run had locf_* columns")
     x.add_argument("--num-cpus", type=int, default=None)
     x.set_defaults(fn=cmd_export_npy)
+
+    c = sub.add_parser("compact", help="compact a run's partition files into ~target-size files")
+    c.add_argument("--output", required=True, help="completed run dir (parquet + manifests)")
+    c.add_argument("--dest", required=True, help="destination dir for compacted parquet")
+    c.add_argument("--target-rows", type=int, default=250_000, help="rows per output file")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("gen-fixture", help="write a deterministic pages+signals fixture")
     g.add_argument("--out", required=True)

@@ -446,6 +446,52 @@ def export_features_npy(run_dir: str, dest_dir: str, fcfg: FeatureConfig) -> dic
     }
 
 
+def compact_output(run_dir: str, dest_dir: str, target_rows_per_file: int = 250_000) -> dict:
+    """Small-file compaction for a completed run (the operational counterpart
+    of the reference's dataset-writer file-size targets, design.md:1324-1400):
+    re-write a run's many per-partition parquet files into ~target-size files.
+
+    A checkpointed run at cluster-scale partition counts produces one file per
+    partition; downstream trainers scan faster over fewer, larger files. This
+    streams the partitions through a Dataset (read -> split to target-row
+    blocks -> write_parquet, one file per block) — nothing is materialized on
+    the driver, and the source run is left untouched, so the compaction is
+    re-runnable and the original remains the checkpoint of record. Row-count
+    conservation is verified from parquet FOOTERS on both sides."""
+    import glob as _glob
+    import shutil as _shutil
+    from pathlib import Path
+
+    done = load_completed(run_dir)
+    if not done:
+        raise ValueError(f"no completed partitions under {run_dir}")
+    src_files = sorted(m["output"] for m in done.values())
+    rows_in = sum(pq.read_metadata(f).num_rows for f in src_files)
+    dest = Path(dest_dir)
+    if dest.exists():
+        _shutil.rmtree(dest)
+    # partitioning=None: the run's part=NNN/ layout must not hive-infer a
+    # `part` column into the compacted schema
+    ds = ray.data.read_parquet(src_files, partitioning=None)
+    # explicit block count (repartition's target_num_rows_per_block splits
+    # oversized blocks but does not coalesce small ones — the whole point here)
+    n_blocks = max(1, -(-rows_in // target_rows_per_file))
+    ds = ds.repartition(n_blocks)
+    ds.write_parquet(str(dest))
+    out_files = sorted(_glob.glob(f"{dest}/*.parquet"))
+    rows_out = sum(pq.read_metadata(f).num_rows for f in out_files)
+    if rows_out != rows_in:
+        raise RuntimeError(
+            f"compaction row-count mismatch: {rows_in} in vs {rows_out} out"
+        )
+    return {
+        "files_in": len(src_files),
+        "files_out": len(out_files),
+        "rows": rows_out,
+        "dest": str(dest),
+    }
+
+
 def run(cfg: PipelineConfig) -> dict:
     """Checkpointed run: per-partition parquet + manifests under
     cfg.engine.output_dir; returns the reduced job report. With resume=True,

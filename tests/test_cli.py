@@ -105,3 +105,39 @@ def test_cli_export_npy_roundtrip(ray_session, small_fixture_dir, tmp_path):
         rc = main(["export-npy", "--output", out, "--dest", dest, "--with-signals"])
     rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rc == 0 and rep["partitions_exported"] == 0 and rep["partitions_skipped"] == 4
+
+
+def test_cli_compact_roundtrip(ray_session, tmp_path, capsys):
+    """run -> compact: row-conserving, fewer files, identical content."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    fx = tmp_path / "fx"
+    main(["gen-fixture", "--out", str(fx), "--rows", "600", "--files", "2"])
+    paths = json.loads(capsys.readouterr().out.strip())
+    out = tmp_path / "out"
+    main(
+        ["run", "--input", paths["pages"], "--signals", paths["signals"],
+         "--output", str(out), "--partitions", "8"]
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    dest = tmp_path / "compact"
+    rc = main(["compact", "--output", str(out), "--dest", str(dest),
+               "--target-rows", "100000"])
+    assert rc == 0
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert comp["rows"] == report["rows_out"]
+    assert comp["files_in"] == 8
+    assert comp["files_out"] < comp["files_in"]
+
+    import glob
+
+    def read_sorted(files):
+        df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+        df["features"] = df["features"].map(tuple)
+        return df.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+    a = read_sorted(sorted(glob.glob(f"{out}/part=*/*.parquet")) or sorted(glob.glob(f"{out}/part-*.parquet")))
+    b = read_sorted(sorted(glob.glob(f"{dest}/*.parquet")))
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
