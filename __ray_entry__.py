@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
         "doc_quality": text_analysis.quality,
+        "doc_quality_rank": text_analysis.quality_rank,
         "doc_langid": text_analysis.langid_docs,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,
+        "doc_quality_rank": text_analysis.QUALITY_RANK_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,

@@ -1069,3 +1069,115 @@ SELECT doc_id,
        (sum(tf * s6) / 1e6) / sum(tf) AS avg_logprob
 FROM sc GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact GLOBAL rank (distributed order-by): rank every document by quality
+# DESC (ties -> doc_id ASC) with a contiguous global row number. The classic
+# two-stage distributed rank:
+#
+#   1. pack the sort key into ONE int64 ((1e6 - q*1e6) << 33 | doc_id — the
+#      quality grid is 1e-6 fixed-point so the pack is exact and order-
+#      preserving), range-partition it on bounds sampled driver-side (10k
+#      docs), sort + local-rank each partition;
+#   2. count rows per partition (a ~num_partitions-row aggregate over the
+#      MATERIALIZED ranked intermediate — no recompute), prefix-sum the
+#      counts on the driver (num_partitions scalars), and add each
+#      partition's offset in a final map_batches.
+#
+# The materialized intermediate IS the output (any exact rank must hold it
+# somewhere); partition counts never exceed num_partitions values on the
+# driver. Range bounds make partition ids ORDER-ALIGNED, which is what lets
+# offsets be a prefix sum.
+
+_RANK_PARTITIONS = 32
+_RANK_SAMPLE = 10_000
+
+
+def _pack_rank_key(q: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    # q is on the 1e-6 grid in [0,1]; ids < 2^33. (1e6+1) * 2^33 < 2^63.
+    qi = np.round(q * 1e6).astype(np.int64)
+    return ((np.int64(1_000_000) - qi) << np.int64(33)) | ids.astype(np.int64)
+
+
+def quality_rank(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    # driver-side sampled range bounds over the PACKED key (footer row count
+    # + a pruned sampled read — same discipline as the url range partitioner)
+    n = pq.read_metadata(docs_path).num_rows
+    frac = min(1.0, _RANK_SAMPLE / max(1, n))
+    sample = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .random_sample(frac, seed=11)
+        .take_all()
+    )
+    s_ids = np.array([r["doc_id"] for r in sample], dtype=np.int64)
+    s_q = quality_scores(pa.array([r["text"] for r in sample], pa.string()))
+    s_keys = np.sort(_pack_rank_key(s_q, s_ids))
+    # num_partitions-1 interior bounds at sample quantiles
+    idx = (np.arange(1, _RANK_PARTITIONS) * s_keys.size) // _RANK_PARTITIONS
+    bounds = s_keys[np.minimum(idx, s_keys.size - 1)] if s_keys.size else np.array([], np.int64)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        q = quality_scores(tbl.column("text"))
+        ids = tbl.column("doc_id").to_numpy()
+        key = _pack_rank_key(q, ids)
+        pid = np.searchsorted(bounds, key, side="right").astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "quality": pa.array(q, pa.float64()),
+                "__key": pa.array(key),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def local_rank(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("__key", "ascending")])
+        lr = np.arange(1, tbl.num_rows + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "quality": tbl.column("quality"),
+                "__pid": tbl.column("__pid"),
+                "__local_rank": pa.array(lr),
+            }
+        )
+
+    ranked = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(local_rank, batch_format="pyarrow")
+        .materialize()  # the ranked output itself; counted next, no recompute
+    )
+    counts_rows = ranked.groupby("__pid").count().take_all()
+    counts = np.zeros(_RANK_PARTITIONS, dtype=np.int64)
+    for r in counts_rows:
+        counts[int(r["__pid"])] = int(r["count()"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def add_offset(tbl: pa.Table) -> pa.Table:
+        pid = tbl.column("__pid").to_numpy()
+        lr = tbl.column("__local_rank").to_numpy()
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "quality": tbl.column("quality"),
+                "rank": pa.array(offsets[pid] + lr, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(add_offset, batch_format="pyarrow")
+
+
+QUALITY_RANK_SQL = f"""
+WITH {{T_CTE}},
+q AS (SELECT doc_id, {{EXPR}} AS quality FROM t)
+SELECT doc_id, quality,
+       row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+FROM q
+""".replace("{T_CTE}", QUALITY_T_CTE).replace("{EXPR}", QUALITY_EXPR)
