@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,
         "docs_distinct_tokens": text_analysis.distinct_tokens,
+        "docs_bloom_novelty": text_analysis.bloom_token_novelty,  # rows-only (bloom FPR)
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
         "docs_bigram_topk": text_analysis.bigram_topk,
         "token_heavy_hitters": text_analysis.token_heavy_hitters,

@@ -1181,3 +1181,93 @@ SELECT doc_id, quality,
        row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
 FROM q
 """.replace("{T_CTE}", QUALITY_T_CTE).replace("{EXPR}", QUALITY_EXPR)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter token novelty: build a Bloom filter over the INGESTED corpus's
+# token vocabulary (doc_id < split), broadcast it once (ray.put), probe every
+# NEW doc's unique tokens against it. The membership sketch for vocabularies
+# too wide to co-locate exactly — one-sided error (no false negatives), so
+# novelty_ratio is a LOWER bound on a doc's truly-unseen-token fraction.
+# At 10^12-doc scale the single bitmap generalizes to token-hash-sharded
+# blooms probed inside the same map (route by h % n_shards); the build/OR/
+# broadcast/probe shape below is unchanged per shard.
+
+BLOOM_BITS_LOG2 = 20  # m = 1M bits = 128 KB bitmap
+BLOOM_K = 6
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(k, n) bit positions via double hashing from ONE 64-bit hash:
+    h1 = low 32, h2 = high 32 (odd), pos_i = (h1 + i*h2) mod m."""
+    m = np.uint64(1 << BLOOM_BITS_LOG2)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(BLOOM_K)]
+        )
+
+
+def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
+    """Per NEW doc (doc_id >= split, same split rule as dedup_incremental):
+    token_count, tokens_maybe_known (bloom hits), novelty_ratio. Rows-only
+    driver check; zero-false-negative + FPR-bound behavior pinned in pytest."""
+    from ..functions.hashing import string_hash_strong
+    from .search_dedup import _split_id
+
+    split = _split_id(sf_dir)
+    n_words = 1 << (BLOOM_BITS_LOG2 - 6)
+
+    def build_partial(tbl: pa.Table) -> pa.Table:
+        keep = pc.less(tbl.column("doc_id"), split)
+        uniq = pc.unique(_raw_flat_tokens(tbl.filter(keep)))
+        bits = np.zeros(n_words, dtype=np.uint64)
+        if len(uniq):
+            pos = _bloom_positions(string_hash_strong(uniq)).ravel()
+            np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        return pa.table(
+            {"bits": pa.FixedSizeListArray.from_arrays(pa.array(bits, pa.uint64()), n_words)}
+        )
+
+    parts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        build_partial, batch_format="pyarrow"
+    )
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        col = batch.column("bits").combine_chunks()
+        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, n_words)
+        for row in arr:
+            bloom |= row.astype(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        blm = ray.get(bloom_ref)
+        keep = pc.greater_equal(tbl.column("doc_id"), split)
+        tbl = tbl.filter(keep)
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat):
+            pos = _bloom_positions(string_hash_strong(flat))
+            hit_all = np.ones(len(flat), dtype=bool)
+            for i in range(BLOOM_K):
+                hit_all &= (blm[pos[i] >> 6] >> (pos[i].astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
+        else:
+            hit_all = np.zeros(0, dtype=bool)
+        offs = np.concatenate([[0], np.cumsum(ntok)])
+        known = _segment_sums(hit_all, offs).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            novelty = np.where(ntok > 0, 1.0 - known / np.maximum(ntok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "token_count": pa.array(ntok, pa.int64()),
+                "tokens_maybe_known": pa.array(known, pa.int64()),
+                "novelty_ratio": pa.array(novelty, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(probe, batch_format="pyarrow")

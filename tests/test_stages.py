@@ -662,3 +662,33 @@ def test_keep_best_dedup(ray_session):
         ray.data.from_arrow(tbl), score_col="score", num_partitions=4
     ).to_pandas()
     assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_bloom_token_novelty(ray_session):
+    """Bloom membership is one-sided: every truly-known token hits (no false
+    negatives, so novelty is a lower bound), and false positives stay under
+    the design FPR at fixture vocabulary load."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.search_dedup import _split_id
+    from audio_feature_extraction_ray.pipelines.text_analysis import bloom_token_novelty
+
+    sf = "/root/testdata/sf0.001"
+    out = bloom_token_novelty(sf).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    split = _split_id(sf)
+    vocab = set()
+    for t in docs[docs.doc_id < split].text:
+        vocab.update(t.split(" "))
+    fp_budget = 0
+    total_unknown = 0
+    for _, r in docs[docs.doc_id >= split].iterrows():
+        toks = r.text.split(" ")
+        exact_known = sum(tok in vocab for tok in toks)
+        got = out.loc[r.doc_id]
+        assert got["token_count"] == len(toks)
+        assert got["tokens_maybe_known"] >= exact_known  # no false negatives
+        fp_budget += got["tokens_maybe_known"] - exact_known
+        total_unknown += len(toks) - exact_known
+    # k=6, m=2^20 bits: FPR is far below 1% at this vocabulary load
+    assert fp_budget <= max(5, 0.01 * max(total_unknown, 1))
