@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": relational.filter_project,
         "segment_stats": relational.segment_stats,
         "orders_customer_join": relational.orders_customer_join,
+        "cust_orders_left": relational.cust_orders_left,
         "top_orders_per_cust": relational.top_orders_per_cust,
         "custs_with_big_orders": relational.custs_with_big_orders,
         "custs_without_orders": relational.custs_without_orders,
@@ -202,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": relational.FILTER_PROJECT_SQL,
         "segment_stats": relational.SEGMENT_STATS_SQL,
         "orders_customer_join": relational.ORDERS_CUSTOMER_JOIN_SQL,
+        "cust_orders_left": relational.CUST_ORDERS_LEFT_SQL,
         "top_orders_per_cust": relational.TOP_ORDERS_PER_CUST_SQL,
         "custs_with_big_orders": relational.CUSTS_WITH_BIG_ORDERS_SQL,
         "custs_without_orders": relational.CUSTS_WITHOUT_ORDERS_SQL,

@@ -408,6 +408,42 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def cust_orders_left(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    """customer LEFT JOIN orders — the m:n + outer case of the co-partitioned
+    join: the dim side (orders) has DUPLICATE keys (run-bound expansion) and
+    customers with no orders survive with null order columns."""
+    from ..stages.join import copartitioned_equijoin
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = copartitioned_equijoin(
+        cust,
+        orders,
+        fact_key="c_custkey",
+        dim_key="o_custkey",
+        fact_cols=["c_mktsegment"],
+        dim_cols=["o_orderkey", "o_totalprice"],
+        num_partitions=num_partitions,
+        fact_col_types={"c_mktsegment": pa.string()},
+        dim_col_types={"o_orderkey": pa.int64(), "o_totalprice": pa.float64()},
+        key_type=pa.int64(),
+        how="left",
+    )
+
+    def rename(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(
+            ["c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"]
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+CUST_ORDERS_LEFT_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # grouped top-k (row_number window): top 3 orders per customer by totalprice.
 

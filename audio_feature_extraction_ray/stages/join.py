@@ -104,17 +104,26 @@ def copartitioned_equijoin(
     fact_col_types: dict | None = None,
     dim_col_types: dict | None = None,
     key_type: pa.DataType | None = None,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Inner equi-join with NO broadcast side: both datasets are routed by
+    """m:n equi-join with NO broadcast side: both datasets are routed by
     hash(key) into the same partition ids, unioned with a side tag, and each
     partition is joined by ONE vectorized kernel (dictionary-encode the
-    partition's keys to int codes, sort dim, searchsorted, Arrow take).
-    Works for int64-castable AND string keys; the key keeps its native type
-    in the output. Output columns: fact_key, *fact_cols, *dim_cols.
+    partition's keys to int codes, sort dim, searchsorted the run bounds,
+    expand with repeat/arange, Arrow take). Duplicate keys on EITHER side
+    produce the full cross-product of matches. Works for int64-castable AND
+    string keys; the key keeps its native type in the output. Output
+    columns: fact_key, *fact_cols, *dim_cols.
+
+    how: "inner" (matches only), "left" (unmatched fact rows keep null dim
+    cols), "full" (additionally emits unmatched dim rows with null fact
+    cols, key taken from the dim side).
 
     Pass fact_col_types / dim_col_types (name -> pa.DataType) and key_type
     when known: the .schema() fallback partially EXECUTES each upstream
     pipeline just to sample its schema."""
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"unknown join how={how!r}")
     if fact_col_types is None or key_type is None:
         fschema = fact.schema()
         if fact_col_types is None:
@@ -180,25 +189,60 @@ def copartitioned_equijoin(
         is_d = side == 1
         d = tbl.filter(pa.array(is_d))
         f = tbl.filter(pa.array(~is_d))
-        if f.num_rows == 0 or d.num_rows == 0:
+        if f.num_rows == 0 and (how != "full" or d.num_rows == 0):
             return out_schema.empty_table()
         dk = kc[is_d]
         dorder = np.argsort(dk, kind="stable")
         dks = dk[dorder]
         fk = kc[~is_d]
-        pos = np.searchsorted(dks, fk)
-        hit = pos < dks.size
-        hit[hit] = dks[pos[hit]] == fk[hit]
-        if not hit.all():
-            f = f.filter(pa.array(hit))
-            pos = pos[hit]
-        gathered = d.select(dim_cols).take(pa.array(dorder[pos]))
-        cols = {fact_key: f.column("__key")}
+        # m:n match expansion: each fact row's matching dim run is
+        # [lo, hi); repeat fact rows by run length, gather dim rows by
+        # run-relative arange — no per-key Python
+        lo = np.searchsorted(dks, fk, side="left")
+        hi = np.searchsorted(dks, fk, side="right")
+        cnt = hi - lo
+        matched = cnt > 0
+        f_idx = np.repeat(np.arange(fk.size, dtype=np.int64), cnt)
+        total = int(cnt.sum())
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+        )
+        d_idx = dorder[starts + offs] if total else np.empty(0, np.int64)
+        if how in ("left", "full") and not matched.all():
+            # one output row per unmatched fact row, dim side null
+            miss = np.nonzero(~matched)[0]
+            f_idx = np.concatenate([f_idx, miss])
+            d_idx = np.concatenate([d_idx, np.full(miss.size, -1, np.int64)])
+        f_sel = f.take(pa.array(f_idx))
+        d_gather = pa.array(d_idx)
+        if (d_idx < 0).any():
+            d_gather = pa.array(
+                np.where(d_idx < 0, 0, d_idx), mask=d_idx < 0
+            )  # null index -> null row
+        gathered = d.select(dim_cols).take(d_gather)
+        cols = {fact_key: f_sel.column("__key")}
         for c in fact_cols:
-            cols[c] = f.column(c)
+            cols[c] = f_sel.column(c)
         for c in dim_cols:
             cols[c] = gathered.column(c)
-        return pa.table(cols)
+        out = pa.table(cols)
+        if how == "full":
+            # dim rows whose key never occurs on the fact side
+            fks = np.sort(fk)
+            p = np.searchsorted(fks, dk)
+            d_hit = p < fks.size
+            d_hit[d_hit] = fks[p[d_hit]] == dk[d_hit]
+            if not d_hit.all():
+                d_un = d.filter(pa.array(~d_hit))
+                n_un = d_un.num_rows
+                extra = {fact_key: d_un.column("__key")}
+                for c in fact_cols:
+                    extra[c] = pa.nulls(n_un, ftypes[c])
+                for c in dim_cols:
+                    extra[c] = d_un.column(c)
+                out = pa.concat_tables([out, pa.table(extra).cast(out_schema)])
+        return out.cast(out_schema)
 
     return unioned.groupby("__pid").map_groups(
         lambda g: kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"

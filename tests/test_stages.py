@@ -692,3 +692,39 @@ def test_bloom_token_novelty(ray_session):
         total_unknown += len(toks) - exact_known
     # k=6, m=2^20 bits: FPR is far below 1% at this vocabulary load
     assert fp_budget <= max(5, 0.01 * max(total_unknown, 1))
+
+
+def test_copartitioned_equijoin_mn_and_outer(ray_session):
+    """Duplicate keys on both sides expand to the cross-product of matches;
+    left/full keep unmatched rows with nulls on the other side."""
+    from audio_feature_extraction_ray.stages.join import copartitioned_equijoin
+
+    fact = pa.table(
+        {"k": pa.array([1, 1, 2, 3], pa.int64()),
+         "f": pa.array([10, 11, 20, 30], pa.int64())}
+    )
+    dim = pa.table(
+        {"k": pa.array([1, 1, 2, 2, 4], pa.int64()),
+         "d": pa.array([100, 101, 200, 201, 400], pa.int64())}
+    )
+
+    def run(how):
+        out = copartitioned_equijoin(
+            ray.data.from_arrow(fact), ray.data.from_arrow(dim),
+            "k", "k", ["f"], ["d"], num_partitions=4, how=how,
+        ).to_pandas()
+        return out.sort_values(["k", "f", "d"], na_position="last").reset_index(drop=True)
+
+    inner = run("inner")
+    assert len(inner) == 6  # 2x2 for k=1, 1x2 for k=2
+    assert sorted(inner[inner.k == 1]["d"]) == [100, 100, 101, 101]
+
+    left = run("left")
+    assert len(left) == 7
+    row3 = left[left.k == 3]
+    assert len(row3) == 1 and row3["d"].isna().all()
+
+    full = run("full")
+    assert len(full) == 8
+    row4 = full[full.k == 4]
+    assert len(row4) == 1 and row4["f"].isna().all() and row4["d"].iloc[0] == 400
