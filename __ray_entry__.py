@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": events.value_quantiles,
         "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
+        "events_decayed_sum": events.decayed_sum,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
         "events_cube": events.cube_type_day,
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": events.DISTINCT_USERS_SQL,
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
+        "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
         "events_cube": events.CUBE_TYPE_DAY_SQL,

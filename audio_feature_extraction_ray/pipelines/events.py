@@ -992,3 +992,59 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE(event_type, day)
 """
+
+
+# ---------------------------------------------------------------------------
+# time-decayed sum (exponential decay, half-life 1 day): for each event, the
+# sum of the SAME user's values at ts_i <= ts_t weighted by
+# 0.5 ** ((ts_t - ts_i) / 1 day) — the classic decayed-counter feature.
+# Direct-form evaluation (one t-chunk x all-i weight block per user, chunked
+# to bound memory) so the arithmetic is identical to the oracle's self-join
+# SUM; fixed-point floor(x*1e6+0.5)/1e6 on both sides absorbs summation
+# order. The production-scale alternative for very long histories is the
+# per-user streaming recurrence y_t = x_t + y_prev * 0.5**(dt/hl) (the
+# state/kernels carry idiom); the direct form is kept here because it is
+# bit-checkable against SQL.
+
+DECAY_HL_US = 86_400_000_000.0  # half-life: 1 day in microseconds
+_DECAY_T_CHUNK = 512
+
+
+def decayed_sum(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy().astype(np.float64)
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.empty(len(uid), dtype=np.float64)
+        heads = np.concatenate([[0], np.nonzero(uid[1:] != uid[:-1])[0] + 1, [len(uid)]])
+        for s, e in zip(heads[:-1], heads[1:]):
+            ts_u, val_u = ts[s:e], val[s:e]
+            for c in range(s, e, _DECAY_T_CHUNK):
+                ce = min(c + _DECAY_T_CHUNK, e)
+                dt = ts[c:ce, None] - ts_u[None, :]
+                # np.power -> C libm pow, the same call DuckDB's pow() makes:
+                # identical doubles on this host, not merely close
+                w = np.power(0.5, dt / DECAY_HL_US)
+                w[dt < 0] = 0.0  # ts_i <= ts_t only (value comparison, not index)
+                out[c:ce] = w @ val_u
+        out = np.floor(out * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "decayed_value": pa.array(out, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel, key="user_id", order=("ts", "event_id"))
+
+
+DECAYED_SUM_SQL = """
+SELECT t.event_id, t.user_id,
+       floor(SUM(s.value * pow(0.5, (epoch_us(t.ts) - epoch_us(s.ts)) / 86400000000.0)) * 1e6 + 0.5) / 1e6
+         AS decayed_value
+FROM events t JOIN events s ON s.user_id = t.user_id AND s.ts <= t.ts
+GROUP BY t.event_id, t.user_id
+"""
