@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": text_analysis.repetition_stats,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
+        "lang_top_token": text_analysis.lang_top_token,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "dedup_incremental": search_dedup.dedup_incremental_docs,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": text_analysis.REPETITION_STATS_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
+        "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
         "dedup_keep_best": search_dedup._dedup_keep_best_sql(),

@@ -1271,3 +1271,88 @@ def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped arg-max: the most frequent token per language. Map-side partial
+# counts on (lang, token) -> ONE exchange hash-partitioned on the pair ->
+# exact per-pair sums + per-partition per-lang arg-max candidates -> a
+# <= num_partitions x num_langs driver fold. Ties break to the
+# lexicographically smallest token, pinned on both sides.
+
+LANG_TOP_PARTS = 32
+
+
+def lang_top_token(sf_dir: str):
+    from ..functions.hashing import string_hash_strong
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang").combine_chunks() if isinstance(tbl.column("lang"), pa.ChunkedArray) else tbl.column("lang")
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lang_of = lang.take(pa.array(np.repeat(np.arange(len(ntok)), ntok)))
+        pair = pc.binary_join_element_wise(lang_of, flat, "\x1f")
+        uniq, codes = np.unique(np.asarray(pair, dtype=object), return_inverse=True)
+        n = np.bincount(codes, minlength=uniq.size)
+        upair = pa.array(uniq, pa.string())
+        pid = (string_hash_strong(upair) % np.uint64(LANG_TOP_PARTS)).astype(np.int32)
+        return pa.table(
+            {"pair": upair, "n": pa.array(n, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def argmax_kernel(tbl: pa.Table) -> pa.Table:
+        pairs = np.asarray(tbl.column("pair").to_numpy(zero_copy_only=False), dtype=object)
+        n = tbl.column("n").to_numpy()
+        uniq, codes = np.unique(pairs, return_inverse=True)
+        tot = np.bincount(codes, weights=n).astype(np.int64)
+        lt = np.array([p.split("\x1f", 1) for p in uniq], dtype=object)
+        langs, toks = lt[:, 0], lt[:, 1]
+        # per-lang arg-max: sort by (lang, -count, token) and keep the head
+        # of each lang run — fully vectorized
+        order = np.lexsort((toks, -tot, langs))
+        lsorted = langs[order]
+        head = np.ones(order.size, dtype=bool)
+        head[1:] = lsorted[1:] != lsorted[:-1]
+        keep = order[head]
+        return pa.table(
+            {
+                "lang": pa.array(langs[keep].tolist(), pa.string()),
+                "token": pa.array(toks[keep].tolist(), pa.string()),
+                "n": pa.array(tot[keep], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: argmax_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    # driver fold over <= LANG_TOP_PARTS x num_langs candidate rows
+    best: dict[str, tuple[int, str]] = {}
+    for r in parts.take_all():
+        cur = best.get(r["lang"])
+        cand = (-int(r["n"]), r["token"])
+        if cur is None or cand < cur:
+            best[r["lang"]] = cand
+    rows = sorted((lang, tok, -negn) for lang, (negn, tok) in best.items())
+    return pd.DataFrame(rows, columns=["lang", "token", "n"])
+
+
+LANG_TOP_TOKEN_SQL = """
+SELECT lang, token, n
+FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+  FROM (
+    SELECT lang, token, count(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY lang, token
+  )
+) WHERE rn = 1
+"""
