@@ -34,6 +34,8 @@ def cmd_run(args) -> int:
         cfg = PipelineConfig()
     if args.input:
         cfg.input_path = args.input
+    if getattr(args, "format", None):
+        cfg.input_format = args.format
     if args.signals:
         cfg.features.signals_path = args.signals
     if args.output:
@@ -126,7 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("run", help="run the feature pipeline (checkpointed)")
-    r.add_argument("--input", help="pages parquet dir")
+    r.add_argument("--input", help="pages input dir")
+    r.add_argument("--format", choices=["parquet", "jsonl", "csv"], help="input format (default parquet)")
     r.add_argument("--signals", help="signals parquet path")
     r.add_argument("--output", help="output dir (parquet + manifests)")
     r.add_argument("--config", help="YAML/JSON PipelineConfig")

@@ -93,6 +93,10 @@ class EngineConfig:
 @dataclass
 class PipelineConfig:
     input_path: str = ""
+    # "parquet" (columnar, projection pushdown at the read) | "jsonl" | "csv"
+    # (row formats: columns are projected AFTER decode — fine for ingest
+    # compatibility, but parquet is the scale path and the docs say so)
+    input_format: str = "parquet"
     features: FeatureConfig = field(default_factory=FeatureConfig)
     engine: EngineConfig = field(default_factory=EngineConfig)
 
@@ -100,6 +104,8 @@ class PipelineConfig:
         from .errors import ConfigError
 
         f, e = self.features, self.engine
+        if self.input_format not in ("parquet", "jsonl", "csv"):
+            raise ConfigError(f"unknown input_format {self.input_format!r}")
         if f.window_k < 1:
             raise ConfigError("window_k must be >= 1")
         if f.session_gap_s <= 0:
@@ -127,6 +133,7 @@ class PipelineConfig:
         payload = json.dumps(
             {
                 "input_path": self.input_path,
+                "input_format": self.input_format,
                 "features": dataclasses.asdict(f),
                 "partitioner": e.partitioner,
                 "num_partitions": e.num_partitions,
@@ -142,6 +149,7 @@ class PipelineConfig:
     def from_dict(cls, d: dict) -> "PipelineConfig":
         cfg = cls(
             input_path=d.get("input_path", ""),
+            input_format=d.get("input_format", "parquet"),
             features=FeatureConfig(**d.get("features", {})),
             engine=EngineConfig(**d.get("engine", {})),
         )

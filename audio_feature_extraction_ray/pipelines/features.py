@@ -63,6 +63,53 @@ def _input_row_count(input_path: str) -> int | None:
         return None
 
 
+def _read_input(cfg: PipelineConfig) -> ray.data.Dataset:
+    """Format-dispatched source (SURVEY §2.1 S1/S4 input side). Parquet is
+    the scale path: columnar, projection pushed into the read. jsonl/csv are
+    ingest-compatibility paths — whole records are decoded, then projected
+    and normalized (warc_ts parsed to timestamp[us]) in a map stage, since
+    row formats cannot prune columns before decode."""
+    fmt = cfg.input_format
+    if fmt == "parquet":
+        return ray.data.read_parquet(
+            cfg.input_path,
+            columns=_input_columns(cfg.input_path),
+            override_num_blocks=cfg.engine.read_num_blocks,
+        )
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    ext = (".jsonl", ".json") if fmt == "jsonl" else (".csv",)
+    paths = sorted(
+        p for p in _glob.glob(f"{cfg.input_path}/*") if p.endswith(ext)
+    ) or [cfg.input_path]
+    if fmt == "jsonl":
+        ds = ray.data.read_json(paths, override_num_blocks=cfg.engine.read_num_blocks)
+    else:
+        from pyarrow import csv as _pacsv
+
+        ds = ray.data.read_csv(
+            paths,
+            override_num_blocks=cfg.engine.read_num_blocks,
+            # html payloads embed newlines inside quoted fields
+            parse_options=_pacsv.ParseOptions(newlines_in_values=True),
+        )
+
+    def project(tbl: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+        for c in INPUT_COLUMNS:
+            if c not in tbl.column_names:
+                continue  # prepare_batch substitutes nulls for missing lang
+            col = tbl.column(c)
+            if c == "warc_ts":
+                col = col.cast(pa.timestamp("us"))  # ISO string or coarser unit
+            cols[c] = col
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _build_partitioner(cfg: PipelineConfig):
     e = cfg.engine
     if e.partitioner == "hash":
@@ -129,11 +176,7 @@ def _load_signals(fcfg: FeatureConfig):
 def build_dataset(cfg: PipelineConfig) -> ray.data.Dataset:
     """Lazy Dataset of prepared + partition-tagged rows (pre-shuffle)."""
     cfg.validate()
-    ds = ray.data.read_parquet(
-        cfg.input_path,
-        columns=_input_columns(cfg.input_path),
-        override_num_blocks=cfg.engine.read_num_blocks,
-    )
+    ds = _read_input(cfg)
     prep = functools.partial(prepare_batch, cfg=cfg.features)
     ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.engine.batch_size)
     partitioner = _build_partitioner(cfg)
@@ -331,11 +374,7 @@ def build_copartitioned(cfg: PipelineConfig) -> tuple[ray.data.Dataset, HostSalt
     partitioner = HostSaltPartitioner.from_sample(
         _sample_hosts(cfg), cfg.engine.num_partitions, hot_salt=cfg.engine.hot_salt
     )
-    pages = ray.data.read_parquet(
-        cfg.input_path,
-        columns=_input_columns(cfg.input_path),
-        override_num_blocks=cfg.engine.read_num_blocks,
-    )
+    pages = _read_input(cfg)
     pages = pages.map_batches(
         functools.partial(prepare_batch, cfg=cfg.features),
         batch_format="pyarrow",

@@ -141,3 +141,49 @@ def test_cli_compact_roundtrip(ray_session, tmp_path, capsys):
     a = read_sorted(sorted(glob.glob(f"{out}/part=*/*.parquet")) or sorted(glob.glob(f"{out}/part-*.parquet")))
     b = read_sorted(sorted(glob.glob(f"{dest}/*.parquet")))
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_jsonl_source_matches_parquet(ray_session, tmp_path):
+    """The same pages through input_format='jsonl' produce IDENTICAL features
+    to the parquet path (source abstraction, not a semantic fork)."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.config import EngineConfig, FeatureConfig, PipelineConfig
+    from audio_feature_extraction_ray.pipelines.features import feature_dataset
+    from audio_feature_extraction_ray.testdata import materialize_fixture
+
+    pages_dir, signals_path = materialize_fixture(str(tmp_path / "fx"), 800, n_files=2)
+    jdir = tmp_path / "jsonl"
+    jdir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{pages_dir}/*.parquet"))):
+        df = pq.read_table(f).to_pandas()
+        df["warc_ts"] = df["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        df.to_json(jdir / f"part-{i}.jsonl", orient="records", lines=True)
+
+    def run(input_path, fmt):
+        cfg = PipelineConfig(
+            input_path=input_path,
+            input_format=fmt,
+            features=FeatureConfig(signals_path=signals_path),
+            engine=EngineConfig(num_partitions=8),
+        )
+        df = feature_dataset(cfg).to_pandas()
+        df["features"] = df["features"].map(tuple)
+        return df.sort_values(["url", "warc_ts"]).reset_index(drop=True)
+
+    a = run(pages_dir, "parquet")
+    b = run(str(jdir), "jsonl")
+    pd.testing.assert_frame_equal(a, b)
+
+    cdir = tmp_path / "csv"
+    cdir.mkdir()
+    for i, f in enumerate(sorted(glob.glob(f"{pages_dir}/*.parquet"))):
+        df = pq.read_table(f).to_pandas()
+        df["html"] = df["html"].map(lambda b: b.decode() if isinstance(b, bytes) else b)
+        df["warc_ts"] = df["warc_ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        df.to_csv(cdir / f"part-{i}.csv", index=False)
+    c = run(str(cdir), "csv")
+    pd.testing.assert_frame_equal(a, c)
