@@ -154,6 +154,13 @@ def run_bench() -> dict:
         ("doc_tfidf_top_terms", text_analysis.tfidf_top_terms),
         ("docs_bigram_topk", text_analysis.bigram_topk),
         ("docs_distinct_tokens", text_analysis.distinct_tokens),
+        ("dedup_incremental", search_dedup.dedup_incremental_docs),
+        ("dedup_keep_best", search_dedup.dedup_keep_best_docs),
+        ("doc_quality_rank", text_analysis.quality_rank),
+        ("events_decayed_sum", events.decayed_sum),
+        ("lang_top_token", text_analysis.lang_top_token),
+        ("docs_bloom_novelty", text_analysis.bloom_token_novelty),
+        ("cust_orders_left", relational.cust_orders_left),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
