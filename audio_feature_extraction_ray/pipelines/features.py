@@ -80,7 +80,12 @@ def _read_input(cfg: PipelineConfig) -> ray.data.Dataset:
 
     import pyarrow.compute as pc
 
-    ext = (".jsonl", ".json") if fmt == "jsonl" else (".csv",)
+    # gzip variants read transparently (Arrow sniffs by extension)
+    ext = (
+        (".jsonl", ".json", ".jsonl.gz", ".json.gz")
+        if fmt == "jsonl"
+        else (".csv", ".csv.gz")
+    )
     paths = sorted(
         p for p in _glob.glob(f"{cfg.input_path}/*") if p.endswith(ext)
     ) or [cfg.input_path]

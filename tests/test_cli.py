@@ -3,6 +3,7 @@ design.md:2432-2457): gen-fixture -> run -> verify round-trip, plus config
 validation errors surfacing at build time."""
 
 import json
+from pathlib import Path
 
 import pytest
 
@@ -187,3 +188,15 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
         df.to_csv(cdir / f"part-{i}.csv", index=False)
     c = run(str(cdir), "csv")
     pd.testing.assert_frame_equal(a, c)
+
+    # gzip-compressed jsonl reads transparently
+    import gzip as _gzip
+    import shutil as _shutil
+
+    gdir = tmp_path / "jsonl_gz"
+    gdir.mkdir()
+    for f in glob.glob(f"{jdir}/*.jsonl"):
+        with open(f, "rb") as src, _gzip.open(gdir / (Path(f).name + ".gz"), "wb") as dst:
+            _shutil.copyfileobj(src, dst)
+    g = run(str(gdir), "jsonl")
+    pd.testing.assert_frame_equal(a, g)
