@@ -116,15 +116,52 @@ FROM (
 
 
 def docs_first_per_key(sf_dir: str) -> ray.data.Dataset:
+    """Min-id row per (lang, source): the repo's bounded-pid exchange idiom
+    (map-side keep-min partial -> hash route on the composite key -> one
+    vectorized keep-first kernel per partition) rather than a native
+    multi-column groupby — group count never dictates task count."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import string_hash_strong
+    from ..stages.dedup import _neq_prev_mask
+
+    P = 8
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
     )
-    import pandas as pd
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, "doc_id")
+    def partial(tbl: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            tbl.column("lang").cast(pa.string()),
+            tbl.column("source").cast(pa.string()),
+            "\x1f",
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        ids = tbl.column("doc_id").to_numpy()
+        kobj = np.asarray(key, dtype=object)
+        order = np.lexsort((ids, kobj))
+        ks = kobj[order]
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        keep = np.sort(order[first])
+        tbl = tbl.append_column("__key", key).append_column(
+            "__pid",
+            pa.array((string_hash_strong(key) % np.uint64(P)).astype(np.int32)),
+        )
+        return tbl.take(pa.array(keep)) if keep.size < tbl.num_rows else tbl
 
-    return ds.groupby(["lang", "source"]).map_groups(first, batch_format="pandas")
+    def keep_first(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("__key", "ascending"), ("doc_id", "ascending")])
+        head = _neq_prev_mask(tbl.column("__key"))
+        out = tbl if head.all() else tbl.filter(pa.array(head))
+        return out.drop_columns(["__key", "__pid"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
 
 
 DOCS_FIRST_PER_KEY_SQL = """
