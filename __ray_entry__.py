@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ntile": relational.orders_ntile,
         "q3_shipping": relational.q3_shipping,
         "q5_local_volume": relational.q5_local_volume,
+        "q10_returned_items": relational.q10_returned_items,
     }
     return q
 
@@ -215,4 +216,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_ntile": relational.ORDERS_NTILE_SQL,
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "q5_local_volume": relational.Q5_LOCAL_VOLUME_SQL,
+        "q10_returned_items": relational.Q10_RETURNED_ITEMS_SQL,
     }

@@ -26,6 +26,9 @@ def _cents(col) -> np.ndarray:
     return np.round(np.asarray(col, dtype=np.float64) * 100).astype(np.int64)
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)  # fibonacci-hash multiplier for int keys
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: filter -> map-side partial agg -> small groupby.
 
@@ -854,6 +857,142 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = (SELECT min(r_name) FROM region)
   AND c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
+"""
+
+
+def q10_returned_items(sf_dir: str, num_partitions: int = 32):
+    """TPC-H Q10 analog: revenue lost to returned items ('R' lineitems) per
+    customer, top 20 by revenue (ties -> min custkey). Shape: pruned+filtered
+    lineitem x orders co-partitioned join on orderkey -> custkey-hash partial
+    sums -> per-partition exact sums + local top-20 -> <= partitions x 20
+    driver fold -> broadcast customer/nation attribute attach. Money in
+    integer cents end-to-end; rank on the integer sum so float formatting
+    can't flip order."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        m = pc.equal(tbl.column("l_returnflag"), "R")
+        tbl = tbl.filter(m)
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "rev4": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_side, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = copartitioned_equijoin(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["rev4"],
+        dim_cols=["o_custkey"],
+        num_partitions=num_partitions,
+        fact_col_types={"rev4": pa.int64()},
+        dim_col_types={"o_custkey": pa.int64()},
+        key_type=pa.int64(),
+    )
+
+    def cust_partial(tbl: pa.Table) -> pa.Table:
+        cu = tbl.column("o_custkey").to_numpy()
+        rev = tbl.column("rev4").to_numpy()
+        uniq, codes = np.unique(cu, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, codes, rev)
+        with np.errstate(over="ignore"):
+            pid = ((uniq.astype(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(
+                num_partitions
+            )
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq, pa.int64()),
+                "rev4": pa.array(sums, pa.int64()),
+                "__pid": pa.array(pid.astype(np.int32)),
+            }
+        )
+
+    def topk_kernel(tbl: pa.Table) -> pa.Table:
+        cu = tbl.column("c_custkey").to_numpy()
+        rev = tbl.column("rev4").to_numpy()
+        uniq, codes = np.unique(cu, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, codes, rev)
+        order = np.lexsort((uniq, -sums))[:20]
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq[order], pa.int64()),
+                "rev4": pa.array(sums[order], pa.int64()),
+            }
+        )
+
+    cands = (
+        joined.map_batches(cust_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: topk_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .take_all()  # <= num_partitions x 20 rows
+    )
+    df = pd.DataFrame(cands).sort_values(
+        ["rev4", "c_custkey"], ascending=[False, True]
+    ).head(20)
+
+    cust = gather_small_side(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    )
+    nation = gather_small_side(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    ck = cust.column("c_custkey").to_numpy()
+    corder = np.argsort(ck, kind="stable")
+    pos = corder[np.searchsorted(ck[corder], df["c_custkey"].to_numpy())]
+    nk = nation.column("n_nationkey").to_numpy()
+    norder = np.argsort(nk, kind="stable")
+    cnat = cust.column("c_nationkey").to_numpy()[pos]
+    npos = norder[np.searchsorted(nk[norder], cnat)]
+    out = pd.DataFrame(
+        {
+            "c_custkey": df["c_custkey"].to_numpy(),
+            "c_name": np.asarray(cust.column("c_name").to_pylist(), dtype=object)[pos],
+            "revenue": df["rev4"].to_numpy() / 10000.0,
+            "c_acctbal": cust.column("c_acctbal").to_numpy(zero_copy_only=False)[pos],
+            "n_name": np.asarray(nation.column("n_name").to_pylist(), dtype=object)[npos],
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+Q10_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT c.c_custkey, c.c_name,
+         sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue,
+         c.c_acctbal, n.n_name,
+         row_number() OVER (
+           ORDER BY sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT))) DESC,
+                    c.c_custkey) AS rn
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+) WHERE rn <= 20
 """
 
 
