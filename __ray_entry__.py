@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_distinct_tokens": text_analysis.distinct_tokens,
         "docs_bloom_novelty": text_analysis.bloom_token_novelty,  # rows-only (bloom FPR)
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
+        "docs_hll_by_lang": text_analysis.hll_distinct_tokens_by_lang,  # rows-only (sketch)
         "docs_bigram_topk": text_analysis.bigram_topk,
         "token_heavy_hitters": text_analysis.token_heavy_hitters,
         "doc_tfidf_top_terms": text_analysis.tfidf_top_terms,

@@ -1356,3 +1356,69 @@ FROM (
   )
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL: approximate distinct-token count PER LANGUAGE — the sketch x
+# groupby composition. Each batch emits one register vector per lang present
+# (mergeable by element-wise max), folded on the driver over <= blocks x
+# langs rows. Rows-only driver check; pinned against the exact per-lang
+# counts in pytest (same 5% HLL bound as the global sketch).
+
+
+def hll_distinct_tokens_by_lang(sf_dir: str):
+    from ..functions.hashing import string_hash_strong
+
+    m = 1 << HLL_P
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang_col = tbl.column("lang")
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        langs_np = np.asarray(lang_col.to_numpy(zero_copy_only=False), dtype=object)
+        out_lang: list[str] = []
+        regs_rows: list[np.ndarray] = []
+        for lang in np.unique(langs_np):
+            sel = pa.array(langs_np == lang)
+            sub = tbl.filter(sel)
+            uniq = pc.unique(_raw_flat_tokens(sub))
+            h = string_hash_strong(uniq)
+            reg = np.zeros(m, dtype=np.uint8)
+            if h.size:
+                idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+                rest = (h << np.uint64(HLL_P)) | np.uint64(1 << (HLL_P - 1))
+                rank = (64 - HLL_P + 1) - np.floor(
+                    np.log2(rest.astype(np.float64))
+                ).astype(np.int64)
+                np.maximum.at(reg, idx, rank.astype(np.uint8))
+            out_lang.append(str(lang))
+            regs_rows.append(reg)
+        regs = np.concatenate(regs_rows) if regs_rows else np.empty(0, np.uint8)
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "regs": pa.FixedSizeListArray.from_arrays(pa.array(regs, pa.uint8()), m),
+            }
+        )
+
+    parts = _read_docs(sf_dir, ["text", "lang"]).map_batches(partial, batch_format="pyarrow")
+    import pandas as pd
+
+    folded: dict[str, np.ndarray] = {}
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        langs = batch.column("lang").to_pylist()
+        col = batch.column("regs").combine_chunks()
+        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        for lang, row in zip(langs, arr):
+            prev = folded.get(lang)
+            folded[lang] = row.astype(np.uint8) if prev is None else np.maximum(prev, row)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rows = []
+    for lang in sorted(folded):
+        regs = folded[lang]
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.count_nonzero(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        rows.append((lang, float(est), m - zeros))
+    return pd.DataFrame(rows, columns=["lang", "hll_estimate", "registers_used"])

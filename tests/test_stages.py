@@ -728,3 +728,24 @@ def test_copartitioned_equijoin_mn_and_outer(ray_session):
     assert len(full) == 8
     row4 = full[full.k == 4]
     assert len(row4) == 1 and row4["f"].isna().all() and row4["d"].iloc[0] == 400
+
+
+def test_hll_by_lang_error_bound(ray_session):
+    """Per-lang HLL estimates stay within the standard error bound of the
+    exact per-lang distinct-token counts."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        hll_distinct_tokens_by_lang,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    est = hll_distinct_tokens_by_lang(sf).set_index("lang")["hll_estimate"]
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["text", "lang"]).to_pandas()
+    exact = docs.groupby("lang")["text"].apply(
+        lambda s: len(set(t for x in s for t in x.split(" ")))
+    )
+    assert sorted(est.index) == sorted(exact.index)
+    for lang in exact.index:
+        assert abs(est[lang] - exact[lang]) / exact[lang] < 0.05, (
+            lang, est[lang], exact[lang])
