@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": relational.q3_shipping,
         "q5_local_volume": relational.q5_local_volume,
         "q10_returned_items": relational.q10_returned_items,
+        "q7_nation_volume": relational.q7_nation_volume,
     }
     return q
 
@@ -218,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "q5_local_volume": relational.Q5_LOCAL_VOLUME_SQL,
         "q10_returned_items": relational.Q10_RETURNED_ITEMS_SQL,
+        "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,
     }

@@ -996,6 +996,147 @@ FROM (
 """
 
 
+def q7_nation_volume(sf_dir: str, num_partitions: int = 32):
+    """TPC-H Q7 analog: shipping volume between the two lexicographically
+    smallest nations, grouped by (supp_nation, cust_nation, ship year).
+    Nation/supplier/customer are broadcast lookups (genuinely small dims);
+    lineitem x orders co-partition on orderkey; the grouped sum has <= 2x2xY
+    cells, folded map-side then on the driver. Integer cents end-to-end."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    nation = gather_small_side(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nnames = sorted(nation.column("n_name").to_pylist())
+    n1, n2 = nnames[0], nnames[1]
+    name_of = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    pair_keys = np.array(
+        [k for k, v in name_of.items() if v in (n1, n2)], dtype=np.int64
+    )
+    sup = gather_small_side(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = sup.column("s_suppkey").to_numpy()
+    sorder = np.argsort(sk, kind="stable")
+    cust = gather_small_side(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ck = cust.column("c_custkey").to_numpy()
+    corder = np.argsort(ck, kind="stable")
+    ref = _ray.put(
+        (
+            sk[sorder],
+            sup.column("s_nationkey").to_numpy().astype(np.int64)[sorder],
+            ck[corder],
+            cust.column("c_nationkey").to_numpy().astype(np.int64)[corder],
+            np.sort(pair_keys),
+        )
+    )
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        sks, snat, _, _, keys = _ray.get(ref)
+        su = tbl.column("l_suppkey").to_numpy()
+        nat = snat[np.searchsorted(sks, su)]
+        pos = np.searchsorted(keys, nat)
+        hit = pos < keys.size
+        hit[hit] = keys[pos[hit]] == nat[hit]
+        tbl = tbl.filter(pa.array(hit))
+        nat = nat[hit]
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        year = pc.year(tbl.column("l_shipdate")).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "supp_nation": pa.array(nat, pa.int64()),
+                "l_year": pa.array(year, pa.int64()),
+                "rev4": pa.array(price_c * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_side, batch_format="pyarrow")
+
+    def orders_side(tbl: pa.Table) -> pa.Table:
+        _, _, cks, cnat, keys = _ray.get(ref)
+        cu = tbl.column("o_custkey").to_numpy()
+        nat = cnat[np.searchsorted(cks, cu)]
+        pos = np.searchsorted(keys, nat)
+        hit = pos < keys.size
+        hit[hit] = keys[pos[hit]] == nat[hit]
+        tbl = tbl.filter(pa.array(hit))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "cust_nation": pa.array(nat[hit], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        orders_side, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["supp_nation", "l_year", "rev4"],
+        dim_cols=["cust_nation"],
+        num_partitions=num_partitions,
+        fact_col_types={"supp_nation": pa.int64(), "l_year": pa.int64(), "rev4": pa.int64()},
+        dim_col_types={"cust_nation": pa.int64()},
+        key_type=pa.int64(),
+    )
+
+    def cell_partial(tbl: pa.Table) -> pa.Table:
+        sn = tbl.column("supp_nation").to_numpy()
+        cn = tbl.column("cust_nation").to_numpy()
+        keep = sn != cn
+        sn, cn = sn[keep], cn[keep]
+        yr = tbl.column("l_year").to_numpy()[keep]
+        rev = tbl.column("rev4").to_numpy()[keep]
+        key = (sn << 40) | (cn << 16) | yr
+        uniq, codes = np.unique(key, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, codes, rev)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "rev4": pa.array(sums, pa.int64())}
+        )
+
+    parts = joined.map_batches(cell_partial, batch_format="pyarrow").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[r["cell"]] = agg.get(r["cell"], 0) + r["rev4"]
+    rows = []
+    for cell in sorted(agg):
+        sn, cn, yr = cell >> 40, (cell >> 16) & 0xFFFFFF, cell & 0xFFFF
+        rows.append((name_of[sn], name_of[cn], int(yr), agg[cell] / 10000.0))
+    return pd.DataFrame(rows, columns=["supp_nation", "cust_nation", "l_year", "revenue"])
+
+
+Q7_NATION_VOLUME_SQL = """
+WITH two AS (
+  SELECT n_nationkey, n_name FROM nation
+  WHERE n_name IN (SELECT n_name FROM nation ORDER BY n_name LIMIT 2)
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN two ns ON s.s_nationkey = ns.n_nationkey
+JOIN two nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # ntile + cume_dist windows over the same hash-partitioned segment kernel as
 # percent_rank. Unique ordering makes both pure integer-derived:
