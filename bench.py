@@ -161,6 +161,8 @@ def run_bench() -> dict:
         ("lang_top_token", text_analysis.lang_top_token),
         ("docs_bloom_novelty", text_analysis.bloom_token_novelty),
         ("cust_orders_left", relational.cust_orders_left),
+        ("q10_returned_items", relational.q10_returned_items),
+        ("q7_nation_volume", relational.q7_nation_volume),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
