@@ -202,13 +202,17 @@ def copartitioned_equijoin(
         hi = np.searchsorted(dks, fk, side="right")
         cnt = hi - lo
         matched = cnt > 0
-        f_idx = np.repeat(np.arange(fk.size, dtype=np.int64), cnt)
         total = int(cnt.sum())
-        starts = np.repeat(lo, cnt)
-        offs = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
-        )
-        d_idx = dorder[starts + offs] if total else np.empty(0, np.int64)
+        if total:
+            f_idx = np.repeat(np.arange(fk.size, dtype=np.int64), cnt)
+            starts = np.repeat(lo, cnt)
+            offs = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt
+            )
+            d_idx = dorder[starts + offs]
+        else:
+            f_idx = np.empty(0, np.int64)
+            d_idx = np.empty(0, np.int64)
         if how in ("left", "full") and not matched.all():
             # one output row per unmatched fact row, dim side null
             miss = np.nonzero(~matched)[0]

@@ -749,3 +749,37 @@ def test_hll_by_lang_error_bound(ray_session):
     for lang in exact.index:
         assert abs(est[lang] - exact[lang]) / exact[lang] < 0.05, (
             lang, est[lang], exact[lang])
+
+
+def test_new_ops_empty_and_tiny_inputs(ray_session):
+    """Round-3 operators survive empty/degenerate inputs (the driver gate
+    only sees sf>=0.001; empty partitions appear at real scale)."""
+    from audio_feature_extraction_ray.stages.dedup import incremental_dedup, keep_best_dedup
+    from audio_feature_extraction_ray.stages.join import copartitioned_equijoin
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    assert incremental_dedup(ray.data.from_arrow(empty), split_id=5, num_partitions=2).count() == 0
+    escore = empty.append_column("score", pa.array([], pa.float64()))
+    assert keep_best_dedup(ray.data.from_arrow(escore), score_col="score", num_partitions=2).count() == 0
+
+    one = pa.table({"doc_id": pa.array([7], pa.int64()), "text": pa.array(["x"], pa.string())})
+    out = incremental_dedup(ray.data.from_arrow(one), split_id=0, num_partitions=2).to_pandas()
+    assert sorted(out["doc_id"]) == [7]  # new row, unseen content
+
+    f = pa.table({"k": pa.array([1, 2], pa.int64()), "f": pa.array([1, 2], pa.int64())})
+    d_empty = pa.table({"k": pa.array([], pa.int64()), "d": pa.array([], pa.int64())})
+    # left join against an EMPTY dim keeps every fact row with null dim cols
+    out = copartitioned_equijoin(
+        ray.data.from_arrow(f), ray.data.from_arrow(d_empty),
+        "k", "k", ["f"], ["d"], num_partitions=2, how="left",
+    ).to_pandas()
+    assert len(out) == 2 and out["d"].isna().all()
+    # full join against an empty FACT emits the dim rows
+    out = copartitioned_equijoin(
+        ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64()), "f": pa.array([], pa.int64())})),
+        ray.data.from_arrow(pa.table({"k": pa.array([5], pa.int64()), "d": pa.array([50], pa.int64())})),
+        "k", "k", ["f"], ["d"], num_partitions=2, how="full",
+    ).to_pandas()
+    assert len(out) == 1 and out["d"].iloc[0] == 50 and out["f"].isna().all()
