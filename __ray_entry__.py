@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.fingerprint,
         "doc_quality": text_analysis.quality,
         "doc_quality_rank": text_analysis.quality_rank,
+        "docs_pack_sequences": text_analysis.pack_sequences,
         "doc_langid": text_analysis.langid_docs,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,
         "doc_quality_rank": text_analysis.QUALITY_RANK_SQL,
+        "docs_pack_sequences": text_analysis.PACK_SEQUENCES_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,

@@ -1422,3 +1422,118 @@ def hll_distinct_tokens_by_lang(sf_dir: str):
             est = m * np.log(m / zeros)
         rows.append((lang, float(est), m - zeros))
     return pd.DataFrame(rows, columns=["lang", "hll_estimate", "registers_used"])
+
+
+# ---------------------------------------------------------------------------
+# sequence packing layout (pretraining-data op): concatenate documents in
+# doc_id order and cut every SEQ_LEN tokens (the GPT-style pack-and-chunk
+# layout). Each doc's placement derives from the GLOBAL token prefix-sum at
+# its position — computed distributed with the same two-stage shape as
+# quality_rank: order-aligned range partitions on doc_id (sampled bounds),
+# local cumsum per partition, partition token-totals prefix-summed on the
+# driver (num_partitions scalars), offsets added in a final map. Oracle:
+# SUM(n_tokens) OVER (ORDER BY doc_id ROWS .. 1 PRECEDING).
+
+SEQ_LEN = 1024
+_PACK_PARTITIONS = 32
+_PACK_SAMPLE = 10_000
+
+
+def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(docs_path).num_rows
+    frac = min(1.0, _PACK_SAMPLE / max(1, n))
+    sample = (
+        ray.data.read_parquet(docs_path, columns=["doc_id"])
+        .random_sample(frac, seed=13)
+        .take_all()
+    )
+    s_ids = np.sort(np.array([r["doc_id"] for r in sample], dtype=np.int64))
+    idx = (np.arange(1, _PACK_PARTITIONS) * s_ids.size) // _PACK_PARTITIONS
+    bounds = s_ids[np.minimum(idx, s_ids.size - 1)] if s_ids.size else np.array([], np.int64)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks() if isinstance(tbl.column("text"), pa.ChunkedArray) else tbl.column("text")
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        ntok = pc.if_else(nonempty, pc.add(pc.count_substring(text, " "), 1), 0).cast(pa.int64())
+        ids = tbl.column("doc_id").to_numpy()
+        pid = np.searchsorted(bounds, ids, side="right").astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": ntok,
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def local_scan(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("doc_id", "ascending")])
+        ntok = tbl.column("n_tokens").to_numpy()
+        cum = np.cumsum(ntok)
+        local_before = cum - ntok
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "__pid": tbl.column("__pid"),
+                "__local_off": pa.array(local_before, pa.int64()),
+            }
+        )
+
+    scanned = (
+        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(local_scan, batch_format="pyarrow")
+        .materialize()  # counted next; this IS the output minus offsets
+    )
+    from ray.data.aggregate import Sum
+
+    tot_rows = scanned.groupby("__pid").aggregate(Sum("n_tokens", alias_name="t")).take_all()
+    totals = np.zeros(_PACK_PARTITIONS, dtype=np.int64)
+    for r in tot_rows:
+        totals[int(r["__pid"])] = int(r["t"])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    L = SEQ_LEN
+
+    def add_offsets(tbl: pa.Table) -> pa.Table:
+        pid = tbl.column("__pid").to_numpy()
+        off = tbl.column("__local_off").to_numpy() + offsets[pid]
+        ntok = tbl.column("n_tokens").to_numpy()
+        span = np.maximum(ntok, 1)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "token_offset": pa.array(off, pa.int64()),
+                "seq_first": pa.array(off // L, pa.int64()),
+                "seq_last": pa.array((off + span - 1) // L, pa.int64()),
+                "offset_in_seq": pa.array(off % L, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(add_offsets, batch_format="pyarrow")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH tc AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM tc
+)
+SELECT doc_id, n_tokens, off AS token_offset,
+       off // {SEQ_LEN} AS seq_first,
+       (off + greatest(n_tokens, 1) - 1) // {SEQ_LEN} AS seq_last,
+       off % {SEQ_LEN} AS offset_in_seq
+FROM c
+"""
