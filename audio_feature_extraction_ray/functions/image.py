@@ -233,7 +233,186 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "image payload is neither BMP nor PNG; jpeg decode requires PIL/libjpeg "
+        "image payload is not BMP/PNG/GIF; jpeg decode requires PIL/libjpeg "
         "(not installed)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) decode — pure stdlib/numpy LZW, first frame, global or local
+# color table, interlace supported. The third real compressed image format
+# (after BMP and stdlib-zlib PNG) decodable with zero native deps. The LZW
+# dictionary loop is per-CODE Python (inherent to LZW's sequential dict
+# growth); payload sizes in media pipelines are bounded by the decode stage's
+# batch sizing, and each output pixel run is copied vectorized.
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    # bit reader: little-endian, variable width
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8)[:, None], axis=1, bitorder="little"
+    ).ravel()
+    pos = 0
+    width = min_code_size + 1
+    # dict: prefix chains as (prev_code, last_byte); roots are (-1, i)
+    max_entries = 4096
+    prev_arr = np.full(max_entries, -1, dtype=np.int32)
+    last_arr = np.zeros(max_entries, dtype=np.uint8)
+    for i in range(clear):
+        last_arr[i] = i
+    next_code = eoi + 1
+    out = np.empty(n_pixels + 4096, dtype=np.uint8)
+    n_out = 0
+    prev_code = -1
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > bits.size:
+            return eoi
+        v = int(bits[pos : pos + width] @ (1 << np.arange(width, dtype=np.int64)))
+        pos += width
+        return v
+
+    def expand(code: int) -> np.ndarray:
+        chain = []
+        c = code
+        while c >= 0:
+            chain.append(last_arr[c])
+            c = prev_arr[c]
+        return np.array(chain[::-1], dtype=np.uint8)
+
+    while n_out < n_pixels:
+        code = read_code()
+        if code == clear:
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev_code = -1
+            continue
+        if code == eoi:
+            break
+        if prev_code < 0:
+            seq = expand(code)
+        elif code < next_code:
+            seq = expand(code)
+            if next_code < max_entries:
+                prev_arr[next_code] = prev_code
+                last_arr[next_code] = seq[0]
+                next_code += 1
+        else:  # the KwKwK case: code == next_code
+            pseq = expand(prev_code)
+            seq = np.concatenate([pseq, pseq[:1]])
+            if next_code < max_entries:
+                prev_arr[next_code] = prev_code
+                last_arr[next_code] = seq[0]
+                next_code += 1
+        out[n_out : n_out + seq.size] = seq
+        n_out += seq.size
+        prev_code = code
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    return out[:n_pixels]
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First image frame of a GIF -> (h, w, 3) uint8 RGB."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+        off += 3 * n
+    while off < len(payload):
+        b = payload[off]
+        if b == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+        elif b == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[off + 5 : off + 7], "little")
+            h = int.from_bytes(payload[off + 7 : off + 9], "little")
+            iflags = payload[off + 9]
+            off += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                ct = np.frombuffer(payload[off : off + 3 * n], dtype=np.uint8).reshape(n, 3)
+                off += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[off]
+            off += 1
+            chunks = []
+            while payload[off] != 0:
+                ln = payload[off]
+                chunks.append(payload[off + 1 : off + 1 + ln])
+                off += 1 + ln
+            off += 1
+            idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+            img = ct[np.minimum(idx.astype(np.int64), ct.shape[0] - 1)].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return np.ascontiguousarray(img)
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError(f"GIF has no image frame (screen {sw}x{sh})")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder (exact 256-color palette required; used by
+    tests to round-trip the decoder). Emits UNCOMPRESSED-style LZW: clear
+    code before every literal so codes never grow past min_code_size+1 —
+    valid LZW, trivially correct, test-sized payloads only."""
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    flat = img.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("encode_gif supports <=256 distinct colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    min_code = 8
+    clear, eoi = 256, 257
+    codes: list[int] = []
+    for v in inv:
+        codes.append(clear)
+        codes.append(int(v))
+    codes.append(eoi)
+    # pack 9-bit codes little-endian
+    bits = np.zeros(len(codes) * 9, dtype=np.uint8)
+    for i, c in enumerate(codes):
+        for j in range(9):
+            bits[i * 9 + j] = (c >> j) & 1
+    data = np.packbits(bits, bitorder="little").tobytes()
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)

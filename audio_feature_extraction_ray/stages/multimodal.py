@@ -367,8 +367,9 @@ def extract_image_features(
 
 def synthetic_image_table(n: int = 24, seed: int = 7) -> pa.Table:
     """Deterministic real-image fixture: gradients, solids, and noise
-    patterns with known statistics, alternating BMP (even rows) and PNG
-    (odd rows) payloads so BOTH native codecs are exercised; the planted
+    patterns with known statistics, rotating BMP / PNG payloads (with GIF
+    for the palette-safe solid frames) so all three native codecs are
+    exercised; the planted
     duplicate pair (rows 0 and n-1) stores the SAME pixels in DIFFERENT
     formats, so a matching perceptual hash proves format-independent
     decode, not byte equality."""
@@ -388,7 +389,12 @@ def synthetic_image_table(n: int = 24, seed: int = 7) -> pa.Table:
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
         img = np.ascontiguousarray(img, dtype=np.uint8)
         imgs.append(img)
-        payloads.append(encode_bmp(img) if i % 2 == 0 else encode_png(img))
+        if kind == 1:  # solid color: <=256 distinct colors, GIF-safe
+            from ..functions.image import encode_gif
+
+            payloads.append(encode_gif(img))
+        else:
+            payloads.append(encode_bmp(img) if i % 2 == 0 else encode_png(img))
     # planted pixel-duplicate of row 0 in the OTHER format (row 0 is BMP)
     payloads.append(encode_png(imgs[0]))
     return pa.table(

@@ -336,3 +336,87 @@ def test_rawv_roundtrip_and_motion(ray_session):
     assert (df.drop(index=0)["motion_energy"] > 0).all()  # scrolling clips
     assert df.loc[0, "ahash_first"] == df.loc[0, "ahash_last"]
     assert (df["n_sampled"] == (df["n_frames"] + 1) // 2).all()
+
+
+def _lzw_compress_ref(indices, min_code_size):
+    """Classic LZW encoder (dict growth + width bumps + KwKwK-producing
+    streams) — reference for exercising the decoder's dictionary paths."""
+    import numpy as np
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits = []
+
+    def emit(c):
+        out_bits.extend((c >> j) & 1 for j in range(width))
+
+    emit(clear)
+    seq = ()
+    # width bumps immediately after the table add that follows an emission —
+    # the same point in the code stream where the decoder's add happens
+    for v in map(int, indices):
+        cand = seq + (v,)
+        if cand in table:
+            seq = cand
+        else:
+            emit(table[seq])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                if next_code > (1 << width) and width < 12:
+                    width += 1
+            seq = (v,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    bits = np.array(out_bits, dtype=np.uint8)
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def test_gif_codec_roundtrip_and_real_lzw():
+    import numpy as np
+
+    from audio_feature_extraction_ray.functions.image import (
+        _lzw_decode,
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (31, 19))]
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+
+    # decoder vs a REAL dictionary-building LZW stream (repetitive data
+    # grows the dict and triggers the KwKwK case)
+    for data in [
+        np.zeros(500, dtype=np.uint8),                      # KwKwK immediately
+        np.tile(np.arange(8, dtype=np.uint8), 100),          # periodic
+        rng.integers(0, 16, 1000).astype(np.uint8),          # random small alphabet
+        np.repeat(rng.integers(0, 4, 50), rng.integers(1, 30, 50)).astype(np.uint8),
+    ]:
+        comp = _lzw_compress_ref(data, 8)
+        got = _lzw_decode(comp, 8, data.size)
+        assert np.array_equal(got, data), (data[:10], got[:10])
+
+    # interlaced frame: hand-build descriptor with the interlace flag
+    g = np.arange(0, 240, 10, dtype=np.uint8)[:, None] * np.ones((1, 5), np.uint8)
+    img2 = np.stack([g] * 3, axis=-1)
+    b = bytearray(encode_gif(img2))
+    # image descriptor starts after 13-byte header + 768-byte GCT
+    desc = 13 + 768
+    assert b[desc] == 0x2C
+    h, w = img2.shape[:2]
+    # set interlace bit and REORDER rows so the interlaced read restores img2
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    from audio_feature_extraction_ray.functions.image import encode_gif as _eg
+
+    b2 = bytearray(_eg(img2[order]))
+    b2[desc + 9] |= 0x40
+    out = decode_gif(bytes(b2))
+    assert np.array_equal(out, img2)
