@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "dedup_incremental": search_dedup.dedup_incremental_docs,
         "dedup_keep_best": search_dedup.dedup_keep_best_docs,
+        "corpus_curate_pack": search_dedup.curate_pack,
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
         "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
         "dedup_keep_best": search_dedup._dedup_keep_best_sql(),
+        "corpus_curate_pack": search_dedup._curate_pack_sql(),
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,

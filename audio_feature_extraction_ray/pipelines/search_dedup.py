@@ -671,3 +671,67 @@ FROM documents a JOIN documents b ON a.doc_id < b.doc_id
 WHERE a.doc_id < {EDIST_N} AND b.doc_id < {EDIST_N}
   AND levenshtein(substr(a.text, 1, {EDIST_PREFIX}), substr(b.text, 1, {EDIST_PREFIX})) <= {EDIST_MAX}
 """
+
+
+# --- corpus-curation macro-pipeline: dedup -> quality filter -> pack --------
+
+CURATE_MIN_QUALITY = 0.5
+
+
+def curate_pack(sf_dir: str) -> ray.data.Dataset:
+    """The end-to-end corpus-curation pipeline in one lazy Dataset chain:
+    keep the best-quality copy per identical text (keep_best_dedup), drop
+    docs below the quality floor, then sequence-pack the SURVIVORS in
+    doc_id order (GPT-style pack-and-chunk layout). Three operator families
+    composed — digest exchange, vectorized filter, distributed prefix sum —
+    with one SQL oracle for the whole chain."""
+    import pyarrow.compute as pc
+
+    from .text_analysis import _pack_bounds, _pack_docs, quality_scores
+
+    def attach_quality(tbl: pa.Table) -> pa.Table:
+        q = quality_scores(tbl.column("text"))
+        return tbl.append_column("quality", pa.array(q, pa.float64()))
+
+    ds = _docs(sf_dir).map_batches(attach_quality, batch_format="pyarrow")
+    best = dedup.keep_best_dedup(ds, score_col="quality", id_col="doc_id", text_col="text")
+    survivors = best.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("quality"), CURATE_MIN_QUALITY)
+        ).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    return _pack_docs(survivors, _pack_bounds(sf_dir))
+
+
+def _curate_pack_sql() -> str:
+    from .text_analysis import QUALITY_EXPR, QUALITY_T_CTE, SEQ_LEN
+
+    return f"""
+WITH {QUALITY_T_CTE},
+q AS (
+  SELECT doc_id, md5(text) AS h, ntok, {QUALITY_EXPR} AS quality
+  FROM t
+),
+best AS (
+  SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens, quality
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY h
+                                 ORDER BY quality DESC, doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+surv AS (SELECT doc_id, n_tokens FROM best WHERE quality >= {CURATE_MIN_QUALITY}),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM surv
+)
+SELECT doc_id, n_tokens, off AS token_offset,
+       off // {SEQ_LEN} AS seq_first,
+       (off + greatest(n_tokens, 1) - 1) // {SEQ_LEN} AS seq_last,
+       off % {SEQ_LEN} AS offset_in_seq
+FROM c
+"""

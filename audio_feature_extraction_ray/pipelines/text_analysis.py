@@ -1439,7 +1439,9 @@ _PACK_PARTITIONS = 32
 _PACK_SAMPLE = 10_000
 
 
-def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+def _pack_bounds(sf_dir: str) -> np.ndarray:
+    """Order-aligned doc_id range bounds from a driver-side sample. Any
+    SUBSET of documents routed with these bounds keeps partition order."""
     import pyarrow.parquet as pq
 
     docs_path = f"{sf_dir}/documents.parquet"
@@ -1452,7 +1454,12 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
     )
     s_ids = np.sort(np.array([r["doc_id"] for r in sample], dtype=np.int64))
     idx = (np.arange(1, _PACK_PARTITIONS) * s_ids.size) // _PACK_PARTITIONS
-    bounds = s_ids[np.minimum(idx, s_ids.size - 1)] if s_ids.size else np.array([], np.int64)
+    return s_ids[np.minimum(idx, s_ids.size - 1)] if s_ids.size else np.array([], np.int64)
+
+
+def _pack_docs(ds: ray.data.Dataset, bounds: np.ndarray) -> ray.data.Dataset:
+    """Sequence-pack a (doc_id, text) Dataset: distributed global prefix sum
+    over token counts in doc_id order (see pack_sequences)."""
 
     def tag(tbl: pa.Table) -> pa.Table:
         text = tbl.column("text").combine_chunks() if isinstance(tbl.column("text"), pa.ChunkedArray) else tbl.column("text")
@@ -1483,8 +1490,7 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
         )
 
     scanned = (
-        ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        .map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(tag, batch_format="pyarrow")
         .groupby("__pid")
         .map_groups(local_scan, batch_format="pyarrow")
         .materialize()  # counted next; this IS the output minus offsets
@@ -1515,6 +1521,11 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
         )
 
     return scanned.map_batches(add_offsets, batch_format="pyarrow")
+
+
+def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _pack_docs(ds, _pack_bounds(sf_dir))
 
 
 PACK_SEQUENCES_SQL = f"""
