@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
         "events_decayed_sum": events.decayed_sum,
+        "events_props_stats": events.props_stats,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
         "events_cube": events.cube_type_day,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
+        "events_props_stats": events.PROPS_STATS_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
         "events_cube": events.CUBE_TYPE_DAY_SQL,

@@ -1048,3 +1048,60 @@ SELECT t.event_id, t.user_id,
 FROM events t JOIN events s ON s.user_id = t.user_id AND s.ts <= t.ts
 GROUP BY t.event_id, t.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction: parse the props JSON column ({"k": <int>}) with
+# a vectorized Arrow regex (no per-row json.loads) and aggregate per event
+# type. Map-side integer partials -> bounded driver fold (<= blocks x types
+# rows). The oracle uses DuckDB's JSON extraction — same values, so the
+# regex path is pinned to real JSON semantics for this (flat) shape.
+
+
+def props_stats(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = read_events(sf_dir, ["event_type", "props"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ks = pc.extract_regex(tbl.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ks, "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        n = np.bincount(codes, minlength=uniq.size)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.add.at(s, codes, k)
+        np.maximum.at(mx, codes, k)
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        cur = agg.setdefault(r["event_type"], [0, 0, np.iinfo(np.int64).min])
+        cur[0] += r["n"]; cur[1] += r["s"]; cur[2] = max(cur[2], r["mx"])
+    rows = [
+        (t, v[0], v[1], v[2], np.float64(v[1]) / np.float64(v[0]))
+        for t, v in sorted(agg.items())
+    ]
+    return pd.DataFrame(rows, columns=["event_type", "n", "sum_k", "max_k", "avg_k"])
+
+
+PROPS_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""
