@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.quality,
         "doc_quality_rank": text_analysis.quality_rank,
         "docs_pack_sequences": text_analysis.pack_sequences,
+        "docs_pack_greedy": text_analysis.pack_greedy_nosplit,  # rows-only (partition-local greedy)
         "doc_langid": text_analysis.langid_docs,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,

@@ -1548,3 +1548,64 @@ SELECT doc_id, n_tokens, off AS token_offset,
        off % {SEQ_LEN} AS offset_in_seq
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# greedy NO-SPLIT packing (the other standard layout): documents are never
+# cut across sequences; each partition packs its own docs first-fit in
+# doc_id order, so sequence ids are namespaced (pid << 32 | local). Greedy
+# reset is inherently sequential per stream — partition-local packing is the
+# scalable decomposition (same contract as partition-local dedup: each
+# partition's packs are independently valid). Rows-only driver check;
+# invariants (no seq over length except singletons, every doc placed
+# exactly once, deterministic) pinned in pytest.
+
+
+def pack_greedy_nosplit(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    bounds = _pack_bounds(sf_dir)
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks() if isinstance(tbl.column("text"), pa.ChunkedArray) else tbl.column("text")
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        ntok = pc.if_else(nonempty, pc.add(pc.count_substring(text, " "), 1), 0).cast(pa.int64())
+        ids = tbl.column("doc_id").to_numpy()
+        pid = np.searchsorted(bounds, ids, side="right").astype(np.int32)
+        return pa.table(
+            {"doc_id": tbl.column("doc_id"), "n_tokens": ntok, "__pid": pa.array(pid)}
+        )
+
+    def pack_kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("doc_id", "ascending")])
+        pid = int(tbl.column("__pid")[0].as_py()) if tbl.num_rows else 0
+        ntok = tbl.column("n_tokens").to_numpy()
+        n = ntok.size
+        # greedy first-fit in order: running fill with reset — a true scan,
+        # but over ONE partition's doc COUNT (not tokens); plain loop over
+        # int64s is fine at per-partition scale and stays off the hot path
+        seq_local = np.empty(n, dtype=np.int64)
+        off_in_seq = np.empty(n, dtype=np.int64)
+        fill = 0
+        cur = 0
+        for i in range(n):
+            t = int(ntok[i]) if ntok[i] > 0 else 1
+            if fill + t > seq_len and fill > 0:
+                cur += 1
+                fill = 0
+            seq_local[i] = cur
+            off_in_seq[i] = fill
+            fill += t
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": tbl.column("n_tokens"),
+                "seq_id": pa.array((np.int64(pid) << np.int64(32)) | seq_local, pa.int64()),
+                "offset_in_seq": pa.array(off_in_seq, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(pack_kernel, batch_format="pyarrow")
+    )

@@ -783,3 +783,35 @@ def test_new_ops_empty_and_tiny_inputs(ray_session):
         "k", "k", ["f"], ["d"], num_partitions=2, how="full",
     ).to_pandas()
     assert len(out) == 1 and out["d"].iloc[0] == 50 and out["f"].isna().all()
+
+
+def test_pack_greedy_nosplit_invariants(ray_session):
+    """No-split packing: every doc placed once, no sequence exceeds the
+    length budget (except single oversized docs), offsets are consistent."""
+    import pandas as pd
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        SEQ_LEN,
+        pack_greedy_nosplit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = pack_greedy_nosplit(sf).to_pandas()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert len(out) == n_docs and out["doc_id"].is_unique
+    span = out["n_tokens"].clip(lower=1)
+    per_seq = span.groupby(out["seq_id"]).sum()
+    sizes = out.groupby("seq_id").size()
+    over = per_seq[per_seq > SEQ_LEN]
+    assert (sizes[over.index] == 1).all()  # only singleton docs may overflow
+    # offsets: within a seq, offset == cumsum of prior spans (doc_id order)
+    df = out.sort_values(["seq_id", "doc_id"])
+    expect = df.groupby("seq_id")["n_tokens"].transform(
+        lambda s: s.clip(lower=1).cumsum().shift(fill_value=0)
+    )
+    assert (df["offset_in_seq"] == expect).all()
+    # deterministic
+    out2 = pack_greedy_nosplit(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.sort_values("doc_id").reset_index(drop=True), out2)
