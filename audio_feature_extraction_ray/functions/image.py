@@ -320,12 +320,12 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out[:n_pixels]
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """First image frame of a GIF -> (h, w, 3) uint8 RGB."""
+def _iter_gif_frames(payload: bytes):
+    """Yield (h, w, 3) uint8 RGB frames of a (possibly animated) GIF.
+    Frames are decoded standalone (full-frame replacement; disposal modes
+    beyond that are out of scope for the fixture formats)."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF payload")
-    sw = int.from_bytes(payload[6:8], "little")
-    sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
     off = 13
     gct = None
@@ -370,49 +370,101 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 out = np.empty_like(img)
                 out[order] = img
                 img = out
-            return np.ascontiguousarray(img)
+            yield np.ascontiguousarray(img)
         elif b == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
-    raise ValueError(f"GIF has no image frame (screen {sw}x{sh})")
 
 
-def encode_gif(img: np.ndarray) -> bytes:
-    """Minimal GIF89a encoder (exact 256-color palette required; used by
-    tests to round-trip the decoder). Emits UNCOMPRESSED-style LZW: clear
-    code before every literal so codes never grow past min_code_size+1 —
-    valid LZW, trivially correct, test-sized payloads only."""
-    h, w = img.shape[:2]
-    if img.ndim == 2:
-        img = np.stack([img] * 3, axis=-1)
-    flat = img.reshape(-1, 3)
-    colors, inv = np.unique(flat, axis=0, return_inverse=True)
-    if colors.shape[0] > 256:
-        raise ValueError("encode_gif supports <=256 distinct colors")
-    pal = np.zeros((256, 3), dtype=np.uint8)
-    pal[: colors.shape[0]] = colors
-    out = bytearray(b"GIF89a")
-    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
-    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
-    out += pal.tobytes()
-    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
-    min_code = 8
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First image frame of a GIF -> (h, w, 3) uint8 RGB."""
+    for frame in _iter_gif_frames(payload):
+        return frame
+    raise ValueError("GIF has no image frame")
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """All frames of an animated GIF (full-frame replacement semantics)."""
+    return list(_iter_gif_frames(payload))
+
+
+def _gif_lzw_literal_stream(inv: np.ndarray) -> bytes:
+    """UNCOMPRESSED-style LZW: clear code before every literal so codes
+    never grow past min_code_size+1 — valid LZW, trivially correct,
+    test-sized payloads only. Returns the packed 9-bit code stream."""
     clear, eoi = 256, 257
     codes: list[int] = []
     for v in inv:
         codes.append(clear)
         codes.append(int(v))
     codes.append(eoi)
-    # pack 9-bit codes little-endian
     bits = np.zeros(len(codes) * 9, dtype=np.uint8)
     for i, c in enumerate(codes):
         for j in range(9):
             bits[i * 9 + j] = (c >> j) & 1
-    data = np.packbits(bits, bitorder="little").tobytes()
-    out += bytes([min_code])
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _gif_quantize(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    flat = img.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError("GIF encode supports <=256 distinct colors")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: colors.shape[0]] = colors
+    return pal, inv
+
+
+def _gif_frame_block(img: np.ndarray, local_ct: bool) -> bytes:
+    """Image-descriptor block (optionally with a 256-entry local color
+    table) + LZW data sub-blocks for one frame."""
+    h, w = img.shape[:2]
+    pal, inv = _gif_quantize(img)
+    out = bytearray(
+        b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    )
+    out += bytes([0x80 | 0x07]) if local_ct else b"\x00"
+    if local_ct:
+        out += pal.tobytes()
+    data = _gif_lzw_literal_stream(inv)
+    out += bytes([8])  # min code size
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Minimal single-frame GIF89a encoder (exact <=256-color palette;
+    used by tests/fixtures to round-trip the decoder)."""
+    h, w = img.shape[:2]
+    pal, _ = _gif_quantize(img)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += pal.tobytes()
+    # frame reuses the GLOBAL table (same palette, local_ct=False)
+    out += _gif_frame_block(img, local_ct=False)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animated(frames: list[np.ndarray]) -> bytes:
+    """Animated GIF89a: one image block per frame, each with its own local
+    color table (full-frame replacement — matches decode_gif_frames)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x07, 0, 0])  # no global color table
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share the screen size")
+        out += _gif_frame_block(np.ascontiguousarray(f, dtype=np.uint8), local_ct=True)
+    out += b"\x3b"
     return bytes(out)

@@ -14,8 +14,9 @@ Round 2: all three kinds have a REAL no-external-codec path —
   row filters, gray/RGB/RGBA) -> resize / scalar features / 64-bit average
   perceptual hash (functions/image.py) — PNG makes a real COMPRESSED format
   native;
-- video: the declared "RAWV" raw container (length-prefixed BMP frames) ->
-  frame sampling, per-frame hashes, inter-frame motion energy.
+- video: the declared "RAWV" raw container (length-prefixed BMP frames) AND
+  real ANIMATED GIF (stdlib LZW, multi-frame) -> frame sampling, per-frame
+  hashes, inter-frame motion energy.
 Remaining compressed formats (mp3/flac, jpeg, h264) genuinely require
 soundfile/PIL/ffmpeg and raise with the dependency named; `FakeDecoder`
 keeps that plumbing testable.
@@ -450,6 +451,20 @@ def iter_rawv_frames(payload: bytes):
         off += ln
 
 
+def iter_video_frames(payload: bytes):
+    """Format-sniffed frame iterator: RAWV container or ANIMATED GIF (real
+    LZW-compressed multi-frame format, stdlib decode)."""
+    if payload[:4] == b"RAWV":
+        yield from iter_rawv_frames(payload)
+        return
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.image import decode_gif_frames
+
+        yield from decode_gif_frames(payload)
+        return
+    raise ValueError("video payload is neither RAWV nor animated GIF")
+
+
 class VideoFrameSampler:
     """Actor-pool stage: sample every k-th frame of a RAWV payload, emit
     per-record frame count, sampled count, first/last frame hashes, and
@@ -463,7 +478,7 @@ class VideoFrameSampler:
         for mid, payload in zip(
             tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
         ):
-            frames = list(iter_rawv_frames(payload))
+            frames = list(iter_video_frames(payload))
             sampled = frames[:: self.every_k]
             lumas = [to_gray(f) for f in sampled]
             diffs = [
@@ -488,8 +503,10 @@ class VideoFrameSampler:
 
 
 def synthetic_rawv_table(n: int = 12, seed: int = 9) -> pa.Table:
-    """Deterministic RAWV fixture: each clip is a horizontally scrolling
-    gradient (nonzero motion); clip 0 is a STATIC clip (zero motion)."""
+    """Deterministic video fixture: each clip is a horizontally scrolling
+    gradient (nonzero motion); clip 0 is a STATIC clip (zero motion).
+    Payload formats rotate RAWV / RAWV / animated GIF so both the raw
+    container and a real compressed multi-frame format are exercised."""
     rng = np.random.default_rng(seed)
     payloads = []
     for i in range(n):
@@ -501,7 +518,12 @@ def synthetic_rawv_table(n: int = 12, seed: int = 9) -> pa.Table:
             shift = 0 if i == 0 else 3 * t
             row = np.roll(base, shift)
             frames.append(np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2))
-        payloads.append(encode_rawv(frames))
+        if i % 3 == 2:  # every third clip ships as a REAL animated GIF
+            from ..functions.image import encode_gif_animated
+
+            payloads.append(encode_gif_animated(frames))
+        else:
+            payloads.append(encode_rawv(frames))
     return pa.table(
         {
             "media_id": pa.array(range(n), pa.int64()),

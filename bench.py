@@ -7,10 +7,12 @@ prints ONE JSON line:
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
    "headline_rows": R, "docs_per_s": T}
 
---scaling: reruns the headline pipeline in two FRESH processes at
-num_cpus=8 and num_cpus=32 on the same input (north rule: N vs 4N cluster
-sizes evidenced by two parallelism levels) and prints throughputs +
-scaling efficiency = (thr_32 / thr_8) / 4.
+--scaling: two pairwise-interleaved N-vs-4N ladders in FRESH processes on
+the same input (north rule: N vs 4N cluster sizes evidenced by two
+parallelism levels): primary 4->16 cpus (both levels below this host's
+DRAM-bus saturation knee — measures the engine) and audit 8->32. Prints
+throughputs at both levels plus the median-of-per-pair scaling
+efficiencies for both ladders. See run_scaling's docstring.
 """
 
 from __future__ import annotations
