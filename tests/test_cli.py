@@ -200,3 +200,42 @@ def test_jsonl_source_matches_parquet(ray_session, tmp_path):
             _shutil.copyfileobj(src, dst)
     g = run(str(gdir), "jsonl")
     pd.testing.assert_frame_equal(a, g)
+
+
+def test_headline_completes_under_object_store_pressure(tmp_path):
+    """The checkpointed pipeline must stream-and-spill, not OOM: run it in a
+    FRESH ray session whose object store is far smaller than the shuffled
+    data and verify exact row conservation. (Subprocess: object store size
+    is fixed at ray.init.)"""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import ray, shutil, sys
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR", object_store_memory=80 * 1024 * 1024)
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, {str(repr("/root/repo"))})
+        from audio_feature_extraction_ray.config import EngineConfig, FeatureConfig, PipelineConfig
+        from audio_feature_extraction_ray.pipelines import features
+        from audio_feature_extraction_ray.testdata import ensure_fixture
+        pages_dir, signals_path = ensure_fixture("medium")
+        out = {str(repr(str(tmp_path / "out")))}
+        cfg = PipelineConfig(input_path=pages_dir,
+                             features=FeatureConfig(signals_path=signals_path),
+                             engine=EngineConfig(num_partitions=96, batch_size=8192,
+                                                 output_dir=out))
+        rep = features.run(cfg)
+        print("ROWS_OUT", rep["rows_out"])
+        ray.shutdown()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [l for l in out.stdout.splitlines() if l.startswith("ROWS_OUT")]
+    assert rows and int(rows[0].split()[1]) > 50_000
