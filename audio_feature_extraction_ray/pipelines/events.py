@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..errors import SchemaError
 from ..state.kernels import _propagate_last
 
 NUM_PARTITIONS = 32
@@ -681,8 +682,6 @@ def pivot_user_type(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.da
         # mis-attributing amounts
         known = type_arr[np.clip(tcode, 0, ntypes - 1)] == tcol
         if not known.all():
-            from ..errors import SchemaError
-
             bad = sorted(set(np.asarray(tcol)[~known].tolist()))[:5]
             raise SchemaError(f"pivot_user_type: unknown event_type values {bad}")
         users, ucode = np.unique(uid, return_inverse=True)
@@ -824,8 +823,6 @@ def signup_window_agg(sf_dir: str, num_partitions: int = NUM_PARTITIONS) -> ray.
         span = int(ts_rel.max(initial=0)) + window_us
         ts_bits = max(span.bit_length() + 1, 1)  # +1: s_comb + window must not wrap
         if ts_bits + max(users.size - 1, 0).bit_length() > 64:
-            from ..errors import SchemaError
-
             raise SchemaError(
                 f"signup_window composite key overflow: per-user ts span+window "
                 f"needs {ts_bits} bits, {users.size} users need "

@@ -31,6 +31,7 @@ import ray
 import ray.data
 
 from ..config import FeatureConfig, PipelineConfig
+from ..functions.hashing import string_hash_strong
 from ..state.checkpoint import job_report, load_completed, write_partition, write_partition_stream
 from ..state.kernels import SignalsLookup, merge_partition, merge_partition_chunks
 from ..state.partition import HashPartitioner, HostSaltPartitioner, RangePartitioner
@@ -237,10 +238,12 @@ def _tag_pages_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Tabl
 
 def _replicate_signals_batch(tbl: pa.Table, partitioner: HostSaltPartitioner) -> pa.Table:
     """Vectorized: normal hosts route in one hash call; only rows of HOT
-    hosts (a handful by construction) fan out to their salt block."""
-    import pyarrow.compute as pc
+    hosts (a handful by construction) fan out to their salt block.
 
-    from ..functions.hashing import string_hash_strong
+    Runs INSIDE workers — no call-time relative imports here (the package
+    ships pickle-by-value, so a lazy `from ..x import y` would raise
+    ModuleNotFoundError whenever the driver's cwd is outside the repo)."""
+    import pyarrow.compute as pc
 
     hosts = tbl.column("host")
     if isinstance(hosts, pa.ChunkedArray):

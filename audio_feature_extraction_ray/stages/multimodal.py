@@ -310,8 +310,11 @@ from ..functions.image import (  # noqa: E402  (grouped with the image stage)
     IMAGE_FEATURE_ORDER,
     ahash64,
     decode_bmp,
+    decode_gif_frames,
     decode_image,
     encode_bmp,
+    encode_gif,
+    encode_gif_animated,
     encode_png,
     image_features,
     resize_nearest,
@@ -391,8 +394,6 @@ def synthetic_image_table(n: int = 24, seed: int = 7) -> pa.Table:
         img = np.ascontiguousarray(img, dtype=np.uint8)
         imgs.append(img)
         if kind == 1:  # solid color: <=256 distinct colors, GIF-safe
-            from ..functions.image import encode_gif
-
             payloads.append(encode_gif(img))
         else:
             payloads.append(encode_bmp(img) if i % 2 == 0 else encode_png(img))
@@ -458,8 +459,9 @@ def iter_video_frames(payload: bytes):
         yield from iter_rawv_frames(payload)
         return
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        from ..functions.image import decode_gif_frames
-
+        # module-level import: this runs INSIDE workers, where a lazy relative
+        # import would fail when the driver's cwd is outside the repo (the
+        # package ships pickle-by-value, not via sys.path).
         yield from decode_gif_frames(payload)
         return
     raise ValueError("video payload is neither RAWV nor animated GIF")
@@ -519,8 +521,6 @@ def synthetic_rawv_table(n: int = 12, seed: int = 9) -> pa.Table:
             row = np.roll(base, shift)
             frames.append(np.repeat(row[None, :, None], h, axis=0).repeat(3, axis=2))
         if i % 3 == 2:  # every third clip ships as a REAL animated GIF
-            from ..functions.image import encode_gif_animated
-
             payloads.append(encode_gif_animated(frames))
         else:
             payloads.append(encode_rawv(frames))
