@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         relational,
         search_dedup,
+        spans,
         splits,
         text_analysis,
     )
@@ -82,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
+        # sub-document n-gram span family (exact-substring dedup granularity)
+        "docs_dup_spans": spans.dup_spans,
+        "docs_decontaminate": spans.decontaminate,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "dedup_incremental": search_dedup.dedup_incremental_docs,
@@ -126,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events.cube_type_day,
         "events_signup_window": events.signup_window_agg,
         "events_session_funnel": events.session_funnel,
+        "events_hopping_window": events.hopping_window,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -152,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         relational,
         search_dedup,
+        spans,
         splits,
         text_analysis,
     )
@@ -179,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
+        "docs_dup_spans": spans.DUP_SPANS_SQL,
+        "docs_decontaminate": spans.DECONTAMINATE_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
         "dedup_keep_best": search_dedup._dedup_keep_best_sql(),
@@ -211,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": events.CUBE_TYPE_DAY_SQL,
         "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
         "events_session_funnel": events.SESSION_FUNNEL_SQL,
+        "events_hopping_window": events.HOPPING_WINDOW_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,

@@ -448,6 +448,74 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# HOPPING window aggregate (overlapping windows: length = HOP_MULT x hop,
+# sliding by hop — each event lands in HOP_MULT windows). The streaming analog
+# of the reference's overlapping STFT frames (hop_length < n_fft,
+# design.md:533-555): per batch every event emits HOP_MULT (window, cents)
+# contributions, pre-aggregated per batch with Arrow hash aggregation, then
+# ONE small exchange keyed on the window start. Integer cents keep the
+# distributed sum bit-identical to the SQL oracle.
+
+HOP_US = 600_000_000  # 10 min hop
+HOP_MULT = 3  # window length = 30 min
+
+
+def hopping_window(sf_dir: str) -> ray.data.Dataset:
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.round(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        base = (ts // HOP_US) * HOP_US
+        wins = np.concatenate([base - i * HOP_US for i in range(HOP_MULT)])
+        c = np.tile(cents, HOP_MULT)
+        agg = (
+            pa.table({"win": pa.array(wins), "cents": pa.array(c), "one": pa.array(np.ones(wins.size, np.int64))})
+            .group_by(["win"])
+            .aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return agg.rename_columns(["win", "n_events", "sum_cents"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read_events(sf_dir, columns=["ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        win_ts = pa.array(tbl.column("win").to_numpy(), pa.int64()).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "win_start": win_ts,
+                "n_events": tbl.column("n_events").cast(pa.int64()),
+                "sum_value": pa.array(
+                    tbl.column("sum_cents").to_numpy() / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+HOPPING_WINDOW_SQL = f"""
+WITH x AS (
+  SELECT epoch_us(ts) AS tu, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+g AS (
+  SELECT (tu // {HOP_US} - i) * {HOP_US} AS win_us, cents
+  FROM x, UNNEST([0, 1, 2]) AS u(i)
+)
+SELECT make_timestamp(win_us) AS win_start,
+       count(*) AS n_events,
+       sum(cents) / 100.0 AS sum_value
+FROM g GROUP BY win_us
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact distinct aggregate with map-side set partials (SURVEY §2.6; "emit one
 # partial per batch, merge in a tiny second stage" — the mergeable-sketch
 # shape, here with exact sets since user-id cardinality is bounded per type).

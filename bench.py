@@ -131,7 +131,7 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     timings["pages_features"] = round(headline_sec, 3)
 
-    from audio_feature_extraction_ray.pipelines import search_dedup, text_analysis
+    from audio_feature_extraction_ray.pipelines import search_dedup, spans, text_analysis
 
     for name, fn in [] if headline_only else [
         ("events_asof_join", events.asof_join),
@@ -165,6 +165,9 @@ def run_bench() -> dict:
         ("cust_orders_left", relational.cust_orders_left),
         ("q10_returned_items", relational.q10_returned_items),
         ("q7_nation_volume", relational.q7_nation_volume),
+        ("docs_dup_spans", spans.dup_spans),
+        ("docs_decontaminate", spans.decontaminate),
+        ("events_hopping_window", events.hopping_window),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -1,0 +1,136 @@
+"""Sub-document n-gram span family: dup_spans, decontaminate, hopping window.
+
+Each pipeline is checked against a naive single-process Python reference over
+a handcrafted documents table (known shared spans / contamination), plus the
+real sf0.001 fixture for the SQL-oracle parity the driver gate re-checks."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from audio_feature_extraction_ray.pipelines.spans import (
+    EVAL_MOD,
+    EVAL_REM,
+    SPAN_K,
+    decontaminate,
+    dup_spans,
+)
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["s"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _naive_grams(text, k=SPAN_K):
+    toks = text.split(" ")
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def test_dup_spans_known_overlap(ray_session, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(SPAN_K))  # exactly one k-gram
+    texts = [
+        shared + " a b c",  # grams: shared..., plus shifted ones (unique)
+        "x y z " + shared,  # shares the `shared` gram with doc 0
+        "totally different words here with no overlap at all now",
+        "tiny doc",  # < k tokens -> 0 grams
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = dup_spans(sf).to_pandas().set_index("doc_id").sort_index()
+
+    # naive reference
+    from collections import Counter
+
+    gram_docs = Counter()
+    for i, t in enumerate(texts):
+        for g in set(_naive_grams(t)):
+            gram_docs[g] += 1
+    for i, t in enumerate(texts):
+        grams = _naive_grams(t)
+        exp_dup = sum(gram_docs[g] >= 2 for g in grams)
+        assert out.loc[i, "n_grams"] == len(grams)
+        assert out.loc[i, "n_dup_grams"] == exp_dup
+        exp_frac = exp_dup / len(grams) if grams else 0.0
+        assert out.loc[i, "dup_frac"] == pytest.approx(exp_frac)
+    assert out.loc[3, "n_grams"] == 0 and out.loc[3, "dup_frac"] == 0.0
+
+
+def test_dup_spans_position_multiplicity(ray_session, tmp_path):
+    # the duplicated gram occurs TWICE in doc 0 -> both positions count
+    g = " ".join(f"w{i}" for i in range(SPAN_K))
+    texts = [g + " mid " + g, g + " tail tokens here"]
+    sf = _write_docs(tmp_path, texts)
+    out = dup_spans(sf).to_pandas().set_index("doc_id")
+    naive0 = _naive_grams(texts[0])
+    assert out.loc[0, "n_grams"] == len(naive0)
+    # positions in doc 0 whose gram == g: 2 (other grams straddle 'mid', unique)
+    assert out.loc[0, "n_dup_grams"] == sum(x == g for x in naive0)
+
+
+def test_decontaminate_flags_eval_overlap(ray_session, tmp_path):
+    shared = " ".join(f"e{i}" for i in range(SPAN_K))
+    # doc_id EVAL_REM is eval; doc 0 shares its gram, doc 1 doesn't
+    ids = [0, 1, EVAL_REM]
+    texts = [
+        shared + " extra stuff",
+        "clean training document with enough tokens to form grams x y",
+        shared + " eval only tail",
+    ]
+    sf = _write_docs(tmp_path, texts, ids=ids)
+    out = decontaminate(sf).to_pandas().set_index("doc_id").sort_index()
+    assert set(out.index) == {0, 1}  # eval doc excluded from output
+    assert out.loc[0, "n_eval_hits"] == sum(
+        g in set(_naive_grams(texts[2])) for g in _naive_grams(texts[0])
+    )
+    assert out.loc[0, "n_eval_hits"] >= 1
+    assert out.loc[1, "n_eval_hits"] == 0
+
+
+def test_dup_spans_fixture_matches_naive(ray_session):
+    """Full naive cross-check on the real sf0.001 corpus."""
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    from collections import Counter
+
+    gram_docs = Counter()
+    grams_by_doc = {}
+    for _, r in docs.iterrows():
+        gs = _naive_grams(r.text)
+        grams_by_doc[r.doc_id] = gs
+        for g in set(gs):
+            gram_docs[g] += 1
+    out = dup_spans(sf).to_pandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, gs in grams_by_doc.items():
+        assert out.loc[did, "n_grams"] == len(gs)
+        assert out.loc[did, "n_dup_grams"] == sum(gram_docs[g] >= 2 for g in gs)
+
+
+def test_hopping_window_multiplicity(ray_session):
+    """Every event contributes to exactly HOP_MULT windows; totals conserve."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        HOP_MULT,
+        HOP_US,
+        hopping_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet", columns=["ts", "value"]).to_pandas()
+    out = hopping_window(sf).to_pandas()
+    assert out["n_events"].sum() == HOP_MULT * len(ev)
+    cents = np.round(ev["value"].to_numpy() * 100).astype(np.int64)
+    assert np.isclose(out["sum_value"].sum(), HOP_MULT * cents.sum() / 100.0)
+    # window starts align to the hop grid (timestamp[us] -> int64 microseconds)
+    w = out["win_start"].astype("int64").to_numpy()
+    assert (w % HOP_US == 0).all()
