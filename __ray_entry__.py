@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mask_spans": splits.docs_mask_spans,
         "docs_mixture_sample": splits.docs_mixture_sample,
         "docs_stratified_sample": splits.docs_stratified_sample,
+        "docs_global_shuffle": splits.docs_global_shuffle,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_mask_spans": splits.DOCS_MASK_SPANS_SQL,
         "docs_mixture_sample": splits.DOCS_MIXTURE_SAMPLE_SQL,
         "docs_stratified_sample": splits.DOCS_STRATIFIED_SAMPLE_SQL,
+        "docs_global_shuffle": splits.DOCS_GLOBAL_SHUFFLE_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
         "doc_quality": text_analysis.QUALITY_SQL,

@@ -226,3 +226,66 @@ FROM (
 )
 WHERE rank <= {STRAT_SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle: the training-data "shuffle the corpus once,
+# write in shuffle order" step, seeded and reproducible. Shuffle key is a
+# Knuth multiplicative hash of doc_id (SQL-expressible modular arithmetic:
+# products stay < 2^62, no BIGINT overflow on either side), tie-broken by
+# doc_id. Positions come from the exact distributed rank machinery
+# (sampled range bounds -> order-aligned partitions -> local sort + prefix
+# offsets — text_analysis.global_rank_by_key); nothing but <= P counters and
+# a 10k-row key sample ever reaches the driver. Contract: doc_id < 2^31
+# (the packed (key << 31) | doc_id order tie-break; wider ids need a wider
+# pack, not a different algorithm).
+
+SHUF_A, SHUF_B, SHUF_M = 2654435761, 12345, 1 << 31
+
+
+def _shuffle_key(ids: np.ndarray) -> np.ndarray:
+    ids = ids.astype(np.int64)
+    h = ((ids % SHUF_M) * SHUF_A + SHUF_B) % SHUF_M
+    return (h << np.int64(31)) | ids
+
+
+def docs_global_shuffle(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    from .text_analysis import global_rank_by_key, sample_key_bounds
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    n = pq.read_metadata(docs_path).num_rows
+    frac = min(1.0, 10_000 / max(1, n))
+    sample = (
+        ray.data.read_parquet(docs_path, columns=["doc_id"])
+        .random_sample(frac, seed=13)
+        .take_all()
+    )
+    s_ids = np.array([r["doc_id"] for r in sample], dtype=np.int64)
+    bounds = sample_key_bounds(_shuffle_key(s_ids))
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy()
+        key = _shuffle_key(ids)
+        pid = np.searchsorted(bounds, key, side="right").astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "__key": pa.array(key),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    return global_rank_by_key(
+        _docs(sf_dir, ["doc_id"]), tag, bounds, ["doc_id"], "shuffle_pos"
+    )
+
+
+DOCS_GLOBAL_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ((doc_id % {SHUF_M}) * {SHUF_A} + {SHUF_B}) % {SHUF_M}, doc_id
+       ) AS shuffle_pos
+FROM documents
+"""

@@ -1100,6 +1100,58 @@ def _pack_rank_key(q: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return ((np.int64(1_000_000) - qi) << np.int64(33)) | ids.astype(np.int64)
 
 
+def global_rank_by_key(
+    ds: ray.data.Dataset,
+    tag,
+    bounds: np.ndarray,
+    payload_cols: list[str],
+    rank_col: str,
+    n_partitions: int = _RANK_PARTITIONS,
+) -> ray.data.Dataset:
+    """Generic exact distributed rank: `tag(batch) -> table with payload
+    columns + int64 __key + __pid` (pid from range `bounds`, so pids are
+    ORDER-ALIGNED with the key); per-partition sort + local rank; partition
+    counts folded on the driver (<= n_partitions scalars); offsets added in
+    a final map. Shared by quality_rank and the deterministic global
+    shuffle."""
+
+    def local_rank(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("__key", "ascending")])
+        lr = np.arange(1, tbl.num_rows + 1, dtype=np.int64)
+        cols = {c: tbl.column(c) for c in payload_cols}
+        cols["__pid"] = tbl.column("__pid")
+        cols["__local_rank"] = pa.array(lr)
+        return pa.table(cols)
+
+    ranked = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(local_rank, batch_format="pyarrow")
+        .materialize()  # the ranked output itself; counted next, no recompute
+    )
+    counts_rows = ranked.groupby("__pid").count().take_all()
+    counts = np.zeros(n_partitions, dtype=np.int64)
+    for r in counts_rows:
+        counts[int(r["__pid"])] = int(r["count()"])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    def add_offset(tbl: pa.Table) -> pa.Table:
+        pid = tbl.column("__pid").to_numpy()
+        lr = tbl.column("__local_rank").to_numpy()
+        cols = {c: tbl.column(c) for c in payload_cols}
+        cols[rank_col] = pa.array(offsets[pid] + lr, pa.int64())
+        return pa.table(cols)
+
+    return ranked.map_batches(add_offset, batch_format="pyarrow")
+
+
+def sample_key_bounds(keys: np.ndarray, n_partitions: int = _RANK_PARTITIONS) -> np.ndarray:
+    """num_partitions-1 interior range bounds at sample quantiles."""
+    s_keys = np.sort(keys)
+    idx = (np.arange(1, n_partitions) * s_keys.size) // n_partitions
+    return s_keys[np.minimum(idx, s_keys.size - 1)] if s_keys.size else np.array([], np.int64)
+
+
 def quality_rank(sf_dir: str) -> ray.data.Dataset:
     import pyarrow.parquet as pq
 
@@ -1116,10 +1168,7 @@ def quality_rank(sf_dir: str) -> ray.data.Dataset:
     )
     s_ids = np.array([r["doc_id"] for r in sample], dtype=np.int64)
     s_q = quality_scores(pa.array([r["text"] for r in sample], pa.string()))
-    s_keys = np.sort(_pack_rank_key(s_q, s_ids))
-    # num_partitions-1 interior bounds at sample quantiles
-    idx = (np.arange(1, _RANK_PARTITIONS) * s_keys.size) // _RANK_PARTITIONS
-    bounds = s_keys[np.minimum(idx, s_keys.size - 1)] if s_keys.size else np.array([], np.int64)
+    bounds = sample_key_bounds(_pack_rank_key(s_q, s_ids))
 
     def tag(tbl: pa.Table) -> pa.Table:
         q = quality_scores(tbl.column("text"))
@@ -1135,43 +1184,9 @@ def quality_rank(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    def local_rank(tbl: pa.Table) -> pa.Table:
-        tbl = tbl.sort_by([("__key", "ascending")])
-        lr = np.arange(1, tbl.num_rows + 1, dtype=np.int64)
-        return pa.table(
-            {
-                "doc_id": tbl.column("doc_id"),
-                "quality": tbl.column("quality"),
-                "__pid": tbl.column("__pid"),
-                "__local_rank": pa.array(lr),
-            }
-        )
-
-    ranked = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("__pid")
-        .map_groups(local_rank, batch_format="pyarrow")
-        .materialize()  # the ranked output itself; counted next, no recompute
+    return global_rank_by_key(
+        _read_docs(sf_dir, ["doc_id", "text"]), tag, bounds, ["doc_id", "quality"], "rank"
     )
-    counts_rows = ranked.groupby("__pid").count().take_all()
-    counts = np.zeros(_RANK_PARTITIONS, dtype=np.int64)
-    for r in counts_rows:
-        counts[int(r["__pid"])] = int(r["count()"])
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-
-    def add_offset(tbl: pa.Table) -> pa.Table:
-        pid = tbl.column("__pid").to_numpy()
-        lr = tbl.column("__local_rank").to_numpy()
-        return pa.table(
-            {
-                "doc_id": tbl.column("doc_id"),
-                "quality": tbl.column("quality"),
-                "rank": pa.array(offsets[pid] + lr, pa.int64()),
-            }
-        )
-
-    return ranked.map_batches(add_offset, batch_format="pyarrow")
 
 
 QUALITY_RANK_SQL = f"""

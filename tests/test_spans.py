@@ -134,3 +134,28 @@ def test_hopping_window_multiplicity(ray_session):
     # window starts align to the hop grid (timestamp[us] -> int64 microseconds)
     w = out["win_start"].astype("int64").to_numpy()
     assert (w % HOP_US == 0).all()
+
+
+def test_global_shuffle_is_deterministic_permutation(ray_session):
+    from audio_feature_extraction_ray.pipelines.splits import (
+        SHUF_A,
+        SHUF_B,
+        SHUF_M,
+        docs_global_shuffle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_global_shuffle(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = len(out)
+    # exact permutation of 1..n
+    assert sorted(out["shuffle_pos"]) == list(range(1, n + 1))
+    # matches the naive single-process order
+    ids = out["doc_id"].to_numpy()
+    key = ((ids % SHUF_M) * SHUF_A + SHUF_B) % SHUF_M
+    order = np.lexsort((ids, key))
+    expected = np.empty(n, dtype=np.int64)
+    expected[order] = np.arange(1, n + 1)
+    assert (out["shuffle_pos"].to_numpy() == expected).all()
+    # deterministic across runs
+    out2 = docs_global_shuffle(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out2["shuffle_pos"].to_numpy() == out["shuffle_pos"].to_numpy()).all()
