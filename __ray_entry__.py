@@ -36,6 +36,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from audio_feature_extraction_ray.pipelines import (
+        bpe,
         events,
         relational,
         search_dedup,
@@ -87,6 +88,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sub-document n-gram span family (exact-substring dedup granularity)
         "docs_dup_spans": spans.dup_spans,
         "docs_decontaminate": spans.decontaminate,
+        # tokenizer training (rows-only: iterative global argmax; pinned
+        # against a naive single-process BPE reference in pytest)
+        "docs_bpe_merges": bpe.bpe_merges,
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "dedup_incremental": search_dedup.dedup_incremental_docs,

@@ -1,0 +1,272 @@
+"""Distributed BPE vocabulary learning over the `documents` corpus.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"), recast in
+the scalable two-level shape every production trainer uses:
+
+1. ONE corpus-scale pass builds the distinct-word frequency table (per-batch
+   Arrow hash-agg combiner + word-keyed exchange — the same shape as the
+   bigram/df ops). Everything after runs on the word table, which is
+   vocabulary-sized, not corpus-sized.
+2. Each merge round over the DISTRIBUTED word table:
+   - pair counting: adjacent symbol pairs weighted by word count, packed
+     into one int64 key, per-batch bincount combiner, pair-keyed exchange,
+     per-partition exact sums + local top-1, driver folds <= P candidates
+     (count desc, key asc tie-break -> byte-deterministic winner);
+   - merge application: one vectorized scan over the flat symbol buffer
+     (left-to-right non-overlapping, the "aaa"+(a,a) case resolved by
+     position-in-run parity — no per-word Python);
+   - the word table re-materializes with pinned block refs each round
+     (the graph.py iterative-loop idiom) so plans stay flat.
+
+Driver-side state is bounded: the alphabet (distinct characters — bounded by
+the script, not the corpus), one merge candidate per partition per round,
+and the merge table itself. No SQL oracle (iterative argmax); pinned in
+pytest against a naive single-process BPE reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import string_hash_strong
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+PAIR_SHIFT = np.int64(25)  # symbol ids < 2^25 (alphabet + merges)
+WORD_PARTS = 16
+PAIR_PARTS = 16
+N_MERGES = 12
+
+
+def _read_docs(sf_dir: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _pid_u64(keys: np.ndarray, parts: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (((keys.view(np.uint64) * _GOLD) >> np.uint64(33)) % np.uint64(parts)).astype(
+            np.int32
+        )
+
+
+def word_counts(sf_dir: str, parts: int = WORD_PARTS) -> ray.data.Dataset:
+    """Distinct-word frequency table: (word, cnt), exact, distributed."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(tbl.column("text"), " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        # drop empty tokens (empty docs split to [""]); zero-length words
+        # would break the flat-buffer pair/merge kernels' offset arithmetic
+        toks = toks.filter(pc.greater(pc.utf8_length(toks), 0))
+        agg = (
+            pa.table({"word": toks, "cnt": pa.array(np.ones(len(toks), np.int64))})
+            .group_by(["word"])
+            .aggregate([("cnt", "sum")])
+        )
+        w = agg.column("word").combine_chunks()
+        pid = (string_hash_strong(w) % np.uint64(parts)).astype(np.int32)
+        return pa.table({"word": w, "cnt": agg.column("cnt_sum"), "__pid": pa.array(pid)})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        agg = tbl.drop_columns(["__pid"]).group_by(["word"]).aggregate([("cnt", "sum")])
+        return agg.rename_columns(["word", "cnt"])
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def _alphabet(words: ray.data.Dataset) -> list[str]:
+    """Sorted distinct characters of the corpus — bounded by the script
+    (the one legitimately driver-sized artifact of BPE training)."""
+
+    def chars(tbl: pa.Table) -> pa.Table:
+        # distinct codepoints of the block's words via ONE utf-32 decode —
+        # output is alphabet-sized regardless of block size
+        joined = "".join(tbl.column("word").to_pylist())
+        cps = np.unique(np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32))
+        return pa.table({"ch": pa.array([chr(c) for c in cps], pa.string())})
+
+    out = set()
+    for b in words.map_batches(chars, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        out.update(b.column("ch").to_pylist())
+    return sorted(out)
+
+
+def _symbolize(tbl: pa.Table, sym_of: dict[str, int]) -> pa.Table:
+    """word string -> list<int32> of initial (character) symbol ids.
+    Vectorized via codepoint lookup table (alphabet is bounded)."""
+    w = tbl.column("word").combine_chunks()
+    lens = pc.utf8_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+    # codepoints of the concatenated words; map through a lookup array
+    joined = "".join(w.to_pylist())
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    lut = np.full(int(cps.max(initial=0)) + 1, -1, dtype=np.int32)
+    for ch, sid in sym_of.items():
+        cp = ord(ch)
+        if cp < lut.size:
+            lut[cp] = sid
+    syms = lut[cps]
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    return pa.table(
+        {
+            "cnt": tbl.column("cnt"),
+            "syms": pa.ListArray.from_arrays(pa.array(offs, pa.int32()), pa.array(syms)),
+        }
+    )
+
+
+def _flat_syms(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat int32 symbols, int64 row offsets, int64 counts) of a word block."""
+    col = tbl.column("syms").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs, cnt
+
+
+def _pair_partial(tbl: pa.Table) -> pa.Table:
+    """Per-batch pair-count combiner: (packed pair key, weighted count)."""
+    flat, offs, cnt = _flat_syms(tbl)
+    n = flat.size
+    if n < 2:
+        return pa.table({"pair": pa.array([], pa.int64()), "c": pa.array([], pa.int64()),
+                         "__pid": pa.array([], pa.int32())})
+    lens = np.diff(offs)
+    valid = np.ones(n - 1, dtype=bool)
+    valid[offs[1:-1] - 1] = False  # pairs straddling word boundaries
+    keys = (flat[:-1].astype(np.int64) << PAIR_SHIFT) | flat[1:].astype(np.int64)
+    w = np.repeat(cnt, np.maximum(lens - 1, 0))
+    keys = keys[valid]
+    uk, inv = np.unique(keys, return_inverse=True)
+    sums = np.bincount(inv, weights=w.astype(np.float64)).astype(np.int64)
+    return pa.table(
+        {
+            "pair": pa.array(uk, pa.int64()),
+            "c": pa.array(sums),
+            "__pid": pa.array(_pid_u64(uk, PAIR_PARTS)),
+        }
+    )
+
+
+def _pair_top1(tbl: pa.Table) -> pa.Table:
+    """Per-partition exact pair sums -> single best (count desc, key asc)."""
+    pair = tbl.column("pair").to_numpy(zero_copy_only=False)
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    if pair.size == 0:
+        return pa.table({"pair": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+    uk, inv = np.unique(pair, return_inverse=True)
+    sums = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+    best = np.lexsort((uk, -sums))[0]
+    return pa.table({"pair": pa.array([uk[best]]), "c": pa.array([sums[best]])})
+
+
+def _apply_merge(tbl: pa.Table, a: int, b: int, new_id: int) -> pa.Table:
+    """Replace each non-overlapping (a,b) adjacency with new_id, left to
+    right, in one vectorized scan of the flat symbol buffer."""
+    flat, offs, cnt = _flat_syms(tbl)
+    n = flat.size
+    if n < 2:
+        return tbl
+    hit = np.zeros(n - 1, dtype=bool)
+    hit[: n - 1] = (flat[:-1] == a) & (flat[1:] == b)
+    hit[offs[1:-1] - 1] = False  # never merge across word boundaries
+    pos = np.flatnonzero(hit)
+    if pos.size == 0:
+        return tbl
+    # left-to-right non-overlap: within each run of CONSECUTIVE hit positions
+    # (e.g. "aaa" with pair (a,a)), keep even offsets into the run
+    run_start = np.concatenate([[True], np.diff(pos) != 1])
+    run_id = np.cumsum(run_start) - 1
+    pos_in_run = pos - pos[run_start][run_id]
+    keep = pos[(pos_in_run % 2) == 0]
+    out = flat.astype(np.int32, copy=True)
+    out[keep] = new_id
+    drop = np.zeros(n, dtype=bool)
+    drop[keep + 1] = True
+    # new per-word lengths: words lose one symbol per kept merge inside them
+    word_of_keep = np.searchsorted(offs, keep, side="right") - 1
+    lens = np.diff(offs)
+    dec = np.bincount(word_of_keep, minlength=lens.size)
+    new_lens = (lens - dec).astype(np.int32)
+    new_offs = np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+    return pa.table(
+        {
+            "cnt": tbl.column("cnt"),
+            "syms": pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int32()), pa.array(out[~drop])
+            ),
+        }
+    )
+
+
+def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """materialize + re-wrap block refs so the plan stays flat per round
+    (stages/graph.py lineage-pinning idiom)."""
+    refs = [r for r in ds.materialize().to_arrow_refs()]
+    return ray.data.from_arrow_refs(refs)
+
+
+def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
+    """Learn `n_merges` BPE merges over the corpus. Returns a pandas
+    DataFrame (rank, left, right, token, pair_count) — the merge table, in
+    learned order. Deterministic: ties break on the packed pair key, i.e.
+    (left id, right id) ascending."""
+    import pandas as pd
+
+    words = _pin(word_counts(sf_dir))
+    alphabet = _alphabet(words)
+    sym_of = {ch: i for i, ch in enumerate(alphabet)}
+    sym_str = list(alphabet)
+    table = _pin(words.map_batches(lambda t: _symbolize(t, sym_of), batch_format="pyarrow"))
+
+    merges = []
+    for rank in range(n_merges):
+        cands = (
+            table.map_batches(_pair_partial, batch_format="pyarrow")
+            .groupby("__pid")
+            .map_groups(lambda g: _pair_top1(g.drop_columns(["__pid"])), batch_format="pyarrow")
+            .take_all()
+        )  # <= PAIR_PARTS rows
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-int(r["c"]), int(r["pair"])))
+        pair_key, cnt = int(best["pair"]), int(best["c"])
+        if cnt <= 0:
+            break
+        a = pair_key >> int(PAIR_SHIFT)
+        b = pair_key & ((1 << int(PAIR_SHIFT)) - 1)
+        new_id = len(sym_str)
+        sym_str.append(sym_str[a] + sym_str[b])
+        merges.append(
+            {
+                "rank": rank,
+                "left": sym_str[a],
+                "right": sym_str[b],
+                "token": sym_str[new_id],
+                "pair_count": cnt,
+            }
+        )
+        table = _pin(
+            table.map_batches(
+                lambda t, a=a, b=b, nid=new_id: _apply_merge(t, a, b, nid),
+                batch_format="pyarrow",
+            )
+        )
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "token", "pair_count"])
+
+
+def bpe_merges(sf_dir: str):
+    """Driver-contract query (rows-only: iterative global argmax is not
+    SQL-expressible; pinned against a naive reference in pytest)."""
+    return bpe_train(sf_dir, N_MERGES)

@@ -1,0 +1,75 @@
+"""Distributed BPE vocabulary learning vs a naive single-process reference."""
+
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from audio_feature_extraction_ray.pipelines.bpe import bpe_train
+
+
+def _naive_bpe(texts, n_merges):
+    wc = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: list(w) for w in wc}
+    sym_idx = {c: i for i, c in enumerate(sorted(set("".join(wc))))}
+    merges = []
+    for rank in range(n_merges):
+        pc_ = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc_[(syms[i], syms[i + 1])] += wc[w]
+        if not pc_:
+            break
+        (a, b), c = min(
+            pc_.items(), key=lambda kv: (-kv[1], sym_idx[kv[0][0]], sym_idx[kv[0][1]])
+        )
+        new = a + b
+        sym_idx[new] = len(sym_idx)
+        merges.append((rank, a, b, new, c))
+        for w, syms in words.items():
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(new)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "token", "pair_count"])
+
+
+def test_bpe_matches_naive_on_fixture(ray_session):
+    sf = "/root/testdata/sf0.001"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).to_pandas()["text"]
+    out = bpe_train(sf, 8)
+    ref = _naive_bpe(texts, 8)
+    pd.testing.assert_frame_equal(out, ref)
+
+
+def test_bpe_overlapping_pairs(ray_session, tmp_path):
+    """The 'aaa' case: pair (a,a) merges left-to-right non-overlapping."""
+    texts = ["aaa aaaa baa", "aaa aaa zz"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = bpe_train(str(tmp_path), 3)
+    ref = _naive_bpe(texts, 3)
+    pd.testing.assert_frame_equal(out, ref)
+    assert out.loc[0, "token"] == "aa"
+    # "aaa" contributes exactly ONE (a,a) merge position pair-count-wise:
+    # naive count of (a,a) in "aaa"=2 occurrences -> pair_count counts
+    # adjacencies (overlap allowed) but application is non-overlapping
+    assert out.loc[0, "pair_count"] == ref.loc[0, "pair_count"]
