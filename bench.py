@@ -131,7 +131,8 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
     timings["pages_features"] = round(headline_sec, 3)
 
-    from audio_feature_extraction_ray.pipelines import search_dedup, spans, text_analysis
+    from audio_feature_extraction_ray.pipelines import bpe, search_dedup, spans, text_analysis
+    from audio_feature_extraction_ray.pipelines import splits as splits_mod
 
     for name, fn in [] if headline_only else [
         ("events_asof_join", events.asof_join),
@@ -168,6 +169,8 @@ def run_bench() -> dict:
         ("docs_dup_spans", spans.dup_spans),
         ("docs_decontaminate", spans.decontaminate),
         ("events_hopping_window", events.hopping_window),
+        ("docs_global_shuffle", splits_mod.docs_global_shuffle),
+        ("docs_bpe_merges", bpe.bpe_merges),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
