@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": search_dedup.ann_ivf,  # rows-only (approximate)
         "ann_ivf_fullprobe": search_dedup.ann_ivf_fullprobe,  # == brute force
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
+        "embedding_lsh_dups": search_dedup.embedding_lsh_dups,  # rows-only (LSH)
         "embedding_normalize": search_dedup.embedding_normalize,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,

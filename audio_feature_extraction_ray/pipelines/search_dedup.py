@@ -735,3 +735,162 @@ SELECT doc_id, n_tokens, off AS token_offset,
        off % {SEQ_LEN} AS offset_in_seq
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup: the SCALE path for embedding-cosine
+# deduplication (embedding_dups above broadcasts a candidate matrix — right
+# for a bounded candidate set, wrong when BOTH sides are the whole corpus).
+# Random-hyperplane (SimHash-for-vectors, Charikar 2002) signatures: 64 sign
+# bits from a seeded Gaussian projection, banded 8x8 so pairs at cosine
+# >= ~0.9 collide in >= 1 band w.h.p.; band-keyed exchange, partition-local
+# vectorized bucket pair-gen (the dedup.py segment kernel, mega-bucket
+# guarded), exact-cosine verification in-partition (each band row carries its
+# L2-normalized vector — float32, dim-bounded; the co-partitioned fetch plan
+# of minhash_lsh_pairs is the alternative when dim is large), then an a-keyed
+# distinct. Deterministic end to end (fixed hyperplane seed) — pytest
+# replicates the exact collision set in numpy and pins planted-dup recall.
+
+EMB_LSH_BANDS = 8  # 8 bands x 8 bits of a 64-bit hyperplane signature
+EMB_LSH_SEED = 271828
+EMB_LSH_THRESHOLD = 0.9
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(EMB_LSH_SEED)
+    return rng.standard_normal((dim, 64))
+
+
+def embedding_lsh_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = EMB_LSH_THRESHOLD,
+    num_partitions: int = 16,
+    max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """(a, b, cos_sim) for band-colliding pairs with cosine >= threshold.
+    `ds` columns: vec_id int64, embedding list<float>."""
+
+    def sign_bands(tbl: pa.Table) -> pa.Table:
+        # the (dim x 64) seeded Gaussian is rebuilt per batch — cheaper than
+        # a broadcast at this size and identical by construction
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "band": pa.array([], pa.int64()),
+                 "vec": pa.array([], pa.list_(pa.float32()))}
+            )
+        m = ann._norm_rows(ann._emb_matrix(tbl))
+        planes = _hyperplanes(m.shape[1])
+        bits = (m @ planes) >= 0.0
+        sig = (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(axis=1)
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        nb = EMB_LSH_BANDS
+        width = 64 // nb
+        out_id = np.repeat(ids, nb)
+        out_band = np.empty(sig.size * nb, dtype=np.int64)
+        for b in range(nb):
+            part = ((sig >> np.uint64(width * b)) & np.uint64((1 << width) - 1)).astype(np.int64)
+            out_band[b::nb] = (b << width) | part
+        vec32 = np.repeat(m.astype(np.float32), nb, axis=0)
+        return pa.table(
+            {
+                "vec_id": pa.array(out_id),
+                "band": pa.array(out_band),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vec32.ravel(), pa.float32()), m.shape[1]
+                ),
+                "__pid": pa.array(dedup._pid_of_u64(out_band.view(np.uint64), num_partitions)),
+            }
+        )
+
+    band_rows = ds.map_batches(sign_bands, batch_format="pyarrow")
+
+    def pairs_kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cos_sim": pa.array([], pa.float64())}
+        )
+        if tbl.num_rows == 0:
+            return empty
+        tbl = tbl.sort_by([("band", "ascending"), ("vec_id", "ascending")])
+        band = tbl.column("band").to_numpy()
+        ids = tbl.column("vec_id").to_numpy()
+        a_idx, b_idx = dedup._segment_pairs(band, max_bucket, "embedding_lsh_pairs")
+        if a_idx.size == 0:
+            return empty
+        vcol = tbl.column("vec").combine_chunks()
+        vecs = vcol.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(
+            tbl.num_rows, -1
+        )
+        cos = (vecs[a_idx] * vecs[b_idx]).sum(axis=1)
+        keep = (cos >= threshold) & (ids[a_idx] != ids[b_idx])
+        return pa.table(
+            {
+                "a": pa.array(ids[a_idx][keep], pa.int64()),
+                "b": pa.array(ids[b_idx][keep], pa.int64()),
+                "cos_sim": pa.array(np.floor(cos[keep] * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    cand = band_rows.groupby("__pid").map_groups(
+        lambda g: pairs_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
+
+    def tag_by_a(tbl: pa.Table) -> pa.Table:
+        a = tbl.column("a").to_numpy()
+        return tbl.append_column(
+            "__pid", pa.array(dedup._pid_of_u64(a.view(np.uint64), num_partitions))
+        )
+
+    def distinct_kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos_sim": pa.array([], pa.float64())}
+            )
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        return tbl.take(pa.array(np.sort(order[first])))
+
+    return (
+        cand.map_batches(tag_by_a, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: distinct_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+
+EMB_LSH_PLANT_JITTER = 0.02
+EMB_LSH_PLANT_EVERY = 5
+
+
+def _planted_embeddings(sf_dir: str) -> pa.Table:
+    """Fixture embeddings + deterministic near-duplicates: every 5th vector
+    gets a jittered copy at vec_id + 100000 (cosine ~0.999). The raw fixture
+    has no high-cosine pairs (max ~0.51), so near-dup detection needs planted
+    ground truth — same precedent as the synthesized media fixtures."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = ann._emb_matrix(t)
+    pick = ids % EMB_LSH_PLANT_EVERY == 0
+    rng = np.random.default_rng(9127)
+    dup = m[pick] + EMB_LSH_PLANT_JITTER * rng.standard_normal(m[pick].shape)
+    all_ids = np.concatenate([ids, ids[pick] + 100_000])
+    all_m = np.concatenate([m, dup]).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(all_m.ravel(), pa.float32()), m.shape[1]
+            ),
+        }
+    )
+
+
+def embedding_lsh_dups(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: the collision set depends on the
+    banding, not SQL-expressible; pinned exactly vs a numpy replication and
+    against planted ground truth in pytest)."""
+    ds = ray.data.from_arrow(_planted_embeddings(sf_dir))
+    return embedding_lsh_pairs(ds)

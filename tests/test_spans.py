@@ -159,3 +159,49 @@ def test_global_shuffle_is_deterministic_permutation(ray_session):
     # deterministic across runs
     out2 = docs_global_shuffle(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (out2["shuffle_pos"].to_numpy() == out["shuffle_pos"].to_numpy()).all()
+
+
+def test_embedding_lsh_dups_matches_numpy_and_finds_planted(ray_session):
+    """Random-hyperplane LSH near-dup: exact numpy replication of the
+    collision set + 100% recall on the planted duplicates."""
+    import collections
+    import itertools
+
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_THRESHOLD,
+        _hyperplanes,
+        _planted_embeddings,
+        embedding_lsh_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_lsh_dups(sf).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    t = _planted_embeddings(sf)
+    ids = t.column("vec_id").to_numpy()
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    m = flat.reshape(len(ids), -1).astype(np.float64)
+    nrm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sig = (
+        ((nrm @ _hyperplanes(nrm.shape[1])) >= 0.0).astype(np.uint64)
+        << np.arange(64, dtype=np.uint64)
+    ).sum(axis=1)
+    width = 64 // EMB_LSH_BANDS
+    collide = set()
+    for b in range(EMB_LSH_BANDS):
+        buckets = collections.defaultdict(list)
+        for i, s in enumerate(sig.tolist()):
+            buckets[(s >> (width * b)) & ((1 << width) - 1)].append(i)
+        for v in buckets.values():
+            for i, j in itertools.combinations(v, 2):
+                collide.add((i, j) if ids[i] < ids[j] else (j, i))
+    n32 = nrm.astype(np.float32).astype(np.float64)  # engine ships float32 vectors
+    exp = sorted(
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in collide
+        if (n32[i] * n32[j]).sum() >= EMB_LSH_THRESHOLD and ids[i] != ids[j]
+    )
+    got = [(int(a), int(b)) for a, b in zip(out["a"], out["b"])]
+    assert got == exp
+    planted = {(int(i), int(i) + 100_000) for i in ids if i < 100_000 and i % 5 == 0}
+    assert planted <= set(got)  # every planted near-dup found
