@@ -44,6 +44,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         splits,
         text_analysis,
     )
+    from audio_feature_extraction_ray.stages.ann import (
+        embedding_kmeans as _embedding_kmeans,
+    )
     from audio_feature_extraction_ray.stages.multimodal import (
         media_audio_features as _media_audio_features,
     )
@@ -115,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_fullprobe": search_dedup.ann_ivf_fullprobe,  # == brute force
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
         "embedding_lsh_dups": search_dedup.embedding_lsh_dups,  # rows-only (LSH)
+        "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
         "embedding_normalize": search_dedup.embedding_normalize,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,

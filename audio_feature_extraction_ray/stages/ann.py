@@ -345,3 +345,95 @@ def ivf_topk(
         return g[["query_id", "rank", "neighbor_id", "cos_sim"]]
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd's): the training-side upgrade of
+# _kmeans above, which fits on a bounded DRIVER SAMPLE (fine for IVF cell
+# seeding, not for clustering the corpus itself). Each round broadcasts the
+# k x dim centroid matrix, computes per-batch partial (sum, count, inertia)
+# via one GEMM-based assignment, and folds <= one tiny row per batch on the
+# driver — the canonical broadcast+partial-aggregate iteration; nothing
+# corpus-sized ever leaves the workers.
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Returns (centroids k x dim, cluster sizes, total inertia) after
+    `iters` Lloyd rounds. Deterministic: init = the k vectors with the
+    smallest ids (distributed bounded top-k fold), assignment ties break to
+    the lowest centroid index (argmin)."""
+
+    def smallest_k(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tbl.take(pa.array(np.sort(take)))
+
+    cand = pa.concat_tables(
+        [b for b in ds.map_batches(smallest_k, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    )
+    order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:k]
+    cent = _emb_matrix(cand.take(pa.array(np.sort(order))), emb_col)
+
+    inertia = float("nan")
+    for _ in range(iters):
+        c = cent  # captured by value in the closure below
+
+        def partials(tbl: pa.Table, c=c) -> pa.Table:
+            m = _emb_matrix(tbl, emb_col)
+            # squared distance via GEMM: |x|^2 - 2 x.c + |c|^2 (argmin safe)
+            d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+            assign = d.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            inert = float(np.maximum(d[np.arange(d.shape[0]), assign], 0.0).sum())
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+                    "inertia": pa.array([inert], pa.float64()),
+                }
+            )
+
+        tot_s = np.zeros_like(cent)
+        tot_n = np.zeros(cent.shape[0], dtype=np.int64)
+        tot_i = 0.0
+        for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for row in range(b.num_rows):
+                tot_s += np.asarray(b.column("sums")[row].as_py()).reshape(cent.shape)
+                tot_n += np.asarray(b.column("counts")[row].as_py(), dtype=np.int64)
+                tot_i += float(b.column("inertia")[row].as_py())
+        nz = tot_n > 0
+        cent = cent.copy()
+        cent[nz] = tot_s[nz] / tot_n[nz, None]  # empty clusters keep position
+        inertia = tot_i
+    return cent, tot_n, inertia
+
+
+def embedding_kmeans(sf_dir: str):
+    """Driver-contract query (rows-only: iterative): k cluster rows with
+    size, inertia share and the centroid vector. Pinned against a naive
+    single-process Lloyd reference in pytest."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, sizes, inertia = kmeans_fit(ds)
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(cent.shape[0], dtype=np.int64),
+            "size": sizes,
+            "inertia_total": np.full(cent.shape[0], np.floor(inertia * 1e6 + 0.5) / 1e6),
+            "centroid_norm": np.floor(np.linalg.norm(cent, axis=1) * 1e6 + 0.5) / 1e6,
+        }
+    )

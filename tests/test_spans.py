@@ -205,3 +205,30 @@ def test_embedding_lsh_dups_matches_numpy_and_finds_planted(ray_session):
     assert got == exp
     planted = {(int(i), int(i) + 100_000) for i in ids if i < 100_000 and i % 5 == 0}
     assert planted <= set(got)  # every planted near-dup found
+
+
+def test_embedding_kmeans_matches_naive_lloyd(ray_session):
+    """Distributed Lloyd's (broadcast centroids + partial-sum fold) vs the
+    naive single-process loop: identical sizes, inertia and centroid norms."""
+    from audio_feature_extraction_ray.stages.ann import _emb_matrix, embedding_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_kmeans(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = _emb_matrix(t)
+    cent = m[np.argsort(ids, kind="stable")[:8]].copy()
+    for _ in range(5):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        inertia = d[np.arange(len(m)), assign].sum()
+        for c in range(8):
+            msk = assign == c
+            if msk.any():
+                cent[c] = m[msk].mean(axis=0)
+    sizes = np.bincount(assign, minlength=8)
+    assert (out["size"].to_numpy() == sizes).all()
+    assert np.isclose(out["inertia_total"].iloc[0], inertia, rtol=1e-9)
+    assert np.allclose(
+        out["centroid_norm"], np.floor(np.linalg.norm(cent, axis=1) * 1e6 + 0.5) / 1e6
+    )
