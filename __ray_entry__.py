@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mask_spans": splits.docs_mask_spans,
         "docs_mixture_sample": splits.docs_mixture_sample,
         "docs_stratified_sample": splits.docs_stratified_sample,
+        "docs_temperature_mix": splits.docs_temperature_mix,
         "docs_global_shuffle": splits.docs_global_shuffle,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
@@ -124,16 +125,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_lead": events.lag_lead,
         "events_sessionize": events.sessionize,
         "events_rolling": events.rolling,
+        "events_rolling_median": events.rolling_median,
         "events_locf": events.locf,
         "events_asof_join": events.asof_join,
         "events_asof_two_table": events.asof_join_two_table,
+        "events_asof_forward": events.asof_join_forward,
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
         "events_quantiles": events.value_quantiles,
         "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
+        "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
+        "events_cumulative": events.cumulative,
         "events_props_stats": events.props_stats,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
@@ -178,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_mask_spans": splits.DOCS_MASK_SPANS_SQL,
         "docs_mixture_sample": splits.DOCS_MIXTURE_SAMPLE_SQL,
         "docs_stratified_sample": splits.DOCS_STRATIFIED_SAMPLE_SQL,
+        "docs_temperature_mix": splits.DOCS_TEMPERATURE_MIX_SQL,
         "docs_global_shuffle": splits.DOCS_GLOBAL_SHUFFLE_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
@@ -215,15 +221,19 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_rolling": events.ROLLING_SQL,
+        "events_rolling_median": events.ROLLING_MEDIAN_SQL,
         "events_locf": events.LOCF_SQL,
         "events_asof_join": events.ASOF_JOIN_SQL,
         "events_asof_two_table": events.ASOF_TWO_TABLE_SQL,
+        "events_asof_forward": events.ASOF_FORWARD_SQL,
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
         "events_distinct_users": events.DISTINCT_USERS_SQL,
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
+        "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
+        "events_cumulative": events.CUMULATIVE_SQL,
         "events_props_stats": events.PROPS_STATS_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,

@@ -1170,3 +1170,272 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# cumulative (unbounded-preceding) running features per user: running event
+# count, running sum and running max of value — the classic "customer
+# lifetime state at each event" point-in-time feature. Complements the
+# bounded rolling-k window (rolling) and the decayed sum (decayed_sum) with
+# the UNBOUNDED frame. Money stays integer cents end-to-end so the window
+# sum is bit-identical to the SQL oracle regardless of per-partition
+# summation order. Fully vectorized: segment cumsum via prefix-sum offsets,
+# segment running max via the monotone seg_id offset trick (one
+# maximum.accumulate over the whole partition, no per-user loop).
+
+
+def cumulative(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(val * 100 + 0.5).astype(np.int64)
+        n = uid.size
+        head = _seg_head(uid)
+        seg_id = np.cumsum(head) - 1
+        head_idx = np.nonzero(head)[0]
+        idx = np.arange(n, dtype=np.int64)
+        run_count = idx - head_idx[seg_id] + 1
+        cs = np.cumsum(cents)
+        base = cs[head_idx] - cents[head_idx]
+        run_sum = cs - base[seg_id]
+        # running max: shift each segment into its own disjoint value band
+        # (seg_id is non-decreasing, so one global maximum.accumulate never
+        # leaks a previous segment's values into the next); falls back to a
+        # per-segment accumulate only if the band arithmetic would overflow.
+        if n:
+            lo, hi = int(cents.min()), int(cents.max())
+            span = hi - lo + 1
+            nseg = int(seg_id[-1]) + 1
+            if span < 2**62 and nseg * span < 2**62:
+                shifted = (cents - lo) + seg_id * span
+                run_max = np.maximum.accumulate(shifted) - seg_id * span + lo
+            else:  # pragma: no cover - needs >2^62 value x segment range
+                run_max = np.empty_like(cents)
+                bounds = np.concatenate([head_idx, [n]])
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    np.maximum.accumulate(cents[s:e], out=run_max[s:e])
+        else:
+            run_max = cents
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "run_count": pa.array(run_count, pa.int64()),
+                "run_sum_cents": pa.array(run_sum, pa.int64()),
+                "run_max_cents": pa.array(run_max, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel, key="user_id", order=("ts", "event_id"))
+
+
+CUMULATIVE_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS run_count,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS run_sum_cents,
+       max(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS run_max_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join: attach, at each event, the NEXT purchase at ts >= the
+# event's ts (inclusive; ties broken by the signal's event_id ascending).
+# Forward-looking state is a LABEL, not a feature — emitted under the label_
+# prefix like the leads family (leakage discipline SURVEY §4.3). Same
+# vectorized carried-index machinery as the backward as-of, run over the
+# REVERSED sorted partition (uid segments stay contiguous when reversed, so
+# one maximum.accumulate still does all users at once).
+
+
+def asof_join_forward(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_sig = pc.equal(tbl.column("event_type"), "purchase").to_numpy(zero_copy_only=False)
+        # ascending (uid, ts, signals-after-events, eid), then reverse: the
+        # right-to-left carried signal is the earliest (sig_ts, sig_eid) >= e.ts
+        order2 = np.lexsort((eid, np.where(is_sig, 1, 0), ts, uid))[::-1]
+        u2, t2, s2, v2 = uid[order2], ts[order2], is_sig[order2], val[order2]
+        head2 = _seg_head(u2)
+        ar = np.arange(n)
+        last_s = np.where(s2, ar, -1)
+        np.maximum.accumulate(last_s, out=last_s)
+        seg_start = _propagate_last(np.where(head2, ar, 0), head2)
+        valid2 = last_s >= seg_start
+        av2 = np.full(n, np.nan)
+        av2[valid2] = v2[last_s[valid2]]
+        at2 = np.zeros(n, dtype=np.int64)
+        at2[valid2] = t2[last_s[valid2]]
+        av = np.empty(n)
+        at = np.empty(n, dtype=np.int64)
+        ok = np.empty(n, dtype=bool)
+        av[order2], at[order2], ok[order2] = av2, at2, valid2
+        at_dt = at.astype("datetime64[us]")
+        at_dt[~ok] = np.datetime64("NaT")
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "label_next_purchase_value": pa.array(av, pa.float64()),
+                "label_next_purchase_ts": pa.array(at_dt),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+ASOF_FORWARD_SQL = """
+WITH sigs AS (
+  SELECT event_id AS sig_id, user_id, ts AS sig_ts, value AS sig_value
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT e.event_id, s.sig_value, s.sig_ts,
+         row_number() OVER (PARTITION BY e.event_id ORDER BY s.sig_ts, s.sig_id) AS rn
+  FROM events e JOIN sigs s ON s.user_id = e.user_id AND s.sig_ts >= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       j.sig_value AS label_next_purchase_value,
+       j.sig_ts    AS label_next_purchase_ts
+FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling MEDIAN (order-statistic window) per user over the same ROWS frame
+# as `rolling`: the robust-statistics counterpart of the mean family (an
+# order statistic cannot be expressed as a running sum, so it gets its own
+# kernel: the k-shifted stack + one vectorized nanmedian/nanmin over the
+# stack axis — still no per-row or per-user Python). Median is computed over
+# integer cents so the only float op is the final midpoint average, which
+# DuckDB's median() performs identically.
+
+
+def rolling_median(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        head = _seg_head(uid)
+        cents = np.round(val * 100).astype(np.int64)
+        cstack = _shifted_stack(cents.astype(np.float64), head, ROLL_K)
+        with np.errstate(invalid="ignore"):
+            rw_median = np.nanmedian(cstack, axis=0)
+            rw_min = np.nanmin(cstack, axis=0)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "rw_median_cents": pa.array(rw_median, pa.float64()),
+                "rw_min_cents": pa.array(rw_min, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       median(CAST(round(value * 100) AS BIGINT)) OVER w AS rw_median_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) AS rw_min_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized (outlier-clamped) per-type mean: clamp value at the EXACT
+# per-type p05/p95 (pass 1: the grouped exact-quantile exchange), then
+# aggregate the clamped values (pass 2: streaming integer partials). The
+# clamped sum is decomposed as  sum(in-range cents) + n_below*p05 +
+# n_above*p95  so every partial is an INTEGER and the only float ops are the
+# final three, sequenced identically to the SQL oracle — bit-identical, no
+# summation-order drift. The quantile table is bounded by event-type
+# cardinality (a legitimate broadcast side).
+
+
+def winsorized_stats(sf_dir: str):
+    import ray as _ray
+
+    from ..stages.window import grouped_quantiles
+
+    ds = read_events(sf_dir, ["event_type", "value"])
+
+    def to_cents(tbl: pa.Table) -> pa.Table:
+        c = np.round(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"event_type": tbl.column("event_type"), "cents": pa.array(c, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    qrows = grouped_quantiles(
+        cents_ds, key="event_type", value_col="cents", quantiles={"qlo": 0.05, "qhi": 0.95}
+    ).take_all()  # bounded: one row per event type
+    qmap = {r["event_type"]: (float(r["qlo"]), float(r["qhi"])) for r in qrows}
+    q_ref = _ray.put(qmap)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        q = _ray.get(q_ref)
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        c = tbl.column("cents").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        qlo = np.array([q[t][0] for t in uniq])[codes]
+        qhi = np.array([q[t][1] for t in uniq])[codes]
+        below, above = c < qlo, c > qhi
+        mid = ~below & ~above
+        k = uniq.size
+        out = {
+            "event_type": pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k), pa.int64()),
+            "n_lo": pa.array(np.bincount(codes[below], minlength=k), pa.int64()),
+            "n_hi": pa.array(np.bincount(codes[above], minlength=k), pa.int64()),
+            "mid_sum": pa.array(
+                np.bincount(codes[mid], weights=c[mid].astype(np.float64), minlength=k).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        }
+        return pa.table(out)
+
+    agg: dict[str, list[int]] = {}
+    for r in cents_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        cur = agg.setdefault(r["event_type"], [0, 0, 0, 0])
+        cur[0] += r["n"]; cur[1] += r["n_lo"]; cur[2] += r["n_hi"]; cur[3] += r["mid_sum"]
+    rows = []
+    for t in sorted(agg):
+        n, n_lo, n_hi, mid_sum = agg[t]
+        qlo, qhi = qmap[t]
+        wm = ((np.float64(mid_sum) + n_lo * qlo) + n_hi * qhi) / n
+        rows.append((t, n, qlo, qhi, float(wm)))
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "p05_cents", "p95_cents", "winsorized_mean_cents"]
+    )
+
+
+WINSORIZED_STATS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.05) AS qlo,
+         quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS qhi
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_type, CAST(round(e.value * 100) AS BIGINT) AS c, q.qlo, q.qhi
+  FROM events e JOIN q USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       qlo AS p05_cents, qhi AS p95_cents,
+       ((CAST(sum(CASE WHEN c >= qlo AND c <= qhi THEN c ELSE 0 END) AS DOUBLE)
+         + sum(CASE WHEN c < qlo THEN 1 ELSE 0 END) * qlo)
+         + sum(CASE WHEN c > qhi THEN 1 ELSE 0 END) * qhi) / count(*)
+         AS winsorized_mean_cents
+FROM d GROUP BY event_type, qlo, qhi
+"""

@@ -289,3 +289,79 @@ SELECT doc_id,
        ) AS shuffle_pos
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled language mixing: keep rates derived FROM the corpus
+# (rate_l = round(1000 * sqrt(n_min / n_l)), i.e. alpha = 0.5 temperature
+# sampling — sampled counts ~ n_l^alpha, flattening the language skew), then
+# the same arithmetic-hash deterministic filter as docs_mixture_sample. Two
+# passes: a map-side-combined count exchange (one bounded row per lang per
+# block) feeds a driver fold that is bounded by the number of LANGUAGES
+# (~200 in any real corpus — a legitimate broadcast side), and the keep pass
+# streams with the tiny rate table broadcast via ray.put. sqrt is IEEE-754
+# correctly rounded, so the engine's numpy rates and DuckDB's are
+# bit-identical, not merely close.
+
+_TEMP_A, _TEMP_B, _TEMP_M = 999983, 12289, 1000
+
+
+def _lang_counts(sf_dir: str) -> dict[str, int]:
+    ds = _docs(sf_dir, ["lang"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        de = pc.dictionary_encode(lang)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
+        return pa.table({"lang": de.dictionary, "n_partial": pa.array(n, pa.int64())})
+
+    counts: dict[str, int] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        counts[row["lang"]] = counts.get(row["lang"], 0) + int(row["n_partial"])
+    return counts
+
+
+def docs_temperature_mix(sf_dir: str) -> ray.data.Dataset:
+    import ray
+
+    counts = _lang_counts(sf_dir)
+    n_min = min(counts.values())
+    rates = {
+        lg: int(np.floor(1000.0 * np.sqrt(np.float64(n_min) / np.float64(n)) + 0.5))
+        for lg, n in counts.items()
+    }
+    rates_ref = ray.put(rates)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        did = tbl.column("doc_id").to_numpy()
+        lang = tbl.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        de = pc.dictionary_encode(lang)
+        rate_by_code = np.array([r[str(v)] for v in de.dictionary], dtype=np.int64)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (did * _TEMP_A + _TEMP_B) % _TEMP_M < rate_by_code[codes]
+        out = tbl.filter(pa.array(keep))
+        rate_col = rate_by_code[codes][keep]
+        return out.append_column("keep_rate", pa.array(rate_col, pa.int64()))
+
+    return _docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+DOCS_TEMPERATURE_MIX_SQL = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+     m AS (SELECT min(n) AS nmin FROM c),
+     r AS (SELECT lang,
+                  CAST(floor(1000 * sqrt(CAST(nmin AS DOUBLE) / n) + 0.5) AS BIGINT)
+                    AS keep_rate
+           FROM c, m)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, r.keep_rate
+FROM documents d JOIN r USING (lang)
+WHERE (d.doc_id * {_TEMP_A} + {_TEMP_B}) % {_TEMP_M} < r.keep_rate
+"""
