@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
         "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
         "dup_clusters": search_dedup.dup_clusters,
+        "dup_triangles": search_dedup.dup_triangles,
         "doc_pagerank": search_dedup.doc_pagerank,
         "minhash_lsh_docs": search_dedup.minhash_lsh_docs,  # rows-only
         "simhash_pairs_docs": search_dedup.simhash_pairs_docs,  # rows-only
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,
         "dup_clusters": search_dedup.DUP_CLUSTERS_SQL,
+        "dup_triangles": search_dedup.DUP_TRIANGLES_SQL,
         "doc_pagerank": search_dedup.DOC_PAGERANK_SQL,
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact

@@ -894,3 +894,42 @@ def embedding_lsh_dups(sf_dir: str) -> ray.data.Dataset:
     against planted ground truth in pytest)."""
     ds = ray.data.from_arrow(_planted_embeddings(sf_dir))
     return embedding_lsh_pairs(ds)
+
+
+# ---------------------------------------------------------------------------
+# triangle count over the near-dup candidate graph: measures how clique-like
+# the duplicate neighborhoods are (triangles/wedges is the graph's clustering
+# signal). Same edge set as dup_clusters; counting runs in stages/graph.py's
+# degree-oriented distributed kernel (wedges bounded O(m^1.5) by
+# orientation, every stage a bounded hash exchange).
+
+
+def dup_triangles(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ..stages.graph import triangle_count
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CLUSTER_N)),
+        batch_format="pyarrow",
+    )
+    pairs = dedup.jaccard_pairs(ds, min_jaccard=CLUSTER_MIN_J)
+    return triangle_count(pairs, a_col="a", b_col="b")
+
+
+DUP_TRIANGLES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {CLUSTER_N}
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= {CLUSTER_MIN_J}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e0 e1
+JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

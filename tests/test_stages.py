@@ -815,3 +815,28 @@ def test_pack_greedy_nosplit_invariants(ray_session):
     # deterministic
     out2 = pack_greedy_nosplit(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out.sort_values("doc_id").reset_index(drop=True), out2)
+
+
+def test_triangle_count_known_graphs(ray_session):
+    import itertools
+
+    import ray.data
+
+    from audio_feature_extraction_ray.stages.graph import triangle_count
+
+    # 5-clique (C(5,3)=10 triangles) + 4-chain (0) + star K1,4 (0), with
+    # reversed duplicates and self-loops thrown in to exercise canonicalize.
+    clique = list(itertools.combinations(range(5), 2))
+    chain = [(10, 11), (11, 12), (12, 13)]
+    star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+    edges = clique + chain + star
+    edges += [(b, a) for a, b in clique]  # reversed dups
+    edges += [(7, 7), (10, 10)]  # self-loops
+    ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+    out = triangle_count(ds, num_partitions=4)
+    assert out["n_triangles"].tolist() == [10]
+
+    # two triangles sharing an edge -> 2; plus one isolated triangle -> 3
+    bowtie = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (30, 31), (31, 32), (30, 32)]
+    ds2 = ray.data.from_items([{"a": a, "b": b} for a, b in bowtie])
+    assert triangle_count(ds2, num_partitions=3)["n_triangles"].tolist() == [3]
