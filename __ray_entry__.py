@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sub-document n-gram span family (exact-substring dedup granularity)
         "docs_dup_spans": spans.dup_spans,
         "docs_decontaminate": spans.decontaminate,
+        "docs_scrub_spans": spans.scrub_spans,
         # tokenizer training (rows-only: iterative global argmax; pinned
         # against a naive single-process BPE reference in pytest)
         "docs_bpe_merges": bpe.bpe_merges,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "docs_dup_spans": spans.DUP_SPANS_SQL,
         "docs_decontaminate": spans.DECONTAMINATE_SQL,
+        "docs_scrub_spans": spans.SCRUB_SPANS_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
         "dedup_keep_best": search_dedup._dedup_keep_best_sql(),

@@ -297,3 +297,174 @@ SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_eval_hits
 FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}) d
 LEFT JOIN h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# scrub_spans: the C4-line-dedup analog at shingle granularity — REWRITE each
+# document with every token that is covered by a corpus-duplicate k-gram
+# removed, and reassemble the text. Same two bounded exchanges as dup_spans
+# (distinct (gram, doc) pairs on the gram key; then doc-keyed join-back of
+# the duplicated grams to the text), with all position work done LOCALLY in
+# the doc partition: the doc's grams are rebuilt vectorized, matched against
+# its duplicated-gram set with one Arrow is_in over composed keys, and the
+# covered-token mask comes from a +1/-1 diff + cumsum over the flat token
+# array. Reassembly is ListArray.from_arrays + binary_join — no Python rows.
+
+
+def _gram_positions(tbl: pa.Table, k: int):
+    """Like _gram_pairs but also returns span positions and the flat token
+    layout needed for scrubbing: (grams, row_rep, pos_in_row, flat_tokens,
+    ntok, offs)."""
+    text = tbl.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    offs = np.concatenate([[0], np.cumsum(ntok)])
+    ngrams = np.maximum(ntok - k + 1, 0)
+    total = int(ngrams.sum())
+    if total == 0:
+        return (
+            pa.array([], pa.string()),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            flat,
+            ntok,
+            offs,
+        )
+    row_rep = np.repeat(np.arange(ngrams.size), ngrams)
+    pos_in_row = np.arange(total) - np.repeat(np.cumsum(ngrams) - ngrams, ngrams)
+    starts = offs[:-1][row_rep] + pos_in_row
+    parts = [flat.take(pa.array(starts + j)) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, row_rep, pos_in_row, flat, ntok, offs
+
+
+_SCRUB_SEP = "\x1f"
+
+
+def _compose_keys(doc_ids: np.ndarray, grams: pa.Array) -> pa.Array:
+    ids = pa.array(doc_ids.astype("U"), pa.string())
+    return pc.binary_join_element_wise(ids, grams, _SCRUB_SEP)
+
+
+def scrub_spans(sf_dir: str, k: int = SPAN_K) -> ray.data.Dataset:
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    partials = docs.map_batches(lambda t: _pair_partial(t, k), batch_format="pyarrow")
+
+    def dup_pairs(tbl: pa.Table) -> pa.Table:
+        """Per gram partition: keep (doc_id, gram) rows whose gram occurs in
+        >= 2 distinct docs; route them to the doc partition."""
+        tbl = tbl.drop_columns(["__pid", "cnt"])
+        de = pc.dictionary_encode(tbl.column("gram").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = np.bincount(codes, minlength=len(de.dictionary))
+        keep = ndocs[codes] >= 2  # pairs are (gram, doc)-distinct post-combiner
+        out = tbl.filter(pa.array(keep))
+        did = out.column("doc_id").to_numpy(zero_copy_only=False)
+        pid = (did.astype(np.uint64) % np.uint64(DOC_PARTS)).astype(np.int32)
+        n = out.num_rows
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "text": pa.array([None] * n, pa.string()),
+                "gram": out.column("gram"),
+                "__side": pa.array(np.ones(n, np.int8)),
+                "__pid2": pa.array(pid),
+            }
+        )
+
+    dup_side = partials.groupby("__pid").map_groups(dup_pairs, batch_format="pyarrow")
+
+    def tag_docs(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        pid = (did.astype(np.uint64) % np.uint64(DOC_PARTS)).astype(np.int32)
+        n = tbl.num_rows
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "text": tbl.column("text"),
+                "gram": pa.array([None] * n, pa.string()),
+                "__side": pa.array(np.zeros(n, np.int8)),
+                "__pid2": pa.array(pid),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text_scrubbed", pa.string()), ("n_removed", pa.int64())]
+    )
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid2"])
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        fact = tbl.filter(pa.array(side == 0)).select(["doc_id", "text"])
+        dup = tbl.filter(pa.array(side == 1)).select(["doc_id", "gram"])
+        if fact.num_rows == 0:
+            return out_schema.empty_table()
+        grams, row_rep, pos_in_row, flat, ntok, offs = _gram_positions(fact, k)
+        covered = np.zeros(int(offs[-1]) + 1, dtype=np.int64)
+        if len(grams) and dup.num_rows:
+            did = fact.column("doc_id").to_numpy(zero_copy_only=False)
+            gkeys = _compose_keys(did[row_rep], grams)
+            dkeys = _compose_keys(
+                dup.column("doc_id").to_numpy(zero_copy_only=False),
+                dup.column("gram").combine_chunks(),
+            )
+            hit = pc.is_in(gkeys, value_set=dkeys).to_numpy(zero_copy_only=False)
+            starts = offs[:-1][row_rep[hit]] + pos_in_row[hit]
+            np.add.at(covered, starts, 1)
+            np.add.at(covered, starts + k, -1)  # span fits its row by construction
+        cov = np.cumsum(covered[:-1]) > 0
+        removed = _seg_sums(cov, offs)
+        kept_flat = flat.filter(pa.array(~cov))
+        new_offs = np.concatenate([[0], np.cumsum(ntok - removed)]).astype(np.int64)
+        lists = pa.ListArray.from_arrays(pa.array(new_offs, pa.int64()).cast(pa.int32()), kept_flat)
+        text_scrubbed = pc.binary_join(lists, pa.scalar(" ", pa.string()))
+        return pa.table(
+            {
+                "doc_id": fact.column("doc_id"),
+                "text_scrubbed": text_scrubbed,
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    merged = docs.map_batches(tag_docs, batch_format="pyarrow").union(dup_side)
+    return merged.groupby("__pid2").map_groups(scrub, batch_format="pyarrow")
+
+
+def _seg_sums(mask: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    c = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return c[offs[1:]] - c[offs[:-1]]
+
+
+SCRUB_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, i AS s,
+         array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(toks) - {SPAN_K} + 2)) AS r(i)
+), dup AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY gram
+  ) WHERE c >= 2
+), hits AS (
+  SELECT DISTINCT g.doc_id, g.s FROM g JOIN dup USING (gram)
+), tokens AS (
+  SELECT doc_id, i, toks[i] AS tok FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+), marked AS (
+  SELECT tok.doc_id, tok.i, tok.tok,
+         EXISTS (SELECT 1 FROM hits h
+                 WHERE h.doc_id = tok.doc_id
+                   AND tok.i BETWEEN h.s AND h.s + {SPAN_K - 1}) AS covered
+  FROM tokens tok
+)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT covered), '')
+         AS text_scrubbed,
+       CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
