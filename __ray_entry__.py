@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video_frames": _media_video_frames,
         # similarity search over `embeddings`
         "ann_bruteforce": search_dedup.ann_bruteforce,
+        "ann_filtered": search_dedup.ann_filtered,
         "embedding_dups": search_dedup.embedding_dups,
         "ann_ivf": search_dedup.ann_ivf,  # rows-only (approximate)
         "ann_ivf_fullprobe": search_dedup.ann_ivf_fullprobe,  # == brute force
@@ -147,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": events.cube_type_day,
         "events_signup_window": events.signup_window_agg,
         "events_session_funnel": events.session_funnel,
+        "events_session_transitions": events.session_transitions,
         "events_hopping_window": events.hopping_window,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
@@ -218,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_triangles": search_dedup.DUP_TRIANGLES_SQL,
         "doc_pagerank": search_dedup.DOC_PAGERANK_SQL,
         "ann_bruteforce": search_dedup.ANN_BRUTEFORCE_SQL,
+        "ann_filtered": search_dedup.ANN_FILTERED_SQL,
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,
         "embedding_normalize": search_dedup.EMBEDDING_NORMALIZE_SQL,
@@ -244,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cube": events.CUBE_TYPE_DAY_SQL,
         "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
         "events_session_funnel": events.SESSION_FUNNEL_SQL,
+        "events_session_transitions": events.SESSION_TRANSITIONS_SQL,
         "events_hopping_window": events.HOPPING_WINDOW_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,

@@ -1439,3 +1439,74 @@ SELECT event_type,
          AS winsorized_mean_cents
 FROM d GROUP BY event_type, qlo, qhi
 """
+
+
+# ---------------------------------------------------------------------------
+# session transition matrix: counts of CONSECUTIVE event-type pairs within a
+# session (the first-order Markov transition counts a sequence model trains
+# on). Same gap rule as sessionize; transitions never cross a session
+# boundary. Per-partition: the sessionize segment algebra marks boundaries,
+# one dictionary-encode + bincount per (prev_type, next_type) code pair, and
+# the bounded (types x types) partials fold on the driver.
+
+
+def session_transitions(sf_dir: str):
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        types = de.dictionary.to_pylist()
+        k = len(types)
+        if n < 2 or k == 0:
+            return pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "next_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        head = _seg_head(uid)
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) / 1e6 > SESSION_GAP_S
+        # a transition exists at i when i-1 -> i stays in the same session
+        trans = ~(head | gap)
+        trans[0] = False
+        pair = codes[np.flatnonzero(trans) - 1] * k + codes[trans]
+        cnt = np.bincount(pair, minlength=k * k).reshape(k, k)
+        nz = np.nonzero(cnt)
+        return pa.table(
+            {
+                "prev_type": pa.array([types[i] for i in nz[0]], pa.string()),
+                "next_type": pa.array([types[j] for j in nz[1]], pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    agg: dict[tuple[str, str], int] = {}
+    for r in partitioned_ordered(ds, kernel).take_all():  # bounded: types^2 x partitions
+        key = (r["prev_type"], r["next_type"])
+        agg[key] = agg.get(key, 0) + int(r["n"])
+    rows = [(a, b, c) for (a, b), c in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["prev_type", "next_type", "n"])
+
+
+SESSION_TRANSITIONS_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS dt_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM g
+WHERE prev_type IS NOT NULL AND dt_s <= {SESSION_GAP_S}
+GROUP BY prev_type, next_type
+"""

@@ -933,3 +933,124 @@ FROM e0 e1
 JOIN e0 e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN e0 e3 ON e3.a = e1.b AND e3.b = e2.b
 """
+
+
+# ---------------------------------------------------------------------------
+# metadata-FILTERED vector search: exact cosine top-k restricted to corpus
+# vectors sharing the query's label (the "filtered ANN" shape every vector
+# store needs). Both sides stay distributed: ONE exchange routes corpus and
+# queries by label, and because a label's vectors are then co-located, the
+# per-partition GEMM top-k is globally exact for that label — no second
+# merge stage. Label skew note: a hot label concentrates in one partition;
+# the IVF cell-routing path (ann.ivf_knn_join) is the escape hatch when one
+# label's slice exceeds a worker (route by (label, cell) instead).
+
+ANN_FILTER_PARTS = 8
+
+
+def ann_filtered(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            if side == 1:
+                tbl = tbl.filter(pc.less(tbl.column("vec_id"), N_QUERIES))
+            lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+            n = tbl.num_rows
+            return pa.table(
+                {
+                    "vec_id": tbl.column("vec_id"),
+                    "embedding": tbl.column("embedding"),
+                    "label": tbl.column("label"),
+                    "__side": pa.array(np.full(n, side, np.int8)),
+                    "__pid": pa.array((lbl % ANN_FILTER_PARTS).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("cos_sim", pa.float64()),
+        ]
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        side = tbl.column("__side").to_numpy(zero_copy_only=False)
+        lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        q_rows, n_rows_, s_rows = [], [], []
+        for lab in np.unique(lbl[side == 1]):
+            sel_q = (side == 1) & (lbl == lab)
+            sel_c = (side == 0) & (lbl == lab)
+            qt = tbl.filter(pa.array(sel_q))
+            ct = tbl.filter(pa.array(sel_c))
+            if ct.num_rows == 0:
+                continue
+            qm = ann._norm_rows(ann._emb_matrix(qt))
+            cm = ann._norm_rows(ann._emb_matrix(ct))
+            qids = qt.column("vec_id").to_numpy().astype(np.int64)
+            cids = ct.column("vec_id").to_numpy().astype(np.int64)
+            sims = cm @ qm.T  # (n, Q)
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi].copy()
+                col[cids == qid] = -np.inf
+                order = np.lexsort((cids, -col))[: min(TOP_K, col.size)]
+                order = order[np.isfinite(col[order])]
+                q_rows.extend([int(qid)] * len(order))
+                n_rows_.extend(cids[order].tolist())
+                s_rows.extend(col[order].tolist())
+        if not q_rows:
+            return out_schema.empty_table()
+        sim = np.floor(np.array(s_rows) * 1e6 + 0.5) / 1e6
+        # rows were appended query-by-query in rank order; rank = 1-based
+        # position within each contiguous query run
+        qarr = np.array(q_rows, dtype=np.int64)
+        same = np.zeros(qarr.size, dtype=bool)
+        same[1:] = qarr[1:] == qarr[:-1]
+        rank = np.cumsum(same) + 1
+        starts = np.flatnonzero(~same)
+        rank = rank - np.repeat(rank[starts] - 1, np.diff(np.append(starts, qarr.size)))
+        return pa.table(
+            {
+                "query_id": pa.array(qarr, pa.int64()),
+                "rank": pa.array(rank, pa.int64()),
+                "neighbor_id": pa.array(n_rows_, pa.int64()),
+                "cos_sim": pa.array(sim, pa.float64()),
+            }
+        )
+
+    tagged = emb.map_batches(tag(0), batch_format="pyarrow").union(
+        emb.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("__pid").map_groups(kernel, batch_format="pyarrow")
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS nid, label, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings
+), s AS (
+  SELECT qid, nid,
+         list_dot_product(qe, ne)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS sim
+  FROM q JOIN c USING (label)
+  WHERE qid != nid
+), r AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+  FROM s
+)
+SELECT qid AS query_id, rank, nid AS neighbor_id,
+       floor(sim * 1e6 + 0.5) / 1e6 AS cos_sim
+FROM r WHERE rank <= {TOP_K}
+"""

@@ -168,6 +168,13 @@ def run_bench() -> dict:
         ("q7_nation_volume", relational.q7_nation_volume),
         ("docs_dup_spans", spans.dup_spans),
         ("docs_decontaminate", spans.decontaminate),
+        ("docs_scrub_spans", spans.scrub_spans),
+        ("docs_temperature_mix", splits_mod.docs_temperature_mix),
+        ("events_cumulative", events.cumulative),
+        ("events_asof_forward", events.asof_join_forward),
+        ("events_rolling_median", events.rolling_median),
+        ("events_winsorized", events.winsorized_stats),
+        ("dup_triangles", search_dedup.dup_triangles),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
         ("docs_bpe_merges", bpe.bpe_merges),
