@@ -82,10 +82,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
         "docs_hll_by_lang": text_analysis.hll_distinct_tokens_by_lang,  # rows-only (sketch)
         "docs_bigram_topk": text_analysis.bigram_topk,
+        "docs_bigram_pmi": text_analysis.bigram_pmi,
         "token_heavy_hitters": text_analysis.token_heavy_hitters,
         "doc_tfidf_top_terms": text_analysis.tfidf_top_terms,
         "token_postings": text_analysis.token_postings,
         "doc_repetition_stats": text_analysis.repetition_stats,
+        "doc_token_entropy": text_analysis.token_entropy,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
@@ -143,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
         "events_props_stats": events.props_stats,
+        "events_value_props_corr": events.value_props_corr,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
         "events_cube": events.cube_type_day,
@@ -199,10 +202,12 @@ def oracle_sql() -> dict[str, str]:
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,
         "docs_distinct_tokens": text_analysis.DISTINCT_TOKENS_SQL,
         "docs_bigram_topk": text_analysis.BIGRAM_TOPK_SQL,
+        "docs_bigram_pmi": text_analysis.BIGRAM_PMI_SQL,
         "token_heavy_hitters": text_analysis.TOKEN_HEAVY_HITTERS_SQL,
         "doc_tfidf_top_terms": text_analysis.TFIDF_TOP_TERMS_SQL,
         "token_postings": text_analysis.TOKEN_POSTINGS_SQL,
         "doc_repetition_stats": text_analysis.REPETITION_STATS_SQL,
+        "doc_token_entropy": text_analysis.TOKEN_ENTROPY_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
@@ -242,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,
         "events_props_stats": events.PROPS_STATS_SQL,
+        "events_value_props_corr": events.VALUE_PROPS_CORR_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
         "events_cube": events.CUBE_TYPE_DAY_SQL,

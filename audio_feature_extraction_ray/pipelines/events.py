@@ -1510,3 +1510,73 @@ FROM g
 WHERE prev_type IS NOT NULL AND dt_s <= {SESSION_GAP_S}
 GROUP BY prev_type, next_type
 """
+
+
+# ---------------------------------------------------------------------------
+# grouped Pearson correlation between value (cents) and the props.k integer,
+# per event type: the feature-vs-feature dependence scan a feature-selection
+# pass runs. All partials are INTEGERS (n, Sx, Sy, Sxy, Sxx, Syy per type,
+# map-side combined), so the distributed fold is order-free; the closing
+# float formula is sequenced identically to the SQL oracle.
+
+
+def value_props_corr(sf_dir: str):
+    ds = read_events(sf_dir, ["event_type", "value", "props"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        x = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        ks = pc.extract_regex(tbl.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        y = pc.struct_field(ks, "k").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        m = uniq.size
+
+        def seg(v):
+            s = np.zeros(m, dtype=np.int64)
+            np.add.at(s, codes, v)
+            return s
+
+        return pa.table(
+            {
+                "event_type": pa.array(uniq.tolist(), pa.string()),
+                "n": pa.array(np.bincount(codes, minlength=m), pa.int64()),
+                "sx": pa.array(seg(x), pa.int64()),
+                "sy": pa.array(seg(y), pa.int64()),
+                "sxy": pa.array(seg(x * y), pa.int64()),
+                "sxx": pa.array(seg(x * x), pa.int64()),
+                "syy": pa.array(seg(y * y), pa.int64()),
+            }
+        )
+
+    agg: dict[str, np.ndarray] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: types
+        cur = agg.setdefault(r["event_type"], np.zeros(6, dtype=np.int64))
+        cur += np.array([r["n"], r["sx"], r["sy"], r["sxy"], r["sxx"], r["syy"]], dtype=np.int64)
+    rows = []
+    for t in sorted(agg):
+        n, sx, sy, sxy, sxx, syy = (int(v) for v in agg[t])
+        num = np.float64(n * sxy - sx * sy)
+        den = np.sqrt(np.float64(n * sxx - sx * sx)) * np.sqrt(np.float64(n * syy - sy * sy))
+        r_ = float(np.floor(num / den * 1e6 + 0.5) / 1e6) if den != 0 else None
+        rows.append((t, n, r_))
+    return pd.DataFrame(rows, columns=["event_type", "n", "corr_value_k"])
+
+
+VALUE_PROPS_CORR_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM d GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       floor(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS corr_value_k
+FROM s
+"""

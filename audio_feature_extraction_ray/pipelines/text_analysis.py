@@ -1624,3 +1624,138 @@ def pack_greedy_nosplit(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset
         .groupby("__pid")
         .map_groups(pack_kernel, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-document token entropy (unigram Shannon entropy, a classic quality /
+# repetitiveness feature: low entropy = template or spam). Purely per-row,
+# no exchange. Exactness: entropy = ln(n) - (sum_i c_i*ln(c_i))/n with the
+# inner sum carried as FIXED-POINT int64 (floor(c*ln(c)*1e9 + 0.5)), so the
+# distributed sum is order-free and the only float ops are the closing
+# three, sequenced identically to the SQL oracle.
+
+
+def token_entropy(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        ntok, flat, offs = _token_lists(tbl.column("text").combine_chunks())
+        n_rows = tbl.num_rows
+        total = int(offs[-1])
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_rep = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((codes, row_rep))
+        rr, cc = row_rep[order], codes[order]
+        head = np.ones(total, dtype=bool)
+        head[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(head)
+        c = np.diff(np.append(starts, total)).astype(np.int64)
+        fp = np.floor(c * np.log(c.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+        fp_row = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(fp_row, rr[starts], fp)
+        n = ntok.to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = np.log(n.astype(np.float64)) - (fp_row / 1e9) / n
+        ent = np.floor(ent * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "token_entropy": pa.array(ent, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_ENTROPY_SQL = """
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), s AS (
+  SELECT doc_id, sum(c) AS n,
+         sum(CAST(floor(c * ln(c) * 1e9 + 0.5) AS BIGINT)) AS fp
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       floor((ln(n) - (fp / 1e9) / n) * 1e6 + 0.5) / 1e6 AS token_entropy
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI of the top-K corpus bigrams: pointwise mutual information
+# ln( p(w1 w2) / (p(w1) p(w2)) ) — the classic collocation score. Pass 1 is
+# the existing distributed bigram top-k; pass 2 counts ONLY the <=2K words
+# those bigrams contain (candidate set broadcast, integer partials, bounded
+# driver fold) plus the two corpus totals. The closing float formula is
+# sequenced identically to the SQL oracle and fixed-point rounded.
+
+
+def bigram_pmi(sf_dir: str):
+    import pandas as pd
+    import ray as _ray
+
+    top = bigram_topk(sf_dir)  # (bigram, n), global top-K
+    cand = sorted({w for bg in top["bigram"] for w in bg.split(" ")})
+    cand_ref = _ray.put(cand)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cands = _ray.get(cand_ref)
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        idx = pc.index_in(flat, value_set=pa.array(cands, pa.string()))
+        hits = idx.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(hits, minlength=len(cands)).astype(np.int64)
+        words = list(cands) + ["\x00n_uni", "\x00n_bi"]
+        vals = np.concatenate(
+            [cnt, [int(ntok.sum()), int(np.maximum(ntok - 1, 0).sum())]]
+        ).astype(np.int64)
+        return pa.table({"w": pa.array(words, pa.string()), "c": pa.array(vals, pa.int64())})
+
+    agg: dict[str, int] = {}
+    src = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+    for r in src.take_all():  # bounded: (2K+2) rows per block
+        agg[r["w"]] = agg.get(r["w"], 0) + int(r["c"])
+    n_uni, n_bi = agg["\x00n_uni"], agg["\x00n_bi"]
+    rows = []
+    for bg, c_ab in zip(top["bigram"], top["n"]):
+        w1, w2 = bg.split(" ")
+        p_ab = np.float64(c_ab) / n_bi
+        p1 = np.float64(agg[w1]) / n_uni
+        p2 = np.float64(agg[w2]) / n_uni
+        pmi = float(np.floor(np.log(p_ab / (p1 * p2)) * 1e6 + 0.5) / 1e6)
+        rows.append((bg, int(c_ab), pmi))
+    return pd.DataFrame(rows, columns=["bigram", "n", "pmi"])
+
+
+BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), uni AS (
+  SELECT CAST(sum(len(t)) AS BIGINT) AS n_uni FROM toks
+), nbi AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bi FROM b
+), bc AS (
+  SELECT bigram, any_value(w1) AS w1, any_value(w2) AS w2, count(*) AS c
+  FROM b GROUP BY bigram
+), top AS (
+  SELECT * FROM bc ORDER BY c DESC, bigram LIMIT {BIGRAM_TOPK}
+), u AS (
+  SELECT tok, count(*) AS cu
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+)
+SELECT top.bigram, CAST(top.c AS BIGINT) AS n,
+       floor(ln((CAST(top.c AS DOUBLE) / n_bi)
+                / ((CAST(u1.cu AS DOUBLE) / n_uni) * (CAST(u2.cu AS DOUBLE) / n_uni)))
+             * 1e6 + 0.5) / 1e6 AS pmi
+FROM top
+JOIN u u1 ON u1.tok = top.w1
+JOIN u u2 ON u2.tok = top.w2
+CROSS JOIN uni CROSS JOIN nbi
+"""

@@ -175,6 +175,8 @@ def run_bench() -> dict:
         ("events_rolling_median", events.rolling_median),
         ("events_winsorized", events.winsorized_stats),
         ("dup_triangles", search_dedup.dup_triangles),
+        ("events_session_transitions", events.session_transitions),
+        ("ann_filtered", search_dedup.ann_filtered),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
         ("docs_bpe_merges", bpe.bpe_merges),
