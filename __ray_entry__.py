@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": text_analysis.token_postings,
         "doc_repetition_stats": text_analysis.repetition_stats,
         "doc_token_entropy": text_analysis.token_entropy,
+        "docs_length_histogram": text_analysis.length_histogram,
+        "docs_column_profile": text_analysis.column_profile,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
@@ -208,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "token_postings": text_analysis.TOKEN_POSTINGS_SQL,
         "doc_repetition_stats": text_analysis.REPETITION_STATS_SQL,
         "doc_token_entropy": text_analysis.TOKEN_ENTROPY_SQL,
+        "docs_length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
+        "docs_column_profile": text_analysis.COLUMN_PROFILE_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,

@@ -1759,3 +1759,144 @@ JOIN u u1 ON u1.tok = top.w1
 JOIN u u2 ON u2.tok = top.w2
 CROSS JOIN uni CROSS JOIN nbi
 """
+
+
+# ---------------------------------------------------------------------------
+# data profiling: equi-width histogram of n_chars per language (the corpus
+# length-distribution scan). Bucket edges are fixed integers, so partials
+# are pure integer bincounts (map-side combined, bounded langs x buckets
+# fold) — order-free and bit-exact.
+
+HIST_BUCKET_W = 50
+HIST_N_BUCKETS = 12  # last bucket is open-ended
+
+
+def length_histogram(sf_dir: str):
+    import pandas as pd
+
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)
+        nch = tbl.column("n_chars").to_numpy()
+        bucket = np.minimum(nch // HIST_BUCKET_W, HIST_N_BUCKETS - 1).astype(np.int64)
+        uniq, codes = np.unique(lang, return_inverse=True)
+        k = uniq.size
+        cnt = np.bincount(codes * HIST_N_BUCKETS + bucket, minlength=k * HIST_N_BUCKETS)
+        cnt = cnt.reshape(k, HIST_N_BUCKETS)
+        nz = np.nonzero(cnt)
+        return pa.table(
+            {
+                "lang": pa.array([uniq[i] for i in nz[0]], pa.string()),
+                "bucket": pa.array(nz[1].astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg: dict[tuple[str, int], int] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded
+        key = (r["lang"], int(r["bucket"]))
+        agg[key] = agg.get(key, 0) + int(r["n"])
+    rows = [(lg, b, b * HIST_BUCKET_W, c) for (lg, b), c in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["lang", "bucket", "bucket_lo", "n"])
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT lang,
+       least(n_chars // {HIST_BUCKET_W}, {HIST_N_BUCKETS - 1}) AS bucket,
+       least(n_chars // {HIST_BUCKET_W}, {HIST_N_BUCKETS - 1}) * {HIST_BUCKET_W}
+         AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents
+GROUP BY lang, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# column profile: the one-pass data-profiling summary (per column: nulls,
+# exact distinct count, min/max rendered as text) a pipeline runs before
+# ingesting an unknown table. Distincts ride the same bounded per-batch
+# unique combiner + driver fold (cardinalities here are bounded; for
+# unbounded columns the HLL sketch family is the scale path and is cited in
+# the output). One row per profiled column, flat schema, SQL-comparable.
+
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def column_profile(sf_dir: str):
+    import pandas as pd
+
+    ds = _read_docs(sf_dir, _PROFILE_COLS)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        names, nulls, uniques, mins, maxs, counts = [], [], [], [], [], []
+        for c in _PROFILE_COLS:
+            col = tbl.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arr = col.to_numpy(zero_copy_only=False)
+            valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
+            vals = arr[valid]
+            u = np.unique(vals)
+            names.append(c)
+            nulls.append(int((~valid).sum()))
+            counts.append(len(arr))
+            uniques.append(",".join(str(v) for v in u))  # bounded by contract
+            mins.append(str(u[0]) if u.size else "")
+            maxs.append(str(u[-1]) if u.size else "")
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "n_rows": pa.array(counts, pa.int64()),
+                "uniques": pa.array(uniques, pa.string()),
+                "min_v": pa.array(mins, pa.string()),
+                "max_v": pa.array(maxs, pa.string()),
+            }
+        )
+
+    agg: dict[str, dict] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        cur = agg.setdefault(
+            r["column"], {"n_null": 0, "n_rows": 0, "uniq": set(), "min": None, "max": None}
+        )
+        cur["n_null"] += int(r["n_null"])
+        cur["n_rows"] += int(r["n_rows"])
+        if r["uniques"]:
+            cur["uniq"].update(r["uniques"].split(","))
+        for k, best in (("min", min), ("max", max)):
+            v = r["min_v" if k == "min" else "max_v"]
+            if v != "":
+                cur[k] = v if cur[k] is None else best(cur[k], v, key=_profile_key(r["column"]))
+    rows = []
+    for c in _PROFILE_COLS:
+        cur = agg[c]
+        rows.append(
+            (c, cur["n_rows"], cur["n_null"], len(cur["uniq"]), cur["min"], cur["max"])
+        )
+    return pd.DataFrame(
+        rows, columns=["column", "n_rows", "n_null", "n_distinct", "min_v", "max_v"]
+    )
+
+
+def _profile_key(col: str):
+    numeric = col in ("doc_id", "n_chars")
+    return (lambda s: int(s)) if numeric else (lambda s: s)
+
+
+COLUMN_PROFILE_SQL = """
+SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+"""
