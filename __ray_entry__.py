@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from audio_feature_extraction_ray.stages.ann import (
         embedding_kmeans as _embedding_kmeans,
     )
+    from audio_feature_extraction_ray.stages.ann import (
+        embedding_pca as _embedding_pca,
+    )
     from audio_feature_extraction_ray.stages.multimodal import (
         media_audio_features as _media_audio_features,
     )
@@ -127,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
         "embedding_lsh_dups": search_dedup.embedding_lsh_dups,  # rows-only (LSH)
         "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
+        "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
         "embedding_normalize": search_dedup.embedding_normalize,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,

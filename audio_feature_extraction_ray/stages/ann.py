@@ -437,3 +437,80 @@ def embedding_kmeans(sf_dir: str):
             "centroid_norm": np.floor(np.linalg.norm(cent, axis=1) * 1e6 + 0.5) / 1e6,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA over the embedding column: pass 1 accumulates the mean and
+# Gram matrix as INTEGER partials (embeddings quantized at Q=1e4), so the
+# distributed fold is summation-order-free and the covariance the driver
+# sees is bit-deterministic; the (d x d) eigendecomposition runs on the
+# driver (d is the embedding width — tiny); pass 2 projects every vector
+# onto the top components in one streaming map. Overflow contract:
+# n * (Q*|x|_max)^2 must stay < 2^63 — at Q=1e4 and |x|<=4 that is ~5e13
+# rows per FOLDED partial; beyond that, fold per-block Gram partials
+# pairwise (they stay exact ints) or drop Q a decade. Sign convention:
+# each component is flipped so its largest-|.| coordinate is positive.
+
+PCA_Q = 10_000.0
+PCA_COMPONENTS = 2
+
+
+def pca_fit(ds: ray.data.Dataset, emb_col: str = "embedding", n_components: int = PCA_COMPONENTS):
+    """Returns (mean: (d,), components: (k, d)) from integer-exact moments."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        m = _emb_matrix(tbl, emb_col)
+        xq = np.rint(m * PCA_Q).astype(np.int64)
+        sx = xq.sum(axis=0)
+        gram = xq.T @ xq  # (d, d) int64
+        d = xq.shape[1]
+        return pa.table(
+            {
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "sx": pa.array([sx.tolist()], pa.list_(pa.int64())),
+                "gram": pa.array([gram.reshape(-1).tolist()], pa.list_(pa.int64())),
+                "d": pa.array([d], pa.int64()),
+            }
+        )
+
+    n_tot, sx_tot, gram_tot, d = 0, None, None, None
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 1 row/block
+        n_tot += int(r["n"])
+        sxa = np.asarray(r["sx"], dtype=np.int64)
+        ga = np.asarray(r["gram"], dtype=np.int64)
+        sx_tot = sxa if sx_tot is None else sx_tot + sxa
+        gram_tot = ga if gram_tot is None else gram_tot + ga
+        d = int(r["d"])
+    gram_tot = gram_tot.reshape(d, d)
+    mean_q = sx_tot.astype(np.float64) / n_tot
+    cov = (gram_tot.astype(np.float64) - np.outer(mean_q, mean_q) * n_tot) / n_tot
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comp = evecs[:, ::-1][:, :n_components].T  # (k, d), descending eigenvalue
+    flip = np.sign(comp[np.arange(comp.shape[0]), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+    return mean_q / PCA_Q, comp
+
+
+def embedding_pca(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: eigendecomposition is not SQL):
+    per-vector projections onto the top-2 principal components. Pinned
+    against a single-process reference with the identical quantized-moment
+    formula in pytest (exact equality)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mean, comp = pca_fit(ds)
+    cref = ray.put((mean, comp))
+
+    def project(tbl: pa.Table) -> pa.Table:
+        mu, c = ray.get(cref)
+        m = _emb_matrix(tbl)
+        p = (m - mu) @ c.T
+        p = np.floor(p * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "vec_id": tbl.column("vec_id"),
+                "pc1": pa.array(p[:, 0], pa.float64()),
+                "pc2": pa.array(p[:, 1], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -840,3 +840,38 @@ def test_triangle_count_known_graphs(ray_session):
     bowtie = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3), (30, 31), (31, 32), (30, 32)]
     ds2 = ray.data.from_items([{"a": a, "b": b} for a, b in bowtie])
     assert triangle_count(ds2, num_partitions=3)["n_triangles"].tolist() == [3]
+
+
+def test_embedding_pca_matches_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.stages.ann import PCA_Q, embedding_pca, pca_fit
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        embedding_pca(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    ids = tbl.column("vec_id").to_numpy()
+    # single-process reference with the IDENTICAL quantized-moment formula
+    xq = np.rint(m * PCA_Q).astype(np.int64)
+    n = xq.shape[0]
+    mean_q = xq.sum(axis=0).astype(np.float64) / n
+    cov = ((xq.T @ xq).astype(np.float64) - np.outer(mean_q, mean_q) * n) / n
+    evals, evecs = np.linalg.eigh(cov)
+    comp = evecs[:, ::-1][:, :2].T
+    flip = np.sign(comp[np.arange(2), np.abs(comp).argmax(axis=1)])
+    comp = comp * flip[:, None]
+    proj = (m - mean_q / PCA_Q) @ comp.T
+    proj = np.floor(proj * 1e6 + 0.5) / 1e6
+    order = np.argsort(ids)
+    assert np.array_equal(out["pc1"].to_numpy(), proj[order, 0])
+    assert np.array_equal(out["pc2"].to_numpy(), proj[order, 1])
+    # pc1 must capture at least as much variance as pc2
+    assert out["pc1"].var() >= out["pc2"].var()
+    # distributed moments must be invariant to block layout
+    mean2, comp2 = pca_fit(
+        __import__("ray").data.read_parquet(f"{sf}/embeddings.parquet").repartition(7)
+    )
+    assert np.array_equal(comp, comp2)
