@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events.asof_join,
         "events_asof_two_table": events.asof_join_two_table,
         "events_asof_forward": events.asof_join_forward,
+        "events_asof_tolerance": events.asof_join_tolerance,
+        "events_interarrival": events.interarrival_stats,
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
@@ -246,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": events.ASOF_JOIN_SQL,
         "events_asof_two_table": events.ASOF_TWO_TABLE_SQL,
         "events_asof_forward": events.ASOF_FORWARD_SQL,
+        "events_asof_tolerance": events.ASOF_TOLERANCE_SQL,
+        "events_interarrival": events.INTERARRIVAL_SQL,
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
         "events_distinct_users": events.DISTINCT_USERS_SQL,

@@ -1580,3 +1580,135 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
              * 1e6 + 0.5) / 1e6 AS corr_value_k
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# per-user inter-arrival statistics: count, min/max/mean gap (microseconds)
+# between consecutive events — the activity-cadence feature family. Gaps are
+# integer microseconds end-to-end (the mean is the only float, sequenced
+# identically to SQL), and the whole kernel is segment index algebra over
+# the sorted partition.
+
+
+def interarrival_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        gap = np.empty(uid.size, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        is_gap = ~head  # a gap row belongs to the user of its LATER event
+        starts = np.flatnonzero(head)
+        nseg = starts.size
+        seg_id = np.cumsum(head) - 1
+        n_gaps = np.bincount(seg_id[is_gap], minlength=nseg).astype(np.int64)
+        sums = np.zeros(nseg, dtype=np.int64)
+        np.add.at(sums, seg_id[is_gap], gap[is_gap])
+        mins = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, seg_id[is_gap], gap[is_gap])
+        maxs = np.full(nseg, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(maxs, seg_id[is_gap], gap[is_gap])
+        has = n_gaps > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(has, sums.astype(np.float64) / n_gaps, np.nan)
+        mean = np.floor(mean * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_gaps": pa.array(n_gaps, pa.int64()),
+                "min_gap_us": pa.array(
+                    np.where(has, mins, 0).astype(np.int64), pa.int64()
+                ),
+                "max_gap_us": pa.array(
+                    np.where(has, maxs, 0).astype(np.int64), pa.int64()
+                ),
+                "mean_gap_us": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel)
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond', lag(ts) OVER w, ts) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(count(gap) AS BIGINT) AS n_gaps,
+       CAST(coalesce(min(gap), 0) AS BIGINT) AS min_gap_us,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+       floor(CAST(sum(gap) AS DOUBLE) / count(gap) * 1e6 + 0.5) / 1e6 AS mean_gap_us
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tolerance-bounded as-of (staleness-capped LOCF): identical to asof_join
+# but a carried signal older than ASOF_TOL_US is treated as missing — the
+# freshness contract real feature stores enforce. One extra vectorized
+# comparison on top of the carried-index kernel.
+
+ASOF_TOL_US = 3 * 86_400_000_000  # 3 days
+
+
+def asof_join_tolerance(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_sig = pc.equal(tbl.column("event_type"), "signup").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((eid, np.where(is_sig, 0, 1), ts, uid))
+        u2, t2, s2, v2 = uid[order2], ts[order2], is_sig[order2], val[order2]
+        head2 = _seg_head(u2)
+        ar = np.arange(n)
+        last_s = np.where(s2, ar, -1)
+        np.maximum.accumulate(last_s, out=last_s)
+        seg_start = _propagate_last(np.where(head2, ar, 0), head2)
+        valid2 = last_s >= seg_start
+        # freshness: the carried signal must be within the tolerance window
+        fresh = np.zeros(n, dtype=bool)
+        fresh[valid2] = t2[valid2] - t2[last_s[valid2]] <= ASOF_TOL_US
+        valid2 &= fresh
+        av2 = np.full(n, np.nan)
+        av2[valid2] = v2[last_s[valid2]]
+        av = np.empty(n)
+        ok = np.empty(n, dtype=bool)
+        av[order2], ok[order2] = av2, valid2
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "asof_fresh_value": pa.array(av, pa.float64()),
+                "is_fresh": pa.array(ok, pa.bool_()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+ASOF_TOLERANCE_SQL = f"""
+WITH signups AS (
+  SELECT user_id, ts AS sig_ts, value AS sig_value
+  FROM events WHERE event_type = 'signup'
+), j AS (
+  SELECT e.event_id, e.user_id, e.ts, s.sig_value, s.sig_ts
+  FROM events e
+  ASOF LEFT JOIN signups s
+    ON e.user_id = s.user_id AND e.ts >= s.sig_ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN date_diff('microsecond', sig_ts, ts) <= {ASOF_TOL_US}
+            THEN sig_value END AS asof_fresh_value,
+       coalesce(date_diff('microsecond', sig_ts, ts) <= {ASOF_TOL_US}, FALSE)
+         AS is_fresh
+FROM j
+"""
