@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_forward": events.asof_join_forward,
         "events_asof_tolerance": events.asof_join_tolerance,
         "events_interarrival": events.interarrival_stats,
+        "events_feature_matrix": events.feature_matrix,
         "events_dedup_first": events.dedup_first,
         "events_window_agg": events.window_agg,
         "events_distinct_users": events.distinct_users,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_forward": events.ASOF_FORWARD_SQL,
         "events_asof_tolerance": events.ASOF_TOLERANCE_SQL,
         "events_interarrival": events.INTERARRIVAL_SQL,
+        "events_feature_matrix": events.FEATURE_MATRIX_SQL,
         "events_dedup_first": events.DEDUP_FIRST_SQL,
         "events_window_agg": events.WINDOW_AGG_SQL,
         "events_distinct_users": events.DISTINCT_USERS_SQL,

@@ -1712,3 +1712,111 @@ SELECT event_id, user_id, ts,
          AS is_fresh
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# fused point-in-time feature assembly: the training-matrix builder. ONE
+# entity-hash shuffle + ONE sorted-partition kernel computes, per event:
+# running lifetime state (count/sum), the bounded rolling-k window mean,
+# the leakage-free as-of signup value, and the session id — the features a
+# model actually consumes, assembled without re-shuffling per family. This
+# is the fusion argument made executable: at 100 TB each extra feature
+# family costs ZERO additional exchanges, only per-partition vector work.
+# The SQL oracle states the same four features as four window expressions
+# over one scan.
+
+
+def feature_matrix(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(val * 100 + 0.5).astype(np.int64)
+        head = _seg_head(uid)
+        seg_id = np.cumsum(head) - 1
+        head_idx = np.nonzero(head)[0]
+        ar = np.arange(n, dtype=np.int64)
+        # lifetime running count / sum (integer cents)
+        run_count = ar - head_idx[seg_id] + 1
+        cs = np.cumsum(cents)
+        run_sum = cs - (cs[head_idx] - cents[head_idx])[seg_id]
+        # rolling-k mean over the same frame as `rolling`
+        cstack = _shifted_stack(cents.astype(np.float64), head, ROLL_K)
+        rw_n = (~np.isnan(cstack)).sum(axis=0).astype(np.int64)
+        rw_sum = np.nansum(cstack, axis=0)
+        rw_mean = rw_sum / (100.0 * rw_n)
+        # as-of signup value (signals-before-events tie rule, as asof_join)
+        is_sig = pc.equal(tbl.column("event_type"), "signup").to_numpy(zero_copy_only=False)
+        order2 = np.lexsort((eid, np.where(is_sig, 0, 1), ts, uid))
+        u2, s2 = uid[order2], is_sig[order2]
+        head2 = _seg_head(u2)
+        last_s = np.where(s2, np.arange(n), -1)
+        np.maximum.accumulate(last_s, out=last_s)
+        seg_start2 = _propagate_last(np.where(head2, np.arange(n), 0), head2)
+        valid2 = last_s >= seg_start2
+        av2 = np.full(n, np.nan)
+        av2[valid2] = val[order2][last_s[valid2]]
+        asof_v = np.empty(n)
+        asof_v[order2] = av2
+        # session id (same gap rule as sessionize)
+        dt = np.full(n, np.nan)
+        if n > 1:
+            dt[1:] = (ts[1:] - ts[:-1]) / 1e6
+        dt[head] = np.nan
+        with np.errstate(invalid="ignore"):
+            flag = dt > SESSION_GAP_S
+        c = np.cumsum(flag)
+        session_id = (c - _propagate_last(np.where(head, c - flag, 0), head)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "run_count": pa.array(run_count, pa.int64()),
+                "run_sum_cents": pa.array(run_sum, pa.int64()),
+                "rw_mean_value": pa.array(rw_mean, pa.float64()),
+                "asof_signup_value": pa.array(asof_v, pa.float64()),
+                "session_id": pa.array(session_id, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+FEATURE_MATRIX_SQL = f"""
+WITH sig AS (
+  SELECT event_id, user_id, ts,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER wsig AS _has,
+         last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+           OVER wsig AS asof_signup_value
+  FROM events
+  WINDOW wsig AS (PARTITION BY user_id
+                  ORDER BY ts, (CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), base AS (
+  SELECT event_id, user_id, ts,
+         CAST(count(*) OVER w AS BIGINT) AS run_count,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+           AS run_sum_cents,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER wk
+           / (100.0 * count(*) OVER wk) AS rw_mean_value,
+         CASE WHEN date_diff('microsecond', lag(ts) OVER wo, ts) / 1000000.0
+                   > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wk AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW),
+         wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM base
+)
+SELECT s.event_id, s.user_id, s.ts, s.run_count, s.run_sum_cents, s.rw_mean_value,
+       g.asof_signup_value, s.session_id
+FROM sess s JOIN sig g USING (event_id, user_id, ts)
+"""

@@ -176,6 +176,7 @@ def run_bench() -> dict:
         ("events_winsorized", events.winsorized_stats),
         ("dup_triangles", search_dedup.dup_triangles),
         ("events_session_transitions", events.session_transitions),
+        ("events_feature_matrix", events.feature_matrix),
         ("ann_filtered", search_dedup.ann_filtered),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
