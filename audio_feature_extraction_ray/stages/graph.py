@@ -454,7 +454,9 @@ def triangle_count(
     )
 
     # --- attach endpoint degrees via tagged co-partitioned sorted-probe
-    def _attach(edge_ds: ray.data.Dataset, key_col: str, out_col: str) -> ray.data.Dataset:
+    def _attach(
+        edge_ds: ray.data.Dataset, key_col: str, out_col: str, edge_extra: tuple[str, ...] = ()
+    ) -> ray.data.Dataset:
         def tag_edge(tbl: pa.Table) -> pa.Table:
             k = tbl.column(key_col).to_numpy()
             cols = {c: tbl.column(c) for c in tbl.column_names}
@@ -472,10 +474,6 @@ def triangle_count(
             out["__side"] = pa.array(np.ones(n, np.int8))
             out["__pid"] = pa.array(_pid_i64(k, num_partitions))
             return pa.table(out)
-
-        edge_extra = [
-            c for c in edge_ds.schema().names if c not in ("lo", "hi", "__side", "__pid")
-        ]
 
         def merge(tbl: pa.Table) -> pa.Table:
             tbl = tbl.drop_columns(["__pid"])
@@ -499,7 +497,7 @@ def triangle_count(
         return tagged.groupby("__pid").map_groups(merge, batch_format="pyarrow")
 
     e2 = _attach(e, "lo", "deg_lo")
-    e3 = _attach(e2, "hi", "deg_hi").materialize()
+    e3 = _attach(e2, "hi", "deg_hi", edge_extra=("deg_lo",)).materialize()
 
     # --- orient + wedge generation per source
     def wedges(tbl: pa.Table) -> pa.Table:

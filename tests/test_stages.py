@@ -875,3 +875,70 @@ def test_embedding_pca_matches_reference(ray_session):
         __import__("ray").data.read_parquet(f"{sf}/embeddings.parquet").repartition(7)
     )
     assert np.array_equal(comp, comp2)
+
+
+def test_session_ops_degenerate_inputs(ray_session):
+    """This round's event/graph/search ops survive empty and single-row
+    inputs (empty partitions are routine at real scale)."""
+    from audio_feature_extraction_ray.stages.graph import triangle_count
+
+    # triangle_count: no edges at all, and a single self-loop
+    e0 = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    assert triangle_count(ray.data.from_arrow(e0), num_partitions=2)["n_triangles"].tolist() == [0]
+    e1 = pa.table({"a": pa.array([3], pa.int64()), "b": pa.array([3], pa.int64())})
+    assert triangle_count(ray.data.from_arrow(e1), num_partitions=2)["n_triangles"].tolist() == [0]
+
+
+def test_cumulative_single_event_users(ray_session, tmp_path):
+    """events_cumulative / interarrival on a fixture where every user has
+    exactly ONE event: running stats collapse to the row itself and the
+    inter-arrival table reports zero gaps."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.events import cumulative, interarrival_stats
+
+    n = 20
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([1_000_000 * i for i in range(n)], pa.timestamp("us")),
+            "user_id": pa.array(range(n), pa.int64()),  # all distinct
+            "event_type": pa.array(["view"] * n, pa.string()),
+            "value": pa.array([1.25] * n, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    out = cumulative(str(d)).to_pandas()
+    assert (out["run_count"] == 1).all()
+    assert (out["run_sum_cents"] == 125).all()
+    assert (out["run_max_cents"] == 125).all()
+    ia = interarrival_stats(str(d)).to_pandas()
+    assert (ia["n_gaps"] == 0).all() and ia["mean_gap_us"].isna().all()
+
+
+def test_scrub_spans_no_duplicates_is_identity(ray_session, tmp_path):
+    """scrub_spans over a corpus with NO repeated k-grams returns every doc
+    byte-identical with n_removed == 0."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.spans import scrub_spans
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(12)) for i in range(6)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = scrub_spans(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (out["n_removed"] == 0).all()
+    assert out["text_scrubbed"].tolist() == texts
