@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curate_pack": search_dedup.curate_pack,
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
+        "jaccard_join_docs": search_dedup.jaccard_join_docs,
         "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
         "dup_clusters": search_dedup.dup_clusters,
         "dup_triangles": search_dedup.dup_triangles,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate_pack": search_dedup._curate_pack_sql(),
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
+        "jaccard_join_docs": search_dedup.JACCARD_JOIN_SQL,
         "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,
         "dup_clusters": search_dedup.DUP_CLUSTERS_SQL,
         "dup_triangles": search_dedup.DUP_TRIANGLES_SQL,

@@ -1054,3 +1054,31 @@ SELECT qid AS query_id, rank, nid AS neighbor_id,
        floor(sim * 1e6 + 0.5) / 1e6 AS cos_sim
 FROM r WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity JOIN over the whole documents table (no sampling, no
+# all-pairs Gram): PPJoin prefix filtering in stages/dedup.jaccard_join.
+# The oracle is the naive quadratic form — the join must reproduce it
+# exactly, which also guards the prefix-filter theory (a dropped true pair
+# would hash-mismatch).
+
+
+def jaccard_join_docs(sf_dir: str) -> ray.data.Dataset:
+    return dedup.jaccard_join(_docs(sf_dir))
+
+
+JACCARD_JOIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT a, b,
+       floor(CAST(i AS DOUBLE) / (na + nb - i) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM p
+WHERE i * {dedup.JJ_T_DEN} >= (na + nb - i) * {dedup.JJ_T_NUM}
+"""

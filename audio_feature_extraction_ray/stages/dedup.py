@@ -911,3 +911,257 @@ def edit_distance_pairs(
         batch_format="pyarrow",
     )
     return ds.groupby("_g").map_groups(lambda g: fn(g.drop(columns=["_g"])), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# EXACT set-similarity join (PPJoin-style prefix filtering): all document
+# pairs with token-set Jaccard >= t, WITHOUT the all-pairs Gram product and
+# WITHOUT sampling — the corpus-scale exact companion to the MinHash
+# candidates. Classic guarantee: under one global token order (ascending
+# document frequency, ties by hash), two sets with J >= t must share a
+# token inside their first (n - ceil(t*n) + 1) tokens, so only prefix
+# buckets generate candidates; a length filter (10*min >= 9*max for t=9/10,
+# integer-exact) prunes further, and candidates are verified exactly from
+# the co-shipped sorted token-hash sets. Every stage is a bounded hash
+# exchange; buckets larger than max_bucket are dropped WITH a log line
+# (same observable-truncation contract as the LSH family). Token identity
+# is the full-coverage 64-bit hash (collision caveat as jaccard_pairs).
+
+JJ_T_NUM, JJ_T_DEN = 9, 10  # Jaccard threshold as an exact rational
+
+
+def jaccard_join(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    max_bucket: int = MAX_BUCKET,
+) -> ray.data.Dataset:
+    import ray as _ray  # noqa: F401  (kept for parity with sibling stages)
+
+    t_num, t_den = JJ_T_NUM, JJ_T_DEN
+
+    def tok_pid(tok: np.ndarray) -> np.ndarray:
+        return ((tok * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(np.int64) % num_partitions
+
+    # --- stage A: distinct (token, doc, ntok) rows, routed by token
+    def tok_rows(tbl: pa.Table) -> pa.Table:
+        hs, offs = _token_hashes64_batch(tbl.column(text_col))
+        did = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.diff(offs)
+        row_rep = np.repeat(np.arange(ntok.size), ntok)
+        return pa.table(
+            {
+                "tok": pa.array(hs, pa.uint64()),
+                "doc_id": pa.array(did[row_rep], pa.int64()),
+                "ntok": pa.array(ntok[row_rep], pa.int64()),
+                "__pid": pa.array(tok_pid(hs).astype(np.int32)),
+            }
+        )
+
+    # --- stage B: per token partition, attach df; route back by doc
+    def attach_df(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        tok = tbl.column("tok").to_numpy()
+        order = np.argsort(tok, kind="mergesort")
+        ts = tok[order]
+        head = np.ones(ts.size, dtype=bool)
+        head[1:] = ts[1:] != ts[:-1]
+        df_per_seg = np.diff(np.append(np.flatnonzero(head), ts.size))
+        df = np.empty(ts.size, dtype=np.int64)
+        df[order] = np.repeat(df_per_seg, df_per_seg)
+        did = tbl.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "tok": tbl.column("tok"),
+                "doc_id": tbl.column("doc_id"),
+                "ntok": tbl.column("ntok"),
+                "df": pa.array(df, pa.int64()),
+                "__pid2": pa.array((did.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)),
+            }
+        )
+
+    # --- stage C: per doc partition, emit prefix rows routed by token
+    def prefix_rows(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid2"])
+        did = tbl.column("doc_id").to_numpy()
+        tok = tbl.column("tok").to_numpy()
+        df = tbl.column("df").to_numpy()
+        ntok = tbl.column("ntok").to_numpy()
+        order = np.lexsort((tok, df, did))  # per doc: ascending (df, tok)
+        d2, t2, n2 = did[order], tok[order], ntok[order]
+        head = np.ones(d2.size, dtype=bool)
+        head[1:] = d2[1:] != d2[:-1]
+        starts = np.flatnonzero(head)
+        sizes = np.diff(np.append(starts, d2.size))
+        n_doc = n2[starts]
+        ceil_tn = -((-t_num * n_doc) // t_den)
+        p = np.maximum(n_doc - ceil_tn + 1, 1)
+        local = np.arange(d2.size, dtype=np.int64) - np.repeat(starts, sizes)
+        keep = local < np.repeat(p, sizes)
+        t_k, d_k, n_k = t2[keep], d2[keep], n2[keep]
+        return pa.table(
+            {
+                "tok": pa.array(t_k, pa.uint64()),
+                "doc_id": pa.array(d_k, pa.int64()),
+                "ntok": pa.array(n_k, pa.int64()),
+                "__pid3": pa.array(tok_pid(t_k).astype(np.int32)),
+            }
+        )
+
+    # --- stage D: candidates from prefix buckets (+ length filter), routed
+    # by packed pair key for dedup
+    def candidates(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid3"])
+        tok = tbl.column("tok").to_numpy()
+        did = tbl.column("doc_id").to_numpy()
+        ntok = tbl.column("ntok").to_numpy()
+        order = np.lexsort((did, tok))
+        ts, ds_, ns = tok[order], did[order], ntok[order]
+        i_idx, j_idx = _segment_pairs(ts, max_bucket, "jaccard_join candidates")
+        a, b = ds_[i_idx], ds_[j_idx]
+        na, nb = ns[i_idx], ns[j_idx]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        na2 = np.where(swap, nb, na)
+        nb2 = np.where(swap, na, nb)
+        mn = np.minimum(na2, nb2)
+        mx = np.maximum(na2, nb2)
+        keep = (a2 != b2) & (t_den * mn >= t_num * mx)
+        a2, b2, na2, nb2 = a2[keep], b2[keep], na2[keep], nb2[keep]
+        key = (a2.astype(np.uint64) << np.uint64(32)) | b2.astype(np.uint64)
+        return pa.table(
+            {
+                "a": pa.array(a2, pa.int64()),
+                "b": pa.array(b2, pa.int64()),
+                "na": pa.array(na2, pa.int64()),
+                "nb": pa.array(nb2, pa.int64()),
+                "__pid4": pa.array((key % np.uint64(num_partitions)).astype(np.int32)),
+            }
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid4"])
+        if tbl.num_rows == 0:
+            return tbl
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        order = np.argsort(key, kind="mergesort")
+        ks = key[order]
+        first = np.ones(ks.size, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        return tbl.take(pa.array(order[first]))
+
+    tokrows = ds.map_batches(tok_rows, batch_format="pyarrow")
+    with_df = tokrows.groupby("__pid").map_groups(attach_df, batch_format="pyarrow")
+    prefixes = with_df.groupby("__pid2").map_groups(prefix_rows, batch_format="pyarrow")
+    pairs = (
+        prefixes.groupby("__pid3")
+        .map_groups(candidates, batch_format="pyarrow")
+        .groupby("__pid4")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # --- doc token-set side for verification
+    def doc_sets(tbl: pa.Table) -> pa.Table:
+        hs, offs = _token_hashes64_batch(tbl.column(text_col))
+        did = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(hs, pa.uint64())
+        )
+        return pa.table({"doc_id": pa.array(did, pa.int64()), "toks": lists})
+
+    sets_ds = ds.map_batches(doc_sets, batch_format="pyarrow")
+
+    empty_u64_list = pa.array([], pa.list_(pa.uint64()))
+
+    def _attach_sets(pair_ds: ray.data.Dataset, key_col: str, out_col: str, extra: tuple[str, ...]):
+        def tag_pair(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy()
+            n = tbl.num_rows
+            cols = {c: tbl.column(c) for c in ("a", "b", "na", "nb")}
+            for c in extra:
+                cols[c] = tbl.column(c)
+            cols["toks"] = pa.nulls(n, pa.list_(pa.uint64()))
+            cols["__side"] = pa.array(np.zeros(n, np.int8))
+            cols["__pidX"] = pa.array((k.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32))
+            return pa.table(cols)
+
+        def tag_set(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("doc_id").to_numpy()
+            n = tbl.num_rows
+            z = pa.array(np.zeros(n, np.int64), pa.int64())
+            cols = {"a": tbl.column("doc_id"), "b": z, "na": z, "nb": z}
+            for c in extra:
+                cols[c] = pa.nulls(n, pa.list_(pa.uint64()))
+            cols["toks"] = tbl.column("toks")
+            cols["__side"] = pa.array(np.ones(n, np.int8))
+            cols["__pidX"] = pa.array((k.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32))
+            return pa.table(cols)
+
+        def merge(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.drop_columns(["__pidX"])
+            side = tbl.column("__side").to_numpy(zero_copy_only=False)
+            dim = tbl.filter(pa.array(side == 1))
+            fact = tbl.filter(pa.array(side == 0)).drop_columns(["__side", "toks"])
+            dnode = dim.column("a").to_numpy()
+            order = np.argsort(dnode, kind="mergesort")
+            dnode = dnode[order]
+            dtoks = dim.column("toks").combine_chunks().take(pa.array(order))
+            if fact.num_rows == 0:
+                return fact.append_column(out_col, empty_u64_list)
+            k = fact.column(key_col).to_numpy()
+            pos = np.searchsorted(dnode, k)
+            return fact.append_column(out_col, dtoks.take(pa.array(pos)))
+
+        tagged = pair_ds.map_batches(tag_pair, batch_format="pyarrow").union(
+            sets_ds.map_batches(tag_set, batch_format="pyarrow")
+        )
+        return tagged.groupby("__pidX").map_groups(merge, batch_format="pyarrow")
+
+    pairs_a = _attach_sets(pairs, "a", "toks_a", extra=())
+    pairs_ab = _attach_sets(pairs_a, "b", "toks_b", extra=("toks_a",))
+
+    # --- exact verification: one lexsort over (pair, value) per batch
+    def verify(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out_schema = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        ta = tbl.column("toks_a").combine_chunks()
+        tb = tbl.column("toks_b").combine_chunks()
+        la = pc.list_value_length(ta).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(tb).to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = pc.list_flatten(ta).to_numpy(zero_copy_only=False)
+        fb = pc.list_flatten(tb).to_numpy(zero_copy_only=False)
+        pair_a = np.repeat(np.arange(n, dtype=np.int64), la)
+        pair_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+        vals = np.concatenate([fa, fb])
+        pairs_idx = np.concatenate([pair_a, pair_b])
+        order = np.lexsort((vals, pairs_idx))
+        pv, vv = pairs_idx[order], vals[order]
+        dup = np.zeros(pv.size, dtype=np.int64)
+        if pv.size > 1:
+            dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
+        inter = np.bincount(pv, weights=dup, minlength=n).astype(np.int64)
+        union = la + lb - inter
+        keep = inter * t_den >= union * t_num  # integer-exact threshold test
+        with np.errstate(invalid="ignore", divide="ignore"):
+            j = inter[keep].astype(np.float64) / union[keep]
+        jr = np.floor(j * 1e6 + 0.5) / 1e6
+        a = tbl.column("a").to_numpy()[keep]
+        b = tbl.column("b").to_numpy()[keep]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jr, pa.float64()),
+            }
+        )
+
+    return pairs_ab.map_batches(verify, batch_format="pyarrow")
