@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_signup_window": events.signup_window_agg,
         "events_session_funnel": events.session_funnel,
         "events_session_transitions": events.session_transitions,
+        "events_session_stats": events.session_stats,
+        "events_retention_cohorts": events.retention_cohorts,
         "events_hopping_window": events.hopping_window,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
@@ -270,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "events_signup_window": events.SIGNUP_WINDOW_AGG_SQL,
         "events_session_funnel": events.SESSION_FUNNEL_SQL,
         "events_session_transitions": events.SESSION_TRANSITIONS_SQL,
+        "events_session_stats": events.SESSION_STATS_SQL,
+        "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
         "events_hopping_window": events.HOPPING_WINDOW_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,

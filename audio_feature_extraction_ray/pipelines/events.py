@@ -1820,3 +1820,157 @@ SELECT s.event_id, s.user_id, s.ts, s.run_count, s.run_sum_cents, s.rw_mean_valu
        g.asof_signup_value, s.session_id
 FROM sess s JOIN sig g USING (event_id, user_id, ts)
 """
+
+
+# ---------------------------------------------------------------------------
+# retention cohort matrix: users grouped by the week of their FIRST signup
+# (cohort), counted as active in each later week they have any event — the
+# classic growth-analytics triangle. Because a user lives wholly inside one
+# partition, the kernel emits each user's distinct (cohort_week, offset)
+# rows exactly once; the final count-distinct is then a bounded
+# (weeks x weeks) integer fold. Week truncation is Monday-aligned integer
+# day arithmetic, identical to DuckDB's date_trunc('week').
+
+
+def _week_start_days(ts_us: np.ndarray) -> np.ndarray:
+    d = ts_us // 86_400_000_000
+    return d - (d + 3) % 7  # epoch day 0 = Thursday; Monday-aligned
+
+
+def retention_cohorts(sf_dir: str):
+    ds = read_events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        is_sig = pc.equal(tbl.column("event_type"), "signup").to_numpy(zero_copy_only=False)
+        week = _week_start_days(ts)
+        head = _seg_head(uid)
+        seg_id = np.cumsum(head) - 1
+        nseg = int(seg_id[-1]) + 1 if uid.size else 0
+        # first signup week per user (partition is (user, ts)-sorted)
+        first_sig = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_sig, seg_id[is_sig], week[is_sig])
+        has = first_sig[seg_id] != np.iinfo(np.int64).max
+        cohort = first_sig[seg_id]
+        offset = (week - cohort) // 7
+        keep = has & (offset >= 0)
+        trip = np.stack(
+            [uid[keep], cohort[keep], offset[keep]], axis=1
+        )
+        uniq = np.unique(trip, axis=0) if trip.size else trip.reshape(0, 3)
+        return pa.table(
+            {
+                "cohort_day": pa.array(uniq[:, 1], pa.int64()),
+                "week_offset": pa.array(uniq[:, 2], pa.int64()),
+                "n_users": pa.array(np.ones(uniq.shape[0], np.int64), pa.int64()),
+            }
+        )
+
+    agg: dict[tuple[int, int], int] = {}
+    for r in partitioned_ordered(ds, kernel, order=("ts",)).take_all():  # bounded weeks^2
+        key = (int(r["cohort_day"]), int(r["week_offset"]))
+        agg[key] = agg.get(key, 0) + int(r["n_users"])
+    rows = [
+        (np.datetime64(0, "D") + np.timedelta64(cd, "D"), off, n)
+        for (cd, off), n in sorted(agg.items())
+    ]
+    return pd.DataFrame(rows, columns=["cohort_week", "week_offset", "n_users"]).astype(
+        {"cohort_week": "datetime64[us]"}
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH first_sig AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('day', CAST(f.cohort_week AS DATE),
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+  FROM events e JOIN first_sig f USING (user_id)
+  WHERE date_trunc('week', e.ts) >= f.cohort_week
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM act GROUP BY cohort_week, week_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# session-level rollup: one row per (user, session) with event count,
+# distinct event types, duration (us) and total value cents — aggregates
+# over a DERIVED window (the session boundaries computed in the same
+# kernel, not a stored key). Same gap rule as sessionize; all segment
+# algebra, no per-session Python.
+
+
+def session_stats(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tcodes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        head = _seg_head(uid)
+        gap = np.zeros(n, dtype=bool)
+        if n > 1:
+            gap[1:] = (ts[1:] - ts[:-1]) / 1e6 > SESSION_GAP_S
+        sess_head = head | gap
+        sid = np.cumsum(sess_head) - 1  # global session index within partition
+        nsess = int(sid[-1]) + 1 if n else 0
+        starts = np.flatnonzero(sess_head)
+        n_events = np.diff(np.append(starts, n)).astype(np.int64)
+        total_cents = np.zeros(nsess, dtype=np.int64)
+        np.add.at(total_cents, sid, cents)
+        dur = ts[np.append(starts[1:] - 1, n - 1)] - ts[starts] if n else np.empty(0, np.int64)
+        # distinct types per session: unique (sid, tcode) pairs
+        pair = sid * (tcodes.max() + 1 if n else 1) + tcodes
+        uniq_pairs = np.unique(pair)
+        n_types = np.bincount(
+            (uniq_pairs // (tcodes.max() + 1 if n else 1)).astype(np.int64), minlength=nsess
+        ).astype(np.int64)
+        # session_id local to the user (matches sessionize numbering, from 0)
+        local_sid = sid - _propagate_last(np.where(head, sid, 0), head)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(local_sid[starts], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "duration_us": pa.array(dur, pa.int64()),
+                "total_cents": pa.array(total_cents, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel)
+
+
+SESSION_STATS_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0
+                   > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM s GROUP BY user_id, session_id
+"""
