@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_stats": events.session_stats,
         "events_retention_cohorts": events.retention_cohorts,
         "events_hopping_window": events.hopping_window,
+        "events_time_window_sum": events.time_window_sum,
         # relational family (SURVEY §2.1/2.2/2.5/2.6/2.7)
         "q1_pricing": relational.q1_pricing,
         "revenue_by_segment": relational.revenue_by_segment,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_session_stats": events.SESSION_STATS_SQL,
         "events_retention_cohorts": events.RETENTION_COHORTS_SQL,
         "events_hopping_window": events.HOPPING_WINDOW_SQL,
+        "events_time_window_sum": events.TIME_WINDOW_SUM_SQL,
         "q1_pricing": relational.Q1_SQL,
         "revenue_by_segment": relational.REVENUE_BY_SEGMENT_SQL,
         "topk_parts": relational.TOPK_PARTS_SQL,

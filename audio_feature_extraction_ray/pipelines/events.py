@@ -1974,3 +1974,64 @@ SELECT user_id, session_id,
        CAST(sum(cents) AS BIGINT) AS total_cents
 FROM s GROUP BY user_id, session_id
 """
+
+
+# ---------------------------------------------------------------------------
+# trailing TIME-window aggregate (RANGE frame, not ROWS): per event, the
+# sum/count of the user's events in the last hour INCLUDING ts-peers — the
+# true time-window feature (rolling-k is its row-count cousin). Vectorized
+# with the monotone segment-offset trick: shifting each user's timestamps
+# into a disjoint band turns per-user windowing into two global
+# searchsorted calls (window start, peer end) against one sorted array; the
+# prefix-sum difference gives every window sum at once.
+
+TIME_WIN_US = 3_600_000_000  # 1 hour
+
+
+def time_window_sum(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        head = _seg_head(uid)
+        seg_id = np.cumsum(head) - 1
+        if n:
+            base = ts - ts.min()
+            offset = int(base.max()) + 2 * TIME_WIN_US + 1
+            nseg = int(seg_id[-1]) + 1
+            assert nseg * offset < 2**62, "segment-band shift would overflow"
+            shifted = base + seg_id * offset
+            lo = np.searchsorted(shifted, shifted - TIME_WIN_US, side="left")
+            hi = np.searchsorted(shifted, shifted, side="right")  # include ts peers
+            cs = np.concatenate([[0], np.cumsum(cents)])
+            wsum = cs[hi] - cs[lo]
+            wcount = hi - lo
+        else:
+            wsum = wcount = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "w1h_sum_cents": pa.array(wsum, pa.int64()),
+                "w1h_count": pa.array(wcount.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel, order=("ts", "event_id"))
+
+
+TIME_WINDOW_SUM_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS w1h_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS w1h_count
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
