@@ -942,3 +942,49 @@ def test_scrub_spans_no_duplicates_is_identity(ray_session, tmp_path):
     out = scrub_spans(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert (out["n_removed"] == 0).all()
     assert out["text_scrubbed"].tolist() == texts
+
+
+def test_time_window_sum_dense_bursts_and_peers(ray_session, tmp_path):
+    """RANGE-frame semantics pinned on a dense synthetic burst: windows up
+    to 30 rows, duplicate timestamps (peers must be included even 'after'
+    the current row), and exact window-edge hits at ts - 1h."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.events import (
+        TIME_WINDOW_SUM_SQL,
+        time_window_sum,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    base = 1_700_000_000_000_000
+    for u in range(5):
+        t = base
+        for _ in range(60):
+            step = int(rng.choice([0, 1, 60, 600, 3600, 3601])) * 1_000_000
+            t += step
+            rows.append((eid, t, u, float(rng.integers(1, 500)) / 100))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    out = time_window_sum(str(d)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(TIME_WINDOW_SUM_SQL).df().sort_values("event_id").reset_index(drop=True)
+    assert out["w1h_count"].max() >= 10  # genuinely dense windows
+    assert (tbl.column("ts").to_pandas().duplicated().sum()) > 0  # peers exist
+    assert np.array_equal(out["w1h_sum_cents"].to_numpy(), want["w1h_sum_cents"].to_numpy())
+    assert np.array_equal(out["w1h_count"].to_numpy(), want["w1h_count"].to_numpy())
