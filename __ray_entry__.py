@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_sample": splits.docs_mixture_sample,
         "docs_stratified_sample": splits.docs_stratified_sample,
         "docs_temperature_mix": splits.docs_temperature_mix,
+        "docs_weighted_sample": splits.docs_weighted_sample,
         "docs_global_shuffle": splits.docs_global_shuffle,
         # text analysis over `documents` (SURVEY north-rule additions)
         "doc_token_stats": text_analysis.token_stats,
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_histogram": text_analysis.length_histogram,
         "docs_column_profile": text_analysis.column_profile,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
+        "doc_bigram_logprob": text_analysis.bigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
         # sub-document n-gram span family (exact-substring dedup granularity)
@@ -204,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_mixture_sample": splits.DOCS_MIXTURE_SAMPLE_SQL,
         "docs_stratified_sample": splits.DOCS_STRATIFIED_SAMPLE_SQL,
         "docs_temperature_mix": splits.DOCS_TEMPERATURE_MIX_SQL,
+        "docs_weighted_sample": splits._weighted_sample_sql(),
         "docs_global_shuffle": splits.DOCS_GLOBAL_SHUFFLE_SQL,
         "doc_token_stats": text_analysis.TOKEN_STATS_SQL,
         "doc_fingerprint": text_analysis.FINGERPRINT_SQL,
@@ -224,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
         "docs_column_profile": text_analysis.COLUMN_PROFILE_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
+        "doc_bigram_logprob": text_analysis.BIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "docs_dup_spans": spans.DUP_SPANS_SQL,

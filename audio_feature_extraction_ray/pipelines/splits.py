@@ -365,3 +365,43 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars, r.keep_rate
 FROM documents d JOIN r USING (lang)
 WHERE (d.doc_id * {_TEMP_A} + {_TEMP_B}) % {_TEMP_M} < r.keep_rate
 """
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted importance sampling: each document is kept with
+# probability equal to its quality score (the fixed-point 1e6 score the
+# keep-best dedup uses), decided by the same arithmetic hash as the other
+# sampling ops — deterministic, reproducible, SQL-expressible, zero RNG
+# state. High-quality docs survive, boilerplate is down-weighted smoothly.
+
+# Knuth multiplicative hash mod 2^32 so the millionths-scale threshold sees
+# a well-mixed residue even for small dense ids (a linear a*id+b never wraps
+# 1e6 for id < ~1e3 and would keep everything). id contract: doc_id < 2^31
+# (product stays under 2^63).
+_WS_MUL = 2654435761
+
+
+def docs_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    from .text_analysis import quality_scores
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        q = quality_scores(tbl.column("text"))
+        q6 = np.floor(q * 1e6 + 0.5).astype(np.int64)  # exact: q is k/1e6
+        did = tbl.column("doc_id").to_numpy()
+        keep = (did * _WS_MUL) % 4294967296 % 1_000_000 < q6
+        out = tbl.filter(pa.array(keep)).drop_columns(["text"])
+        return out.append_column("quality", pa.array(q[keep], pa.float64()))
+
+    return _docs(sf_dir, ["doc_id", "lang", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _weighted_sample_sql() -> str:
+    from .text_analysis import QUALITY_EXPR, QUALITY_T_CTE
+
+    return f"""
+WITH {QUALITY_T_CTE},
+q AS (SELECT doc_id, lang, {QUALITY_EXPR} AS quality FROM t)
+SELECT doc_id, lang, quality
+FROM q
+WHERE (doc_id * {_WS_MUL}) % 4294967296 % 1000000 < CAST(quality * 1e6 AS BIGINT)
+"""

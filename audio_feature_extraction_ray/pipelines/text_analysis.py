@@ -1900,3 +1900,170 @@ UNION ALL
 SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
        CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM document scoring (the CCNet-style perplexity filter, one order
+# up from unigram_logprob): avg log P(w_i | w_{i-1}) under the corpus
+# bigram model. ONE exchange keyed on the bigram's FIRST token means each
+# partition owns every bigram sharing that w1, so both the bigram count c
+# and the conditional denominator c1(w1) are partition-local; scores are
+# integer micro-nats (order-free fold), per-doc partials route by doc.
+
+BIGRAM_LM_PARTS = 32
+
+
+def bigram_logprob(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64, string_hash_strong
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "bg": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "__pid": pa.array([], pa.int32()),
+            }
+        )
+        if nflat < 2:
+            return empty
+        ends = np.cumsum(ntok) - 1
+        valid = np.ones(nflat - 1, dtype=bool)
+        valid[ends[ends < nflat - 1]] = False
+        if not valid.any():
+            return empty
+        sel = pa.array(np.flatnonzero(valid))
+        w1 = flat.slice(0, nflat - 1).take(sel)
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, nflat - 1), flat.slice(1, nflat - 1), " "
+        ).take(sel)
+        did = tbl.column("doc_id").to_numpy()
+        row_rep = np.repeat(np.arange(ntok.size), np.maximum(ntok - 1, 0))
+        # distinct (doc, bigram) with counts, in-batch combiner
+        de = pc.dictionary_encode(bg)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = row_rep * (len(de.dictionary) + 1) + codes
+        uniq, first_idx, tf = np.unique(packed, return_index=True, return_counts=True)
+        sel2 = pa.array(first_idx)
+        w1o = w1.take(sel2)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[row_rep[first_idx]], pa.int64()),
+                "w1": w1o,
+                "bg": bg.take(sel2),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+                "__pid": pa.array(
+                    (string_hash_strong(w1o) % np.uint64(BIGRAM_LM_PARTS)).astype(np.int32)
+                ),
+            }
+        )
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.int64()),
+                    "pbg": pa.array([], pa.int64()),
+                    "__pid2": pa.array([], pa.int32()),
+                }
+            )
+        bg = tbl.column("bg")
+        if isinstance(bg, pa.ChunkedArray):
+            bg = bg.combine_chunks()
+        w1 = tbl.column("w1")
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        tf = tbl.column("tf").to_numpy()
+        deb = pc.dictionary_encode(bg)
+        bcodes = deb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.zeros(len(deb.dictionary), dtype=np.int64)
+        np.add.at(c, bcodes, tf)
+        dew = pc.dictionary_encode(w1)
+        wcodes = dew.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = np.zeros(len(dew.dictionary), dtype=np.int64)
+        np.add.at(c1, wcodes, tf)
+        # a bigram determines its w1, so any one row per bigram code works
+        ucodes, uidx = np.unique(bcodes, return_index=True)
+        first_row = np.empty(len(deb.dictionary), dtype=np.int64)
+        first_row[ucodes] = uidx
+        s6_bg = np.floor(
+            np.log(c.astype(np.float64) / c1[wcodes[first_row]].astype(np.float64)) * 1e6 + 0.5
+        ).astype(np.int64)
+        contrib = tf * s6_bg[bcodes]
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        psum = np.zeros(uniq.size, dtype=np.int64)
+        pbg = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(psum, inv, contrib)
+        np.add.at(pbg, inv, tf)
+        pid2 = (
+            avalanche64(uniq.astype(np.int64).view(np.uint64)) % np.uint64(BIGRAM_LM_PARTS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "psum": pa.array(psum, pa.int64()),
+                "pbg": pa.array(pbg, pa.int64()),
+                "__pid2": pa.array(pid2),
+            }
+        )
+
+    def fold_partition(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid2"])
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, tbl.column("psum").to_numpy())
+        np.add.at(n, inv, tbl.column("pbg").to_numpy())
+        avg = (s.astype(np.float64) / 1e6) / n.astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "bigram_count": pa.array(n, pa.int64()),
+                "sum_logprob_e6": pa.array(s, pa.int64()),
+                "avg_logprob": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(score_partition, batch_format="pyarrow")
+        .groupby("__pid2")
+        .map_groups(fold_partition, batch_format="pyarrow")
+    )
+
+
+BIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+  FROM toks, UNNEST(range(1, len(t))) AS r(i)
+), cb AS (
+  SELECT bg, count(*) AS c FROM b GROUP BY bg
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM b GROUP BY w1
+), scored AS (
+  SELECT b.doc_id,
+         CAST(floor(ln(CAST(cb.c AS DOUBLE) / c1.c1) * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM b JOIN cb USING (bg) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS bigram_count,
+       CAST(sum(s6) AS BIGINT) AS sum_logprob_e6,
+       (CAST(sum(s6) AS DOUBLE) / 1e6) / count(*) AS avg_logprob
+FROM scored GROUP BY doc_id
+"""
