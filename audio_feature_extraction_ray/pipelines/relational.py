@@ -1194,3 +1194,218 @@ SELECT o_custkey, o_orderkey, o_totalprice,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 analog: for lineitems shipped in 1996, how many belong to
+# high-priority orders vs low, per linestatus. Shape: date-filtered pruned
+# lineitem side x orders co-partitioned join on orderkey, conditional
+# INTEGER counts folded per linestatus (2 statuses — bounded driver fold).
+
+Q12_FROM = "1996-01-01"
+Q12_TO = "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_status(sf_dir: str, num_partitions: int = 32):
+    import pandas as pd
+
+    from ..stages.join import copartitioned_equijoin
+
+    lo = np.datetime64(Q12_FROM).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q12_TO).astype("datetime64[us]").astype(np.int64)
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        ship = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        tbl = tbl.filter(pa.array(keep))
+        st = tbl.column("l_linestatus")
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        # encode status as int so the join payload stays fixed-width
+        scode = pc.equal(st, "O").cast(pa.int8()).cast(pa.int64())
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "scode": scode,
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"]).map_batches(
+        li_side, batch_format="pyarrow"
+    )
+
+    def ord_side(tbl: pa.Table) -> pa.Table:
+        pri = tbl.column("o_orderpriority")
+        if isinstance(pri, pa.ChunkedArray):
+            pri = pri.combine_chunks()
+        high = pc.is_in(pri, value_set=pa.array(list(_Q12_HIGH), pa.string()))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "is_high": high.cast(pa.int8()).cast(pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        ord_side, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        li,
+        orders,
+        fact_key="l_orderkey",
+        dim_key="o_orderkey",
+        fact_cols=["scode"],
+        dim_cols=["is_high"],
+        num_partitions=num_partitions,
+        fact_col_types={"scode": pa.int64()},
+        dim_col_types={"is_high": pa.int64()},
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sc = tbl.column("scode").to_numpy()
+        ih = tbl.column("is_high").to_numpy()
+        out_rows = []
+        for code, name in ((1, "O"), (0, "F")):
+            m = sc == code
+            out_rows.append((name, int(ih[m].sum()), int((m & (ih == 0)).sum())))
+        return pa.table(
+            {
+                "l_linestatus": pa.array([r[0] for r in out_rows], pa.string()),
+                "high_line_count": pa.array([r[1] for r in out_rows], pa.int64()),
+                "low_line_count": pa.array([r[2] for r in out_rows], pa.int64()),
+            }
+        )
+
+    agg: dict[str, list[int]] = {}
+    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 2/blk
+        cur = agg.setdefault(r["l_linestatus"], [0, 0])
+        cur[0] += r["high_line_count"]; cur[1] += r["low_line_count"]
+    rows = [(s, v[0], v[1]) for s, v in sorted(agg.items())]
+    return pd.DataFrame(rows, columns=["l_linestatus", "high_line_count", "low_line_count"])
+
+
+Q12_PRIORITY_SQL = f"""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}' AND l_shipdate < TIMESTAMP '{Q12_TO}'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 analog: order count per priority for orders placed in 1996 that
+# HAVE at least one lineitem shipped after the order date (EXISTS semi-join
+# shape: distinct-key probe side, then a bounded conditional count).
+
+
+def q4_order_priority(sf_dir: str, num_partitions: int = 32):
+    import pandas as pd
+
+    from ..stages.join import copartitioned_equijoin
+
+    lo = np.datetime64(Q12_FROM).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q12_TO).astype("datetime64[us]").astype(np.int64)
+
+    def ord_side(tbl: pa.Table) -> pa.Table:
+        od = tbl.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (od >= lo) & (od < hi)
+        tbl = tbl.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": tbl.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": tbl.column("o_orderpriority"),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(ord_side, batch_format="pyarrow")
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        # in-batch distinct (orderkey, max shipdate) combiner
+        ok = tbl.column("l_orderkey").cast(pa.int64()).to_numpy()
+        sd = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table(
+            {
+                "lk": pa.array(uniq, pa.int64()),
+                "max_ship": pa.array(mx, pa.int64()),
+            }
+        )
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def li_route(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("lk").to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pid = ((k * _GOLD) >> np.uint64(33)) % np.uint64(num_partitions)
+        return tbl.append_column("__pid", pa.array(pid.astype(np.int32)))
+
+    def li_fold(tbl: pa.Table) -> pa.Table:
+        # global per-orderkey max: the batch combiner is per-block only, and
+        # the join must see ONE dim row per key (m:n would overcount EXISTS)
+        tbl = tbl.drop_columns(["__pid"])
+        ok = tbl.column("lk").to_numpy()
+        sd = tbl.column("max_ship").to_numpy()
+        uniq, inv = np.unique(ok, return_inverse=True)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, sd)
+        return pa.table(
+            {"lk": pa.array(uniq, pa.int64()), "max_ship": pa.array(mx, pa.int64())}
+        )
+
+    li = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(li_side, batch_format="pyarrow")
+        .map_batches(li_route, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(li_fold, batch_format="pyarrow")
+    )
+    joined = copartitioned_equijoin(
+        orders,
+        li,
+        fact_key="o_orderkey",
+        dim_key="lk",
+        fact_cols=["o_orderdate", "o_orderpriority"],
+        dim_cols=["max_ship"],
+        num_partitions=num_partitions,
+        fact_col_types={"o_orderdate": pa.int64(), "o_orderpriority": pa.string()},
+        dim_col_types={"max_ship": pa.int64()},
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        # EXISTS lineitem with shipdate > orderdate <=> max shipdate > orderdate
+        ok = tbl.column("max_ship").to_numpy() > tbl.column("o_orderdate").to_numpy()
+        tbl = tbl.filter(pa.array(ok))
+        pri = tbl.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(pri, return_counts=True)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(uniq.tolist(), pa.string()),
+                "order_count": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg: dict[str, int] = {}
+    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 5/blk
+        agg[r["o_orderpriority"]] = agg.get(r["o_orderpriority"], 0) + int(r["order_count"])
+    rows = sorted(agg.items())
+    return pd.DataFrame(rows, columns=["o_orderpriority", "order_count"])
+
+
+Q4_ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q12_FROM}' AND o_orderdate < TIMESTAMP '{Q12_TO}'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
