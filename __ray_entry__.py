@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": events.cumulative,
         "events_props_stats": events.props_stats,
         "events_value_props_corr": events.value_props_corr,
+        "events_ab_lift": events.ab_lift,
         "events_pivot": events.pivot_user_type,
         "events_rollup": events.rollup_type_day,
         "events_cube": events.cube_type_day,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative": events.CUMULATIVE_SQL,
         "events_props_stats": events.PROPS_STATS_SQL,
         "events_value_props_corr": events.VALUE_PROPS_CORR_SQL,
+        "events_ab_lift": events.AB_LIFT_SQL,
         "events_pivot": events.PIVOT_USER_TYPE_SQL,
         "events_rollup": events.ROLLUP_TYPE_DAY_SQL,
         "events_cube": events.CUBE_TYPE_DAY_SQL,

@@ -2035,3 +2035,91 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: user_id parity assigns the arm (deterministic,
+# SQL-expressible); per event type, mean value per arm, the lift, and the
+# two-sample z statistic. All partials are integers (n, sum, sumsq cents
+# per arm per type); the closing float algebra is sequenced identically to
+# the SQL oracle and fixed-point rounded.
+
+
+def ab_lift(sf_dir: str):
+    ds = read_events(sf_dir, ["user_id", "event_type", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        arm = (tbl.column("user_id").to_numpy() % 2).astype(np.int64)
+        c = np.rint(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        m = uniq.size
+        idx = codes * 2 + arm
+        n = np.bincount(idx, minlength=2 * m).astype(np.int64)
+        s1 = np.zeros(2 * m, dtype=np.int64)
+        s2 = np.zeros(2 * m, dtype=np.int64)
+        np.add.at(s1, idx, c)
+        np.add.at(s2, idx, c * c)
+        rep = np.repeat(np.arange(m), 2)
+        return pa.table(
+            {
+                "event_type": pa.array([uniq[i] for i in rep], pa.string()),
+                "arm": pa.array(np.tile([0, 1], m), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    agg: dict[tuple[str, int], list[int]] = {}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 2*types
+        cur = agg.setdefault((r["event_type"], int(r["arm"])), [0, 0, 0])
+        cur[0] += r["n"]; cur[1] += r["s1"]; cur[2] += r["s2"]
+    rows = []
+    for t in sorted({k[0] for k in agg}):
+        n0, a0, q0 = agg.get((t, 0), [0, 0, 0])
+        n1, a1, q1 = agg.get((t, 1), [0, 0, 0])
+        m0 = np.float64(a0) / n0
+        m1 = np.float64(a1) / n1
+        v0 = np.float64(q0) / n0 - m0 * m0
+        v1 = np.float64(q1) / n1 - m1 * m1
+        lift = (m1 - m0) / m0
+        z = (m1 - m0) / np.sqrt(v0 / n0 + v1 / n1)
+        f6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+        rows.append((t, n0, n1, f6(m0), f6(m1), f6(lift), f6(z)))
+    return pd.DataFrame(
+        rows,
+        columns=["event_type", "n_control", "n_treat", "mean_control_cents",
+                 "mean_treat_cents", "lift", "z_stat"],
+    )
+
+
+AB_LIFT_SQL = """
+WITH d AS (
+  SELECT event_type, user_id % 2 AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS a0,
+         sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS a1,
+         sum(CASE WHEN arm = 0 THEN c * c ELSE 0 END) AS q0,
+         sum(CASE WHEN arm = 1 THEN c * c ELSE 0 END) AS q1
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       floor(CAST(a0 AS DOUBLE) / n0 * 1e6 + 0.5) / 1e6 AS mean_control_cents,
+       floor(CAST(a1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS mean_treat_cents,
+       floor((CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)
+             / (CAST(a0 AS DOUBLE) / n0) * 1e6 + 0.5) / 1e6 AS lift,
+       floor((CAST(a1 AS DOUBLE) / n1 - CAST(a0 AS DOUBLE) / n0)
+             / sqrt((CAST(q0 AS DOUBLE) / n0
+                     - (CAST(a0 AS DOUBLE) / n0) * (CAST(a0 AS DOUBLE) / n0)) / n0
+                  + (CAST(q1 AS DOUBLE) / n1
+                     - (CAST(a1 AS DOUBLE) / n1) * (CAST(a1 AS DOUBLE) / n1)) / n1)
+             * 1e6 + 0.5) / 1e6 AS z_stat
+FROM s
+"""
