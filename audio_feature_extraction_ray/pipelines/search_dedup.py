@@ -1064,13 +1064,25 @@ FROM r WHERE rank <= {TOP_K}
 # would hash-mismatch).
 
 
+JJ_N = 1000  # query cap: the ORACLE is the quadratic form (O(n^2) in DuckDB),
+# and this fixture's 31-token shared vocabulary defeats prefix pruning (every
+# prefix bucket is a near-full bucket), so the driver-facing query bounds the
+# doc set; the STAGE itself is uncapped and scales with real vocabulary skew.
+
+
 def jaccard_join_docs(sf_dir: str) -> ray.data.Dataset:
-    return dedup.jaccard_join(_docs(sf_dir))
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), JJ_N)), batch_format="pyarrow"
+    )
+    return dedup.jaccard_join(ds)
 
 
 JACCARD_JOIN_SQL = f"""
 WITH d AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  WHERE doc_id < {JJ_N}
 ), p AS (
   SELECT a.doc_id AS a, b.doc_id AS b,
          len(list_intersect(a.toks, b.toks)) AS i,
