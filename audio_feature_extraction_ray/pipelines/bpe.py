@@ -27,6 +27,8 @@ pytest against a naive single-process BPE reference.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -135,7 +137,7 @@ def _flat_syms(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, offs, cnt
 
 
-def _pair_partial(tbl: pa.Table) -> pa.Table:
+def _pair_partial(tbl: pa.Table, parts: int = PAIR_PARTS) -> pa.Table:
     """Per-batch pair-count combiner: (packed pair key, weighted count)."""
     flat, offs, cnt = _flat_syms(tbl)
     n = flat.size
@@ -154,7 +156,7 @@ def _pair_partial(tbl: pa.Table) -> pa.Table:
         {
             "pair": pa.array(uk, pa.int64()),
             "c": pa.array(sums),
-            "__pid": pa.array(_pid_u64(uk, PAIR_PARTS)),
+            "__pid": pa.array(_pid_u64(uk, parts)),
         }
     )
 
@@ -225,6 +227,15 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
     import pandas as pd
 
     words = _pin(word_counts(sf_dir))
+    # data-aware round sizing: every merge round costs one task per block
+    # plus one reduce group per pair partition, which is pure scheduling
+    # overhead when the vocabulary is small. Real corpora (millions of
+    # distinct words) keep the full width; tiny vocabularies collapse to a
+    # handful of tasks per round.
+    n_words = words.count()
+    pair_parts = max(1, min(PAIR_PARTS, n_words // 512))
+    if n_words // 512 < WORD_PARTS:
+        words = _pin(words.repartition(max(1, n_words // 512)))
     alphabet = _alphabet(words)
     sym_of = {ch: i for i, ch in enumerate(alphabet)}
     sym_str = list(alphabet)
@@ -233,7 +244,10 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
     merges = []
     for rank in range(n_merges):
         cands = (
-            table.map_batches(_pair_partial, batch_format="pyarrow")
+            table.map_batches(
+                functools.partial(_pair_partial, parts=pair_parts),
+                batch_format="pyarrow",
+            )
             .groupby("__pid")
             .map_groups(lambda g: _pair_top1(g.drop_columns(["__pid"])), batch_format="pyarrow")
             .take_all()
