@@ -422,6 +422,11 @@ def triangle_count(
         .map_groups(distinct, batch_format="pyarrow")
         .materialize()
     )
+    # data-aware width for the remaining five exchanges: each costs one
+    # reduce group per partition, pure scheduling overhead on small edge
+    # sets; real pair-scale graphs keep the full width
+    num_partitions = max(1, min(num_partitions, e.count() // 5000))
+    e = e.repartition(num_partitions) if num_partitions < 4 else e
 
     # --- degrees: in-batch combine + one node-keyed exchange
     def deg_partial(tbl: pa.Table) -> pa.Table:
