@@ -131,6 +131,11 @@ def connected_components(
         )
 
     sym_edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    # data-aware round width: every iteration costs one task per block and
+    # one reduce group per partition — scheduling overhead that dwarfs the
+    # vector work on small candidate graphs; pair-scale inputs keep the
+    # requested width
+    num_partitions = max(1, min(num_partitions, sym_edges.count() // 20_000))
     sym_edges = ray.data.from_arrow_refs(
         [r for r in sym_edges.to_arrow_refs()]
     )  # pinned: consumed once per iteration (see _pin below)
@@ -264,6 +269,8 @@ def pagerank(
     from .join import copartitioned_equijoin
 
     sym_deg = _pagerank_edges(edges, a_col, b_col, num_partitions).materialize()
+    # data-aware round width (same rationale as connected_components)
+    num_partitions = max(1, min(num_partitions, sym_deg.count() // 20_000))
     sym_deg = ray.data.from_arrow_refs([r for r in sym_deg.to_arrow_refs()])
 
     # node count: one tiny distinct pass (symmetric graph -> every node is a src)
