@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_first_per_key": search_dedup.docs_first_per_key,
         "jaccard_pairs_sample": search_dedup.jaccard_pairs_sample,
         "jaccard_join_docs": search_dedup.jaccard_join_docs,
+        "near_dedup_keep": search_dedup.near_dedup_keep,
         "edit_distance_pairs": search_dedup.edit_distance_pairs_sample,
         "dup_clusters": search_dedup.dup_clusters,
         "dup_triangles": search_dedup.dup_triangles,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_first_per_key": search_dedup.DOCS_FIRST_PER_KEY_SQL,
         "jaccard_pairs_sample": search_dedup.JACCARD_PAIRS_SQL,
         "jaccard_join_docs": search_dedup.JACCARD_JOIN_SQL,
+        "near_dedup_keep": search_dedup.NEAR_DEDUP_KEEP_SQL,
         "edit_distance_pairs": search_dedup.EDIT_DISTANCE_PAIRS_SQL,
         "dup_clusters": search_dedup.DUP_CLUSTERS_SQL,
         "dup_triangles": search_dedup.DUP_TRIANGLES_SQL,

@@ -1094,3 +1094,60 @@ SELECT a, b,
 FROM p
 WHERE i * {dedup.JJ_T_DEN} >= (na + nb - i) * {dedup.JJ_T_NUM}
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end FUZZY dedup macro: exact set-similarity join (J >= 0.9, PPJoin
+# prefix filtering) -> connected-components clustering -> keep the min-id
+# representative per cluster, survivors emitted via the distributed
+# anti-join. The whole near-dup curation pipeline in one oracle-checked
+# query: three operator families composed, and the SQL twin states the same
+# thing with a recursive CTE — a dropped candidate pair anywhere in the
+# engine path would hash-mismatch.
+
+
+def near_dedup_keep(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.graph import connected_components
+    from ..stages.join import copartitioned_semi_anti
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CLUSTER_N)), batch_format="pyarrow"
+    )
+    pairs = dedup.jaccard_join(docs)
+    labels = connected_components(pairs, a_col="a", b_col="b")
+    dups = labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.column("node")}
+        ).filter(pa.array(t.column("label").to_numpy() < t.column("node").to_numpy())),
+        batch_format="pyarrow",
+    )
+    ids = docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    return copartitioned_semi_anti(ids, dups, left_key="doc_id", right_key="doc_id", anti=True)
+
+
+NEAR_DEDUP_KEEP_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {CLUSTER_N}
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na, len(b.toks) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+), e0 AS (
+  SELECT a, b FROM p
+  WHERE i * {dedup.JJ_T_DEN} >= (na + nb - i) * {dedup.JJ_T_NUM}
+), e AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), reach(id, anc) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.anc FROM e JOIN reach ON reach.id = e.b
+), lbl AS (
+  SELECT id, min(anc) AS l FROM reach GROUP BY id
+)
+SELECT doc_id FROM d
+WHERE doc_id NOT IN (SELECT id FROM lbl WHERE l < id)
+"""
