@@ -1064,7 +1064,7 @@ FROM r WHERE rank <= {TOP_K}
 # would hash-mismatch).
 
 
-JJ_N = 1000  # query cap: the ORACLE is the quadratic form (O(n^2) in DuckDB),
+JJ_N = 600  # query cap: the ORACLE is the quadratic form (O(n^2) in DuckDB),
 # and this fixture's 31-token shared vocabulary defeats prefix pruning (every
 # prefix bucket is a near-full bucket), so the driver-facing query bounds the
 # doc set; the STAGE itself is uncapped and scales with real vocabulary skew.

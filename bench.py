@@ -178,6 +178,26 @@ def run_bench() -> dict:
         ("events_session_transitions", events.session_transitions),
         ("events_feature_matrix", events.feature_matrix),
         ("ann_filtered", search_dedup.ann_filtered),
+        ("events_session_stats", events.session_stats),
+        ("events_retention_cohorts", events.retention_cohorts),
+        ("events_time_window_sum", events.time_window_sum),
+        ("events_interarrival", events.interarrival_stats),
+        ("events_asof_tolerance", events.asof_join_tolerance),
+        ("events_ab_lift", events.ab_lift),
+        ("events_value_props_corr", events.value_props_corr),
+        ("doc_token_entropy", text_analysis.token_entropy),
+        ("docs_bigram_pmi", text_analysis.bigram_pmi),
+        ("doc_bigram_logprob", text_analysis.bigram_logprob),
+        ("docs_weighted_sample", splits_mod.docs_weighted_sample),
+        ("docs_length_histogram", text_analysis.length_histogram),
+        ("docs_column_profile", text_analysis.column_profile),
+        ("jaccard_join_docs", search_dedup.jaccard_join_docs),
+        ("near_dedup_keep", search_dedup.near_dedup_keep),
+        ("q12_priority_by_status", relational.q12_priority_by_status),
+        ("q4_order_priority", relational.q4_order_priority),
+        ("embedding_pca", __import__(
+            "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
+        ).embedding_pca),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
         ("docs_bpe_merges", bpe.bpe_merges),
