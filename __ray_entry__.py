@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": text_analysis.token_entropy,
         "docs_length_histogram": text_analysis.length_histogram,
         "docs_column_profile": text_analysis.column_profile,
+        "docs_dq_violations": text_analysis.dq_violations,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "doc_bigram_logprob": text_analysis.bigram_logprob,
         "docs_lang_join": text_analysis.docs_lang_join,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_entropy": text_analysis.TOKEN_ENTROPY_SQL,
         "docs_length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
         "docs_column_profile": text_analysis.COLUMN_PROFILE_SQL,
+        "docs_dq_violations": text_analysis.DQ_VIOLATIONS_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "doc_bigram_logprob": text_analysis.BIGRAM_LOGPROB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,

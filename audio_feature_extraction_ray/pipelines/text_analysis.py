@@ -2067,3 +2067,86 @@ SELECT doc_id,
        (CAST(sum(s6) AS DOUBLE) / 1e6) / count(*) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality constraint check: evaluate a rule set over every
+# row in one streaming pass and report violation counts per rule (the
+# pre-ingest DQ gate; the quarantine op handles row-level malformed input,
+# this one checks table-level invariants). Uniqueness is checked with the
+# hash-partitioned exchange (a duplicate never hides across blocks); all
+# other rules are per-row vectorized predicates folded as integer partials.
+
+_DQ_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def dq_violations(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import avalanche64
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        nch = tbl.column("n_chars").to_numpy()
+        tlen = pc.utf8_length(tbl.column("text")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lang = tbl.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        bad_len = int((nch != tlen).sum())
+        bad_lang = int(
+            (~pc.is_in(lang, value_set=pa.array(list(_DQ_LANGS), pa.string())).to_numpy(
+                zero_copy_only=False
+            )).sum()
+        )
+        bad_empty = int((tlen == 0).sum())
+        return pa.table(
+            {
+                "rule": pa.array(["n_chars_matches_text", "lang_in_set", "text_nonempty"]),
+                "violations": pa.array([bad_len, bad_lang, bad_empty], pa.int64()),
+            }
+        )
+
+    agg: dict[str, int] = {r: 0 for r in ("n_chars_matches_text", "lang_in_set", "text_nonempty")}
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 3/blk
+        agg[r["rule"]] += int(r["violations"])
+
+    # uniqueness of doc_id: hash-partitioned exchange, per-partition dup count
+    def route(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy()
+        pid = (avalanche64(did.view(np.uint64)) % np.uint64(16)).astype(np.int32)
+        return pa.table({"doc_id": tbl.column("doc_id"), "__pid": pa.array(pid)})
+
+    def dup_count(tbl: pa.Table) -> pa.Table:
+        did = np.sort(tbl.column("doc_id").to_numpy())
+        dups = int((did[1:] == did[:-1]).sum()) if did.size > 1 else 0
+        return pa.table({"violations": pa.array([dups], pa.int64())})
+
+    dup_parts = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: dup_count(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .take_all()
+    )
+    agg["doc_id_unique"] = sum(int(r["violations"]) for r in dup_parts)
+    rows = sorted(agg.items())
+    return pd.DataFrame(rows, columns=["rule", "violations"])
+
+
+DQ_VIOLATIONS_SQL = f"""
+SELECT 'doc_id_unique' AS rule,
+       CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS violations
+FROM documents
+UNION ALL
+SELECT 'lang_in_set',
+       CAST(sum(CASE WHEN lang NOT IN {tuple(_DQ_LANGS)!r} THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'n_chars_matches_text',
+       CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'text_nonempty',
+       CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+"""

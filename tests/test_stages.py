@@ -988,3 +988,35 @@ def test_time_window_sum_dense_bursts_and_peers(ray_session, tmp_path):
     assert (tbl.column("ts").to_pandas().duplicated().sum()) > 0  # peers exist
     assert np.array_equal(out["w1h_sum_cents"].to_numpy(), want["w1h_sum_cents"].to_numpy())
     assert np.array_equal(out["w1h_count"].to_numpy(), want["w1h_count"].to_numpy())
+
+
+def test_dq_violations_fire_on_dirty_fixture(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        DQ_VIOLATIONS_SQL,
+        dq_violations,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 1, 2, 3, 4, 4, 4], pa.int64()),  # 3 dups
+            "text": pa.array(["a b", "a b", "", "x", "y z", "w", "q"], pa.string()),
+            "lang": pa.array(["en", "xx", "de", "yy", "en", "zh", "en"], pa.string()),
+            "n_chars": pa.array([3, 3, 0, 1, 99, 1, 1], pa.int64()),  # one mismatch
+            "source": pa.array(["s"] * 7, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+    out = dq_violations(str(d)).set_index("rule")["violations"]
+    assert out["doc_id_unique"] == 3
+    assert out["lang_in_set"] == 2
+    assert out["n_chars_matches_text"] == 1
+    assert out["text_nonempty"] == 1
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.sql(DQ_VIOLATIONS_SQL).df().set_index("rule")["violations"]
+    assert (out.sort_index() == want.sort_index()).all()
