@@ -239,3 +239,34 @@ def test_headline_completes_under_object_store_pressure(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rows = [l for l in out.stdout.splitlines() if l.startswith("ROWS_OUT")]
     assert rows and int(rows[0].split()[1]) > 50_000
+
+
+def test_jaccard_join_under_object_store_pressure():
+    """The set-similarity join ships per-candidate token lists through two
+    tagged exchanges — the op most likely to balloon the object store. Run
+    it in a fresh session with a tiny store and check the pair count matches
+    an unconstrained run (spill costs wall, never correctness)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import ray, sys
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR", object_store_memory=80 * 1024 * 1024)
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+        sys.path.insert(0, "/root/repo")
+        from audio_feature_extraction_ray.pipelines.search_dedup import jaccard_join_docs
+        n = jaccard_join_docs("/root/testdata/sf0.001").count()
+        print("PAIRS", n)
+        ray.shutdown()
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    pairs = [l for l in out.stdout.splitlines() if l.startswith("PAIRS")]
+    assert pairs and int(pairs[0].split()[1]) == 11025  # == the oracle count
