@@ -97,6 +97,7 @@ def connected_components(
     num_partitions: int = 16,
     max_iter: int = 25,
     shortcut: bool = True,
+    auto_width: bool = True,
 ) -> ray.data.Dataset:
     """Label every node of the undirected edge Dataset with the minimum node
     id reachable from it. Returns a Dataset (node, label); nodes without
@@ -135,7 +136,44 @@ def connected_components(
     # one reduce group per partition — scheduling overhead that dwarfs the
     # vector work on small candidate graphs; pair-scale inputs keep the
     # requested width
-    num_partitions = max(1, min(num_partitions, sym_edges.count() // 20_000))
+    if auto_width:
+        num_partitions = max(1, min(num_partitions, sym_edges.count() // 20_000))
+    if num_partitions == 1:
+        # whole graph in one partition: iterate to the fixpoint inside ONE
+        # worker task (min-label propagation + pointer jumping over local
+        # index arrays). The output contract — min reachable id per node —
+        # is algorithm-independent, so this is the same answer the
+        # distributed rounds produce, without per-round stage round-trips.
+        def local_cc(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.drop_columns(["__one"])
+            src = tbl.column("src").to_numpy()
+            dst = tbl.column("dst").to_numpy()
+            uniq = np.unique(src)  # self-loops guarantee every node appears
+            sidx = np.searchsorted(uniq, src)
+            didx = np.searchsorted(uniq, dst)
+            label = np.arange(uniq.size, dtype=np.int64)
+            while True:
+                new = label.copy()
+                np.minimum.at(new, didx, label[sidx])
+                new = new[new]  # pointer jump
+                if np.array_equal(new, label):
+                    break
+                label = new
+            return pa.table(
+                {
+                    "node": pa.array(uniq, pa.int64()),
+                    "label": pa.array(uniq[label], pa.int64()),
+                }
+            )
+
+        return (
+            sym_edges.map_batches(
+                lambda t: t.append_column("__one", pa.array(np.zeros(t.num_rows, np.int32))),
+                batch_format="pyarrow",
+            )
+            .groupby("__one")
+            .map_groups(local_cc, batch_format="pyarrow")
+        )
     sym_edges = ray.data.from_arrow_refs(
         [r for r in sym_edges.to_arrow_refs()]
     )  # pinned: consumed once per iteration (see _pin below)
@@ -262,6 +300,7 @@ def pagerank(
     iters: int = 5,
     damping_pct: int = 85,
     num_partitions: int = 16,
+    auto_width: bool = True,
 ) -> ray.data.Dataset:
     """Fixed-iteration PageRank over the undirected edge Dataset. Returns
     (node, rank_fp) with rank_fp in RANK_SCALE units; sum over nodes stays
@@ -270,7 +309,42 @@ def pagerank(
 
     sym_deg = _pagerank_edges(edges, a_col, b_col, num_partitions).materialize()
     # data-aware round width (same rationale as connected_components)
-    num_partitions = max(1, min(num_partitions, sym_deg.count() // 20_000))
+    if auto_width:
+        num_partitions = max(1, min(num_partitions, sym_deg.count() // 20_000))
+    if num_partitions == 1:
+        # the whole graph already lives in one partition: run every round
+        # inside ONE worker task (identical integer arithmetic — verified by
+        # the same SQL oracle) instead of paying 4+ distributed stage
+        # round-trips per iteration for data that needs none
+        def all_rounds(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.drop_columns(["__one"])
+            src = tbl.column("src").to_numpy()
+            dst = tbl.column("dst").to_numpy()
+            deg = tbl.column("deg").to_numpy()
+            uniq = np.unique(src)  # symmetric: every node appears as src
+            sidx = np.searchsorted(uniq, src)
+            didx = np.searchsorted(uniq, dst)
+            n = uniq.size
+            init = RANK_SCALE // n
+            b = int(np.floor((100 - damping_pct) / 100 * RANK_SCALE / n))
+            r = np.full(n, init, dtype=np.int64)
+            for _ in range(iters):
+                contrib = r[sidx] // deg
+                sums = np.zeros(n, dtype=np.int64)
+                np.add.at(sums, didx, contrib)
+                r = b + damping_pct * sums // 100
+            return pa.table(
+                {"node": pa.array(uniq, pa.int64()), "rank_fp": pa.array(r, pa.int64())}
+            )
+
+        return (
+            sym_deg.map_batches(
+                lambda t: t.append_column("__one", pa.array(np.zeros(t.num_rows, np.int32))),
+                batch_format="pyarrow",
+            )
+            .groupby("__one")
+            .map_groups(all_rounds, batch_format="pyarrow")
+        )
     sym_deg = ray.data.from_arrow_refs([r for r in sym_deg.to_arrow_refs()])
 
     # node count: one tiny distinct pass (symmetric graph -> every node is a src)

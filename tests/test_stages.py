@@ -540,7 +540,9 @@ def test_connected_components_long_chain(ray_session):
         }
     )
     out = (
-        connected_components(ray.data.from_arrow(edges).repartition(4), max_iter=25)
+        connected_components(
+            ray.data.from_arrow(edges).repartition(4), max_iter=25, auto_width=False
+        )
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
