@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": relational.q3_shipping,
         "q5_local_volume": relational.q5_local_volume,
         "q10_returned_items": relational.q10_returned_items,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
@@ -304,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping": relational.Q3_SHIPPING_SQL,
         "q5_local_volume": relational.Q5_LOCAL_VOLUME_SQL,
         "q10_returned_items": relational.Q10_RETURNED_ITEMS_SQL,
+        "q6_forecast_revenue": relational.Q6_FORECAST_SQL,
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,

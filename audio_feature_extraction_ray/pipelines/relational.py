@@ -1409,3 +1409,52 @@ WHERE o_orderdate >= TIMESTAMP '{Q12_FROM}' AND o_orderdate < TIMESTAMP '{Q12_TO
               WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
 GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analog: forecast revenue change — one pruned scan, three pushdown
+# predicates, a single integer-cents product sum. The "pure filter-aggregate"
+# baseline every scan engine is judged on: no shuffle at all, map-side
+# integer partials folded on the driver.
+
+Q6_FROM, Q6_TO = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 5, 7  # discount in integer cents
+Q6_QTY = 24
+
+
+def q6_forecast_revenue(sf_dir: str):
+    import pandas as pd
+
+    lo = np.datetime64(Q6_FROM).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q6_TO).astype("datetime64[us]").astype(np.int64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ship = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False)
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        price = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        keep = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= Q6_DISC_LO)
+            & (disc <= Q6_DISC_HI)
+            & (qty < Q6_QTY)
+        )
+        rev4 = int((price[keep] * disc[keep]).sum())  # cents x cents = 1e-4 units
+        return pa.table({"rev4": pa.array([rev4], pa.int64())})
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow")
+    total = sum(int(r["rev4"]) for r in ds.take_all())  # bounded: 1 row per block
+    return pd.DataFrame({"revenue": [total / 1e4]})
+
+
+Q6_FORECAST_SQL = f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
