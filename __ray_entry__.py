@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_volume": relational.q5_local_volume,
         "q10_returned_items": relational.q10_returned_items,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q14_promo_share": relational.q14_promo_share,
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_volume": relational.Q5_LOCAL_VOLUME_SQL,
         "q10_returned_items": relational.Q10_RETURNED_ITEMS_SQL,
         "q6_forecast_revenue": relational.Q6_FORECAST_SQL,
+        "q14_promo_share": relational.Q14_PROMO_SHARE_SQL,
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,

@@ -1458,3 +1458,89 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
   AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
   AND l_quantity < {Q6_QTY}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 analog: promo revenue share — lineitem x part co-partitioned
+# join on partkey, conditional integer-cents revenue split by p_type, one
+# driver division sequenced identically to SQL. (The fixture's p_type
+# vocabulary uses 'ECONOMY' as the promo class.)
+
+Q14_PROMO = "ECONOMY"
+
+
+def q14_promo_share(sf_dir: str, num_partitions: int = 32):
+    import pandas as pd
+
+    from ..stages.join import copartitioned_equijoin
+
+    lo = np.datetime64(Q6_FROM).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q6_TO).astype("datetime64[us]").astype(np.int64)
+
+    def li_side(tbl: pa.Table) -> pa.Table:
+        ship = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        tbl = tbl.filter(pa.array(keep))
+        price = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "l_partkey": tbl.column("l_partkey").cast(pa.int64()),
+                "rev4": pa.array(price * (100 - disc), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_side, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(pa.int64()),
+                "is_promo": pc.equal(t.column("p_type"), Q14_PROMO)
+                .cast(pa.int8())
+                .cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = copartitioned_equijoin(
+        li,
+        part,
+        fact_key="l_partkey",
+        dim_key="p_partkey",
+        fact_cols=["rev4"],
+        dim_cols=["is_promo"],
+        num_partitions=num_partitions,
+        fact_col_types={"rev4": pa.int64()},
+        dim_col_types={"is_promo": pa.int64()},
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        rev = tbl.column("rev4").to_numpy()
+        promo = tbl.column("is_promo").to_numpy()
+        return pa.table(
+            {
+                "promo4": pa.array([int(rev[promo == 1].sum())], pa.int64()),
+                "total4": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    promo4 = total4 = 0
+    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # 1 row/blk
+        promo4 += int(r["promo4"]); total4 += int(r["total4"])
+    share = float(np.floor(100.0 * np.float64(promo4) / np.float64(total4) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame({"promo_revenue_pct": [share]})
+
+
+Q14_PROMO_SHARE_SQL = f"""
+SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = '{Q14_PROMO}'
+                THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                ELSE 0 END) AS DOUBLE)
+       / CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+       * 1e6 + 0.5) / 1e6 AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
+"""

@@ -195,6 +195,8 @@ def run_bench() -> dict:
         ("near_dedup_keep", search_dedup.near_dedup_keep),
         ("q12_priority_by_status", relational.q12_priority_by_status),
         ("q4_order_priority", relational.q4_order_priority),
+        ("q6_forecast_revenue", relational.q6_forecast_revenue),
+        ("q14_promo_share", relational.q14_promo_share),
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),
