@@ -1544,3 +1544,90 @@ SELECT floor(100.0 * CAST(sum(CASE WHEN p_type = '{Q14_PROMO}'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 analog: the top supplier(s) by 1996 shipped revenue — the
+# "equal to the subquery max" pattern. Per-supplier integer-cents revenue
+# via map-side partials + one suppkey exchange; the max and the winners are
+# a bounded driver fold; names attach from the small supplier table.
+
+
+def q15_top_supplier(sf_dir: str, num_partitions: int = 16):
+    import pandas as pd
+
+    from ..stages.join import gather_small_side
+
+    lo = np.datetime64(Q6_FROM).astype("datetime64[us]").astype(np.int64)
+    hi = np.datetime64(Q6_TO).astype("datetime64[us]").astype(np.int64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ship = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        keep = (ship >= lo) & (ship < hi)
+        tbl = tbl.filter(pa.array(keep))
+        sk = tbl.column("l_suppkey").cast(pa.int64()).to_numpy()
+        price = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        rev4 = price * (100 - disc)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, rev4)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(uniq, pa.int64()),
+                "rev4": pa.array(sums, pa.int64()),
+                "__pid": pa.array(
+                    (uniq.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)
+                ),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        sk = tbl.column("l_suppkey").to_numpy()
+        rv = tbl.column("rev4").to_numpy()
+        uniq, inv = np.unique(sk, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, rv)
+        # per-partition winner(s): keys are partition-exclusive, so the
+        # global max is the max over <= P candidate rows
+        mx = sums.max() if sums.size else 0
+        m = sums == mx
+        return pa.table(
+            {"l_suppkey": pa.array(uniq[m], pa.int64()), "rev4": pa.array(sums[m], pa.int64())}
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow")
+    cands = li.groupby("__pid").map_groups(fold, batch_format="pyarrow").take_all()  # <= P rows
+    mx = max(int(r["rev4"]) for r in cands)
+    winners = sorted(int(r["l_suppkey"]) for r in cands if int(r["rev4"]) == mx)
+    names = {
+        int(r["s_suppkey"]): r["s_name"]
+        for r in gather_small_side(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        ).to_pylist()
+    }
+    return pd.DataFrame(
+        {
+            "s_suppkey": winners,
+            "s_name": [names[w] for w in winners],
+            "total_revenue": [mx / 1e4] * len(winners),
+        }
+    )
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(r.rev4 AS DOUBLE) / 1e4 AS total_revenue
+FROM supplier JOIN r ON s_suppkey = l_suppkey
+WHERE r.rev4 = (SELECT max(rev4) FROM r)
+"""
