@@ -197,6 +197,7 @@ def run_bench() -> dict:
         ("q4_order_priority", relational.q4_order_priority),
         ("q6_forecast_revenue", relational.q6_forecast_revenue),
         ("q14_promo_share", relational.q14_promo_share),
+        ("q15_top_supplier", relational.q15_top_supplier),
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),
