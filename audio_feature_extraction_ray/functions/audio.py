@@ -129,3 +129,159 @@ def spectral_centroid(x: np.ndarray, sr: int, n_fft: int = 1024, hop: int = 256)
     nz = denom > 0
     out[nz] = (mag[nz] * freqs).sum(axis=1) / denom[nz]
     return out
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x11): a REAL compressed audio codec decoded
+# with zero external dependencies (public spec: IMA "Recommended Practices
+# for Enhancing Digital Audio Compatibility", the same tables every
+# implementation uses). Decode is vectorized ACROSS blocks — blocks are
+# independent, so the per-sample state recurrence runs in lockstep over all
+# blocks at once (one numpy step per sample position, not per sample).
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def _parse_riff_fmt(payload: bytes):
+    """Minimal RIFF walker: returns (fmt_tag, n_channels, sample_rate,
+    block_align, data_bytes). Raises ValueError on malformed RIFF."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("RIFF missing fmt/data chunk")
+    tag, n_ch, sr, _brate, balign, _bits = fmt
+    return tag, n_ch, sr, balign, data
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """IMA-ADPCM WAV bytes -> (mono float32 samples in [-1, 1], rate).
+    Mono only (the fixture contract); each block decodes independently, so
+    the sample loop runs once per sample POSITION with every block advanced
+    in lockstep (vectorized state update)."""
+    tag, n_ch, sr, balign, data = _parse_riff_fmt(payload)
+    if tag != 0x11:
+        raise ValueError(f"not IMA-ADPCM (fmt tag {tag:#x})")
+    if n_ch != 1:
+        raise ValueError("only mono IMA-ADPCM supported")
+    nblocks = len(data) // balign
+    blocks = np.frombuffer(data[: nblocks * balign], dtype=np.uint8).reshape(
+        nblocks, balign
+    )
+    pred = blocks[:, :2].copy().view("<i2").astype(np.int32).ravel()
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    nib_bytes = blocks[:, 4:]
+    # nibble order: low first, then high
+    nibs = np.empty((nblocks, nib_bytes.shape[1] * 2), dtype=np.int32)
+    nibs[:, 0::2] = nib_bytes & 0x0F
+    nibs[:, 1::2] = nib_bytes >> 4
+    n_per_block = 1 + nibs.shape[1]
+    out = np.empty((nblocks, n_per_block), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(nibs.shape[1]):  # lockstep over blocks
+        delta = nibs[:, t]
+        step = _IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        diff += np.where(delta & 4, step, 0)
+        diff += np.where(delta & 2, step >> 1, 0)
+        diff += np.where(delta & 1, step >> 2, 0)
+        pred = np.where(delta & 8, pred - diff, pred + diff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + _IMA_INDEX_TABLE[delta & 7], 0, 88)
+        out[:, t + 1] = pred
+    x = out.astype(np.float32).ravel() / 32768.0
+    return x, sr
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Reference IMA-ADPCM encoder (fixture builder + round-trip tests;
+    sequential by nature — encode is test-scale only)."""
+    import struct
+
+    pcm = np.round(np.clip(np.asarray(samples, np.float64), -1, 1) * 32767).astype(
+        np.int32
+    )
+    nib_per_block = samples_per_block - 1
+    if nib_per_block % 2:
+        raise ValueError("samples_per_block must be odd (header + even nibbles)")
+    balign = 4 + nib_per_block // 2
+    blocks = []
+    pos = 0
+    idx = 0  # step index persists across blocks; each header records it
+    while pos < pcm.size:
+        chunk = pcm[pos : pos + samples_per_block]
+        if chunk.size < samples_per_block:
+            chunk = np.pad(chunk, (0, samples_per_block - chunk.size))
+        pred = int(chunk[0])
+        head_idx = idx
+        nibs = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEP_TABLE[idx])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # decoder-mirror update
+            d = step >> 3
+            if nib & 4:
+                d += step
+            if nib & 2:
+                d += step >> 1
+            if nib & 1:
+                d += step >> 2
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[nib & 7])))
+            nibs.append(nib)
+        packed = bytes(
+            (nibs[i] & 0x0F) | ((nibs[i + 1] & 0x0F) << 4) for i in range(0, len(nibs), 2)
+        )
+        blocks.append(struct.pack("<hBB", int(chunk[0]), head_idx, 0) + packed)
+        pos += samples_per_block
+    data = b"".join(blocks)
+    brate = sample_rate * balign // samples_per_block
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate, brate, balign, 4, 2, samples_per_block)
+    riff = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -68,6 +68,10 @@ class RealDecoder:
     def __call__(self, payload: bytes) -> np.ndarray:
         if self.kind == "audio":
             if payload[:4] == b"RIFF":
+                from ..functions.audio import _parse_riff_fmt, decode_wav_adpcm
+
+                if _parse_riff_fmt(payload)[0] == 0x11:  # IMA-ADPCM: native
+                    return decode_wav_adpcm(payload)[0]
                 return decode_wav(payload)[0]
             if self._soundfile is not None:  # pragma: no cover (lib absent here)
                 import io

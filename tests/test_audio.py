@@ -420,3 +420,79 @@ def test_gif_codec_roundtrip_and_real_lzw():
     b2[desc + 9] |= 0x40
     out = decode_gif(bytes(b2))
     assert np.array_equal(out, img2)
+
+
+def test_ima_adpcm_roundtrip_and_reference_decode():
+    """IMA-ADPCM: (a) vectorized lockstep decoder bit-equals a scalar
+    reference decoder; (b) encode->decode round-trip SNR on a tone exceeds
+    20 dB (4:1 compression); (c) compression is really 4:1-ish."""
+    import numpy as np
+
+    from audio_feature_extraction_ray.functions.audio import (
+        _IMA_INDEX_TABLE,
+        _IMA_STEP_TABLE,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    sr = 8000
+    t = np.arange(sr * 2) / sr
+    x = (0.6 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 97 * t)).astype(
+        np.float64
+    )
+    payload = encode_wav_adpcm(x, sr)
+    y, sr2 = decode_wav_adpcm(payload)
+    assert sr2 == sr
+    n = min(x.size, y.size)
+    err = y[:n] - x[:n].astype(np.float32)
+    snr = 10 * np.log10(float((x[:n] ** 2).sum()) / float((err**2).sum()))
+    assert snr > 20, snr
+    assert len(payload) < 0.3 * (2 * n)  # ~4:1 vs 16-bit PCM
+
+    # scalar reference decoder, bit-for-bit
+    import struct
+
+    def ref_decode(data: bytes, balign: int) -> list[int]:
+        out = []
+        for off in range(0, len(data) - balign + 1, balign):
+            blk = data[off : off + balign]
+            pred = struct.unpack("<h", blk[:2])[0]
+            idx = min(88, max(0, blk[2]))
+            out.append(pred)
+            for byte in blk[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = int(_IMA_STEP_TABLE[idx])
+                    d = step >> 3
+                    if nib & 4:
+                        d += step
+                    if nib & 2:
+                        d += step >> 1
+                    if nib & 1:
+                        d += step >> 2
+                    pred = pred - d if nib & 8 else pred + d
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[nib & 7])))
+                    out.append(pred)
+        return out
+
+    from audio_feature_extraction_ray.functions.audio import _parse_riff_fmt
+
+    tag, n_ch, _sr, balign, data = _parse_riff_fmt(payload)
+    assert tag == 0x11 and n_ch == 1
+    ref = np.array(ref_decode(data, balign), dtype=np.int32)
+    got = np.round(y * 32768.0).astype(np.int32)
+    assert np.array_equal(got, ref)
+
+
+def test_media_decoder_handles_adpcm_payload():
+    import numpy as np
+
+    from audio_feature_extraction_ray.functions.audio import encode_wav_adpcm
+    from audio_feature_extraction_ray.stages.multimodal import RealDecoder as MediaDecoder
+
+    sr = 8000
+    x = 0.5 * np.sin(2 * np.pi * 330 * np.arange(sr) / sr)
+    wav = MediaDecoder("audio")(encode_wav_adpcm(x, sr))
+    assert wav.dtype == np.float32 and wav.size >= sr
+    # the decoded tone keeps its energy (not silence, not garbage)
+    assert 0.2 < float(np.sqrt((wav[:sr] ** 2).mean())) < 0.5
