@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
         "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
         "embedding_normalize": search_dedup.embedding_normalize,
+        "embedding_centroids": search_dedup.embedding_centroids,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,
         "events_sessionize": events.sessionize,
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,
         "embedding_normalize": search_dedup.EMBEDDING_NORMALIZE_SQL,
+        "embedding_centroids": search_dedup.EMBEDDING_CENTROIDS_SQL,
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,

@@ -1151,3 +1151,62 @@ WITH RECURSIVE d AS (
 SELECT doc_id FROM d
 WHERE doc_id NOT IN (SELECT id FROM lbl WHERE l < id)
 """
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids: the vector-valued groupby (class centroid
+# per label, one row per (label, dim) so the result is flat-schema and
+# SQL-comparable). Sums are integer-quantized per dimension (Q=1e6), so the
+# distributed fold is order-free and the final division is sequenced
+# identically to the SQL oracle's avg over the same quantized values.
+
+CENTROID_Q = 1_000_000
+
+
+def embedding_centroids(sf_dir: str):
+    import pandas as pd
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        m = ann._emb_matrix(tbl)
+        xq = np.rint(m.astype(np.float64) * CENTROID_Q).astype(np.int64)
+        lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lbl, return_inverse=True)
+        k, d = uniq.size, xq.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        lab_rep = np.repeat(uniq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), k)
+        return pa.table(
+            {
+                "label": pa.array(lab_rep, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    agg: dict[tuple[int, int], list[int]] = {}
+    for r in emb.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: k*d
+        cur = agg.setdefault((int(r["label"]), int(r["dim"])), [0, 0])
+        cur[0] += int(r["s"]); cur[1] += int(r["n"])
+    rows = []
+    for (lab, dim), (s, n) in sorted(agg.items()):
+        mean = float(np.floor((np.float64(s) / CENTROID_Q) / n * 1e6 + 0.5) / 1e6)
+        rows.append((lab, dim, n, mean))
+    return pd.DataFrame(rows, columns=["label", "dim", "n", "centroid"])
+
+
+EMBEDDING_CENTROIDS_SQL = f"""
+WITH u AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+)
+SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+       floor((CAST(sum(q) AS DOUBLE) / {CENTROID_Q}) / count(*) * 1e6 + 0.5) / 1e6
+         AS centroid
+FROM u GROUP BY label, dim
+"""
