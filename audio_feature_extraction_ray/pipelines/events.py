@@ -521,29 +521,84 @@ FROM g GROUP BY win_us
 # shape, here with exact sets since user-id cardinality is bounded per type).
 
 
-def distinct_users(sf_dir: str) -> ray.data.Dataset:
-    def partial(tbl: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "event_type": tbl.column("event_type").to_pylist(),
-                "user_id": tbl.column("user_id").to_numpy(),
-            }
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+DISTINCT_USERS_PARTS = 32
 
-    partials = read_events(sf_dir, ["event_type", "user_id"]).map_batches(
-        partial, batch_format="pyarrow"
+
+def _du_dedup_pairs(tbl: pa.Table) -> pa.Table:
+    """Batch-local distinct (event_type, user_id) pairs — the combiner: each
+    pair crosses the exchange at most once per batch. Fully vectorized via
+    dictionary-encode + lexsort run-heads."""
+    et = tbl.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    de = pc.dictionary_encode(et)
+    tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((uid, tcode))
+    ts, us = tcode[order], uid[order]
+    head = np.ones(ts.size, dtype=bool)
+    if ts.size:
+        head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
+    keep = order[head]
+    from ..functions.hashing import avalanche64
+
+    pid = (avalanche64(uid[keep].astype(np.uint64)) % np.uint64(DISTINCT_USERS_PARTS)).astype(
+        np.int32
+    )
+    return pa.table(
+        {
+            "event_type": et.take(pa.array(keep)),
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "__pid": pa.array(pid),
+        }
     )
 
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+
+def _du_count_partition(tbl: pa.Table) -> pa.Table:
+    """Per-partition distinct-pair counts per event_type. A (type, user)
+    pair is routed by hash(user_id), so one partition sees 1/P of EVERY
+    type's users — a hot type spreads over all P tasks instead of one."""
+    et = tbl.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    de = pc.dictionary_encode(et)
+    tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((uid, tcode))
+    ts, us = tcode[order], uid[order]
+    head = np.ones(ts.size, dtype=bool)
+    if ts.size:
+        head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
+    n = np.bincount(ts[head], minlength=len(de.dictionary)).astype(np.int64)
+    return pa.table({"event_type": de.dictionary, "n_partial": pa.array(n, pa.int64())})
+
+
+def distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Exact distinct users per event_type, scale-safe on skewed keys
+    (round-3 VERDICT fix): the old plan put ALL of one type's distinct
+    users into a single pandas task; this one hash-exchanges on
+    hash(user_id) % P so every partition holds a 1/P user slice of every
+    type, counts distinct pairs vectorized per partition, then sums the
+    <= P x n_types partials in a tiny second exchange — the same shape as
+    docs_distinct_tokens (text_analysis.py)."""
+    partials = (
+        read_events(sf_dir, ["event_type", "user_id"])
+        .map_batches(_du_dedup_pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: _du_count_partition(g.drop_columns(["__pid"])), batch_format="pyarrow"
+        )
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "n_users": [np.int64(g["user_id"].nunique())],
+                "n_users": [np.int64(g["n_partial"].sum())],
             }
         )
 
-    return partials.groupby("event_type").map_groups(count_distinct, batch_format="pandas")
+    return partials.groupby("event_type").map_groups(fold, batch_format="pandas")
 
 
 DISTINCT_USERS_SQL = """
@@ -2004,7 +2059,12 @@ def time_window_sum(sf_dir: str) -> ray.data.Dataset:
             base = ts - ts.min()
             offset = int(base.max()) + 2 * TIME_WIN_US + 1
             nseg = int(seg_id[-1]) + 1
-            assert nseg * offset < 2**62, "segment-band shift would overflow"
+            if nseg * offset >= 2**62:  # survives python -O, unlike assert
+                raise SchemaError(
+                    f"time_window segment-band shift would overflow int64: "
+                    f"{nseg} segments x {offset} us band. Raise num_partitions "
+                    f"to shrink users-per-partition or the ts span per task."
+                )
             shifted = base + seg_id * offset
             lo = np.searchsorted(shifted, shifted - TIME_WIN_US, side="left")
             hi = np.searchsorted(shifted, shifted, side="right")  # include ts peers

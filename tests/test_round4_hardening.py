@@ -1,0 +1,208 @@
+"""Round-4 hardening tests (VERDICT r3 tasks 2, 4, 5, 7):
+
+- distinct_users: exact on a skewed fixture AND the exchange spreads a hot
+  event_type over all partitions (no single-task blowup).
+- token_heavy_hitters: driver fold bounded by K x partitions, not K x batches.
+- time_window_sum: segment-band overflow raises SchemaError (survives -O),
+  never returns silently-wrong sums.
+- string_hash_array: audit that every call site is partition-routing only
+  (collisions may unbalance partitions but can never change answers).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray
+
+
+def _write_events(tmp_path, tbl):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    return str(d)
+
+
+def _events_tbl(eids, ts_us, uids, types, values):
+    n = len(eids)
+    return pa.table(
+        {
+            "event_id": pa.array(eids, pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(uids, pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n, pa.string()),
+        }
+    )
+
+
+def test_distinct_users_skewed_hot_type(ray_session, tmp_path):
+    """One event_type owns 90% of a 12k-user population. The old plan put
+    all of that type's distinct users into ONE pandas task; the fixed plan
+    hash-routes (type, user) by user hash, so (a) the answer is still
+    exact vs duckdb and (b) no __pid partition holds more than a ~2/P
+    share of the hot type's pairs."""
+    import duckdb
+
+    from audio_feature_extraction_ray.pipelines.events import (
+        DISTINCT_USERS_PARTS,
+        DISTINCT_USERS_SQL,
+        _du_dedup_pairs,
+        distinct_users,
+    )
+
+    rng = np.random.default_rng(11)
+    n_users = 12_000
+    hot_users = np.arange(int(n_users * 0.9), dtype=np.int64)
+    cold_users = np.arange(int(n_users * 0.9), n_users, dtype=np.int64)
+    # hot type: every hot user twice (dups must collapse); cold: few users
+    uids = np.concatenate([hot_users, hot_users, cold_users])
+    types = ["view"] * (2 * hot_users.size) + ["buy"] * cold_users.size
+    n = uids.size
+    tbl = _events_tbl(
+        list(range(n)),
+        [1_700_000_000_000_000 + 1_000_000 * i for i in range(n)],
+        uids,
+        types,
+        list(rng.uniform(0, 5, n).round(2)),
+    )
+    d = _write_events(tmp_path, tbl)
+
+    out = distinct_users(d).to_pandas().sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(DISTINCT_USERS_SQL).df().sort_values("event_type").reset_index(drop=True)
+    assert out["event_type"].tolist() == want["event_type"].tolist()
+    assert out["n_users"].tolist() == want["n_users"].tolist()
+
+    # exchange-shape evidence: the hot type's pairs spread over ALL partitions
+    pairs = _du_dedup_pairs(tbl)
+    hot = pairs.filter(pa.compute.equal(pairs.column("event_type"), "view"))
+    pid_counts = np.bincount(
+        hot.column("__pid").to_numpy(), minlength=DISTINCT_USERS_PARTS
+    )
+    assert (pid_counts > 0).sum() == DISTINCT_USERS_PARTS  # every partition sees the hot type
+    assert pid_counts.max() <= 2 * hot_users.size / DISTINCT_USERS_PARTS  # no hot task
+
+
+def test_heavy_hitters_driver_fold_bounded(ray_session, tmp_path):
+    """The pre-driver exchange merges batch partials per token partition:
+    each __pid group emits <= MG_K rows, so the driver folds <= MG_K * P
+    counters regardless of batch count. Also: exact regime (vocab <= MG_K)
+    still matches exact counts after the exchange."""
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        MG_K,
+        MG_PARTS,
+        _mg_merge_partition,
+        token_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i:03d}" for i in range(40)]  # <= MG_K -> exact everywhere
+    weights = rng.dirichlet(np.ones(40))
+    texts = [
+        " ".join(rng.choice(vocab, size=30, p=weights)) for _ in range(400)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 400, pa.string()),
+            "source": pa.array(["s"] * 400, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    out = token_heavy_hitters(str(d))
+    # exact regime: estimates equal true counts for the reported top
+    from collections import Counter
+
+    true = Counter(t for s in texts for t in s.split(" "))
+    for tok, est in zip(out["token"], out["est"]):
+        assert est == true[tok]
+
+    # partition merge output is bounded by MG_K even when fed many partials
+    many = pa.table(
+        {
+            "token": pa.array([f"t{i % 500}" for i in range(5000)], pa.string()),
+            "est": pa.array(np.ones(5000, np.int64), pa.int64()),
+        }
+    )
+    merged = _mg_merge_partition(many)
+    assert merged.num_rows <= MG_K
+    assert MG_K * MG_PARTS <= 4096  # the driver-fold bound itself stays tiny
+
+
+def test_time_window_sum_overflow_raises_under_O(ray_session, tmp_path):
+    """A per-task ts span too wide for the segment-band shift must raise
+    SchemaError (events.py) — NOT an assert, which python -O strips and
+    then the packed window sums silently overflow int64."""
+    from audio_feature_extraction_ray.pipelines.events import time_window_sum
+
+    span = 2**62 + 10  # one user, base.max() alone exceeds the band budget
+    tbl = _events_tbl(
+        [0, 1],
+        [0, span],
+        [7, 7],
+        ["view", "view"],
+        [1.0, 2.0],
+    )
+    d = _write_events(tmp_path, tbl)
+    with pytest.raises(Exception, match="overflow"):
+        time_window_sum(d).to_pandas()
+
+    # the guard is a raise, not an assert: it survives python -O
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.argv=['x']\n"
+        "import ray\n"
+        "ray.init(address='local', num_cpus=2, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "from audio_feature_extraction_ray.pipelines.events import time_window_sum\n"
+        "try:\n"
+        f"    time_window_sum({str(d)!r}).to_pandas()\n"
+        "    print('NO_RAISE')\n"
+        "except Exception as e:\n"
+        "    print('RAISED' if 'overflow' in str(e) else 'WRONG_ERR')\n"
+        "ray.shutdown()\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-O", "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "RAISED" in r.stdout, r.stdout + r.stderr
+
+
+def test_string_hash_array_call_sites_routing_only():
+    """Audit (VERDICT r3 task 7): the weak prefix hash may be used ONLY to
+    compute __pid partition routing, never as an identity/join/dedup key.
+    Every current call site groups by the REAL string within the partition,
+    so a collision merely co-locates two tokens. This test inventories call
+    sites so a new identity-bearing use fails loudly."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "audio_feature_extraction_ray"
+    sites = []
+    for f in pkg.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if "string_hash_array(" in line and "def string_hash_array" not in line:
+                sites.append((f.relative_to(pkg).as_posix(), i, line.strip()))
+    # every use must feed a % num_partitions -> __pid routing expression
+    for path, ln, line in sites:
+        assert re.search(r"pid\s*=.*string_hash_array\(.*%", line), (
+            f"non-routing use of weak string_hash_array at {path}:{ln}: {line}\n"
+            "Use string_hash_strong for anything identity-bearing."
+        )
+    # pin the audited inventory; update deliberately when adding a site
+    got = {(p, "pid") for p, _, _ in sites}
+    assert got == {("pipelines/text_analysis.py", "pid")}, sites
