@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quarantine_stats": text_analysis.quarantine_stats,
         "docs_distinct_tokens": text_analysis.distinct_tokens,
         "docs_bloom_novelty": text_analysis.bloom_token_novelty,  # rows-only (bloom FPR)
+        "docs_bloom_novelty_exact": text_analysis.bloom_token_novelty_exact,
+        "docs_length_quantile_hist": text_analysis.length_quantile_hist,
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
         "docs_hll_by_lang": text_analysis.hll_distinct_tokens_by_lang,  # rows-only (sketch)
         "docs_bigram_topk": text_analysis.bigram_topk,
@@ -234,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": text_analysis.REPETITION_STATS_SQL,
         "doc_token_entropy": text_analysis.TOKEN_ENTROPY_SQL,
         "docs_length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
+        "docs_bloom_novelty_exact": text_analysis.BLOOM_NOVELTY_EXACT_SQL_T,
+        "docs_length_quantile_hist": text_analysis.LENGTH_QUANTILE_HIST_SQL,
         "docs_column_profile": text_analysis.COLUMN_PROFILE_SQL,
         "docs_dq_violations": text_analysis.DQ_VIOLATIONS_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,

@@ -1246,10 +1246,10 @@ BLOOM_BITS_LOG2 = 20  # m = 1M bits = 128 KB bitmap
 BLOOM_K = 6
 
 
-def _bloom_positions(h: np.ndarray) -> np.ndarray:
+def _bloom_positions(h: np.ndarray, bits_log2: int = BLOOM_BITS_LOG2) -> np.ndarray:
     """(k, n) bit positions via double hashing from ONE 64-bit hash:
     h1 = low 32, h2 = high 32 (odd), pos_i = (h1 + i*h2) mod m."""
-    m = np.uint64(1 << BLOOM_BITS_LOG2)
+    m = np.uint64(1 << bits_log2)
     h1 = h & np.uint64(0xFFFFFFFF)
     h2 = (h >> np.uint64(32)) | np.uint64(1)
     with np.errstate(over="ignore"):
@@ -1258,22 +1258,24 @@ def _bloom_positions(h: np.ndarray) -> np.ndarray:
         )
 
 
-def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
+def bloom_token_novelty(sf_dir: str, bits_log2: int = BLOOM_BITS_LOG2) -> ray.data.Dataset:
     """Per NEW doc (doc_id >= split, same split rule as dedup_incremental):
     token_count, tokens_maybe_known (bloom hits), novelty_ratio. Rows-only
-    driver check; zero-false-negative + FPR-bound behavior pinned in pytest."""
+    driver check at the default 1M-bit sizing; zero-false-negative +
+    FPR-bound behavior pinned in pytest. See bloom_token_novelty_exact for
+    the oracle-exact oversized regime."""
     from ..functions.hashing import string_hash_strong
     from .search_dedup import _split_id
 
     split = _split_id(sf_dir)
-    n_words = 1 << (BLOOM_BITS_LOG2 - 6)
+    n_words = 1 << (bits_log2 - 6)
 
     def build_partial(tbl: pa.Table) -> pa.Table:
         keep = pc.less(tbl.column("doc_id"), split)
         uniq = pc.unique(_raw_flat_tokens(tbl.filter(keep)))
         bits = np.zeros(n_words, dtype=np.uint64)
         if len(uniq):
-            pos = _bloom_positions(string_hash_strong(uniq)).ravel()
+            pos = _bloom_positions(string_hash_strong(uniq), bits_log2).ravel()
             np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
         return pa.table(
             {"bits": pa.FixedSizeListArray.from_arrays(pa.array(bits, pa.uint64()), n_words)}
@@ -1286,8 +1288,7 @@ def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
     for batch in parts.iter_batches(batch_format="pyarrow"):
         col = batch.column("bits").combine_chunks()
         arr = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, n_words)
-        for row in arr:
-            bloom |= row.astype(np.uint64)
+        bloom |= np.bitwise_or.reduce(arr.astype(np.uint64), axis=0)
     bloom_ref = ray.put(bloom)
 
     def probe(tbl: pa.Table) -> pa.Table:
@@ -1300,7 +1301,7 @@ def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         if len(flat):
-            pos = _bloom_positions(string_hash_strong(flat))
+            pos = _bloom_positions(string_hash_strong(flat), bits_log2)
             hit_all = np.ones(len(flat), dtype=bool)
             for i in range(BLOOM_K):
                 hit_all &= (blm[pos[i] >> 6] >> (pos[i].astype(np.uint64) & np.uint64(63))) & np.uint64(1) != 0
@@ -1320,6 +1321,85 @@ def bloom_token_novelty(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_token_novelty_exact(sf_dir: str) -> ray.data.Dataset:
+    """bloom_token_novelty in the ORACLE-EXACT regime (round-3 VERDICT task:
+    shrink the rows-only set where an exact regime exists, the
+    ann_ivf_fullprobe pattern): with m = 2^26 bits (8 MB bitmap) and k = 6,
+    the false-positive probability per probe on these fixtures' vocabularies
+    (<= ~10^5 old tokens) is (kn/m)^k ~ 10^-15, so every probe answer equals
+    exact set membership and the SQL anti-join oracle matches hash-exact.
+    Same kernels and plumbing as the production sizing — this query
+    validates them end-to-end; the 128 KB default remains the scale path
+    (the 8 MB per-batch partial rows are a validation-regime cost)."""
+    return bloom_token_novelty(sf_dir, bits_log2=26)
+
+
+BLOOM_NOVELTY_EXACT_SQL_T = """
+WITH split AS (
+  SELECT CAST(FLOOR(MAX(doc_id) / 2.0) AS BIGINT) AS s FROM documents
+),
+old_vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents, split WHERE doc_id < split.s
+),
+new_toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents, split WHERE doc_id >= split.s
+)
+SELECT nt.doc_id,
+       COUNT(*) AS token_count,
+       COUNT(ov.tok) AS tokens_maybe_known,
+       1.0 - COUNT(ov.tok)::DOUBLE / COUNT(*) AS novelty_ratio
+FROM new_toks nt LEFT JOIN old_vocab ov ON nt.tok = ov.tok
+GROUP BY nt.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-lang length quantiles via the histogram sketch in its EXACT regime:
+# n_chars is integer and bounded well under the bin count, so with
+# lo=0, hi=bins, width=1 every value owns a bin and the sketch answer is the
+# exact "smallest v with cum_count >= ceil(q*n)" order statistic + 0.5 (bin
+# center). Exercises the same mergeable-sketch kernels as
+# events_quantile_sketch but lands SQL-oracle-exact.
+
+LENGTH_QUANTILE_BINS = 4096
+
+
+def length_quantile_hist(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.window import grouped_quantile_sketch
+
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+    return grouped_quantile_sketch(
+        ds,
+        key="lang",
+        value_col="n_chars",
+        quantiles={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        lo=0.0,
+        hi=float(LENGTH_QUANTILE_BINS),
+        bins=LENGTH_QUANTILE_BINS,
+    )
+
+
+LENGTH_QUANTILE_HIST_SQL = """
+WITH g AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+),
+t AS (
+  SELECT lang, n_chars,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM g
+)
+SELECT lang,
+       ANY_VALUE(n)::BIGINT AS n,
+       MIN(CASE WHEN cum >= GREATEST(CEIL(0.5::DOUBLE  * n), 1) THEN n_chars END) + 0.5 AS p50,
+       MIN(CASE WHEN cum >= GREATEST(CEIL(0.9::DOUBLE  * n), 1) THEN n_chars END) + 0.5 AS p90,
+       MIN(CASE WHEN cum >= GREATEST(CEIL(0.99::DOUBLE * n), 1) THEN n_chars END) + 0.5 AS p99
+FROM t GROUP BY lang
+"""
 
 
 # ---------------------------------------------------------------------------
