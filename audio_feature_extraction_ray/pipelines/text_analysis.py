@@ -1680,6 +1680,86 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# context-window chunking: split every document into fixed-size overlapping
+# token windows (the RAG / pretraining sequence-prep op). Embarrassingly
+# parallel — ONE stateless map_batches, no shuffle, no driver state — and
+# fully vectorized: per-chunk token ranges are gathered from the flattened
+# token array with a repeat/arange index build, re-wrapped as a LargeList,
+# and joined back to text with pc.binary_join (no Python per row or chunk).
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive windows
+
+
+def _chunk_batch(tbl: pa.Table) -> pa.Table:
+    toks = pc.split_pattern(tbl.column("text"), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # chunks per doc: 1 + ceil(max(n - CHUNK, 0) / STRIDE); last may be short
+    nch = np.maximum((n - CHUNK_TOKENS + CHUNK_STRIDE - 1) // CHUNK_STRIDE, 0) + 1
+    total = int(nch.sum())
+    row_idx = np.repeat(np.arange(n.size), nch)
+    chunk_off = np.concatenate([[0], np.cumsum(nch)])
+    k = np.arange(total) - np.repeat(chunk_off[:-1], nch)
+    starts = k * CHUNK_STRIDE
+    lens = np.minimum(CHUNK_TOKENS, n[row_idx] - starts)
+    # gather every chunk's tokens from the flattened token values
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    row_off = np.concatenate([[0], np.cumsum(n)])
+    tok_off = np.concatenate([[0], np.cumsum(lens)])
+    m = int(tok_off[-1])
+    flat_idx = (
+        np.arange(m)
+        - np.repeat(tok_off[:-1], lens)
+        + np.repeat(row_off[row_idx] + starts, lens)
+    )
+    chunk_lists = pa.LargeListArray.from_arrays(
+        pa.array(tok_off, pa.int64()), flat.take(pa.array(flat_idx))
+    )
+    return pa.table(
+        {
+            "doc_id": tbl.column("doc_id").take(pa.array(row_idx)),
+            "chunk_id": pa.array(k, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+            "tok_len": pa.array(lens, pa.int64()),
+            "chunk_text": pc.binary_join(chunk_lists, " "),
+        }
+    )
+
+
+def chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """Overlapping token-window chunks per document (CHUNK_TOKENS wide,
+    CHUNK_STRIDE apart). Output grows ~chunk/stride x input tokens and
+    streams block-by-block — nothing materializes."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunk_batch, batch_format="pyarrow"
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, GREATEST((n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}, 0) + 1)) AS k
+  FROM t
+)
+SELECT doc_id,
+       k AS chunk_id,
+       k * {CHUNK_STRIDE} AS tok_start,
+       LEAST({CHUNK_TOKENS}, n - k * {CHUNK_STRIDE}) AS tok_len,
+       array_to_string(toks[k * {CHUNK_STRIDE} + 1 : k * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # greedy NO-SPLIT packing (the other standard layout): documents are never
 # cut across sequences; each partition packs its own docs first-fit in
 # doc_id order, so sequence ids are namespaced (pid << 32 | local). Greedy

@@ -206,3 +206,50 @@ def test_string_hash_array_call_sites_routing_only():
     # pin the audited inventory; update deliberately when adding a site
     got = {(p, "pid") for p, _, _ in sites}
     assert got == {("pipelines/text_analysis.py", "pid")}, sites
+
+
+def test_chunk_batch_kernel_edges():
+    """chunk kernel vs a plain-Python reference: empty text, sub-chunk doc,
+    exact stride multiple, long doc with short tail, overlap layout."""
+    import numpy as np
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        _chunk_batch,
+    )
+
+    texts = [
+        "",  # split -> [''] -> one chunk of the empty token
+        "a b c",  # shorter than one chunk
+        " ".join(f"t{i}" for i in range(CHUNK_TOKENS)),  # exactly one chunk
+        " ".join(f"u{i}" for i in range(CHUNK_TOKENS + CHUNK_STRIDE)),  # exact 2-chunk fit
+        " ".join(f"v{i}" for i in range(300)),  # long with short tail
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = _chunk_batch(tbl)
+
+    expect = []
+    for did, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        nch = max(0, -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)) + 1 if n > CHUNK_TOKENS else 1
+        for k in range(nch):
+            s = k * CHUNK_STRIDE
+            seg = toks[s : s + CHUNK_TOKENS]
+            expect.append((did, k, s, len(seg), " ".join(seg)))
+
+    got = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("chunk_id").to_pylist(),
+            out.column("tok_start").to_pylist(),
+            out.column("tok_len").to_pylist(),
+            out.column("chunk_text").to_pylist(),
+        )
+    )
+    assert got == expect
+    # consecutive chunks of one doc overlap by CHUNK_TOKENS - CHUNK_STRIDE
+    starts = np.array([r[2] for r in got if r[0] == 4])
+    assert (np.diff(starts) == CHUNK_STRIDE).all()
