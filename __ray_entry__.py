@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantile_hist": text_analysis.length_quantile_hist,
         "docs_hll_tokens": text_analysis.hll_distinct_tokens,  # rows-only (sketch)
         "docs_hll_by_lang": text_analysis.hll_distinct_tokens_by_lang,  # rows-only (sketch)
+        "docs_hll_langs_exact": text_analysis.hll_distinct_langs_exact,
         "docs_bigram_topk": text_analysis.bigram_topk,
         "docs_bigram_pmi": text_analysis.bigram_pmi,
         "token_heavy_hitters": text_analysis.token_heavy_hitters,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_entropy": text_analysis.TOKEN_ENTROPY_SQL,
         "docs_length_histogram": text_analysis.LENGTH_HISTOGRAM_SQL,
         "docs_bloom_novelty_exact": text_analysis.BLOOM_NOVELTY_EXACT_SQL_T,
+        "docs_hll_langs_exact": text_analysis.HLL_LANGS_EXACT_SQL,
         "docs_length_quantile_hist": text_analysis.LENGTH_QUANTILE_HIST_SQL,
         "docs_column_profile": text_analysis.COLUMN_PROFILE_SQL,
         "docs_dq_violations": text_analysis.DQ_VIOLATIONS_SQL,
