@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_spans": spans.dup_spans,
         "docs_decontaminate": spans.decontaminate,
         "docs_scrub_spans": spans.scrub_spans,
+        "docs_source_overlap": spans.source_overlap,
         # tokenizer training (rows-only: iterative global argmax; pinned
         # against a naive single-process BPE reference in pytest)
         "docs_bpe_merges": bpe.bpe_merges,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_spans": spans.DUP_SPANS_SQL,
         "docs_decontaminate": spans.DECONTAMINATE_SQL,
         "docs_scrub_spans": spans.SCRUB_SPANS_SQL,
+        "docs_source_overlap": spans.SOURCE_OVERLAP_SQL,
         "dedup_exact_docs": search_dedup.DEDUP_EXACT_DOCS_SQL,
         "dedup_incremental": search_dedup.DEDUP_INCREMENTAL_DOCS_SQL,
         "dedup_keep_best": search_dedup._dedup_keep_best_sql(),

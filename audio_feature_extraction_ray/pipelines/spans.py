@@ -468,3 +468,103 @@ SELECT doc_id,
        CAST(count(*) FILTER (WHERE covered) AS BIGINT) AS n_removed
 FROM marked GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination matrix: for every pair of sources, how many
+# DISTINCT k-token grams appear in both. The corpus-analysis twin of
+# decontaminate: same gram-keyed exchange (a gram's copies all land in one
+# partition, so per-gram source sets are partition-local and globally
+# exact); pair generation reuses the sorted-segment kernel from the dedup
+# stage; the driver folds only <= GRAM_PARTS x n_sources^2 counter rows.
+
+
+def source_overlap(sf_dir: str, k: int = SPAN_K):
+    from ..stages.dedup import _segment_pairs
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        de = pc.dictionary_encode(src)
+        # ride _gram_pairs' doc_id slot with the batch-local source code
+        tmp = pa.table(
+            {
+                "doc_id": de.indices.cast(pa.int64()),
+                "text": tbl.column("text"),
+            }
+        )
+        grams, src_codes, _ = _gram_pairs(tmp, k)
+        pairs = pa.table(
+            {"gram": grams, "src_code": pa.array(src_codes, pa.int64())}
+        )
+        agg = pairs.group_by(["gram", "src_code"]).aggregate([])  # distinct
+        gram_col = agg.column("gram").combine_chunks()
+        pid = (string_hash_strong(gram_col) % np.uint64(GRAM_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": gram_col,
+                "source": de.dictionary.take(agg.column("src_code")),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def pair_kernel(tbl: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("source_a", pa.string()), ("source_b", pa.string()), ("n_partial", pa.int64())]
+        ).empty_table()
+        if tbl.num_rows == 0:
+            return empty
+        grams = np.asarray(tbl.column("gram").to_numpy(zero_copy_only=False), dtype=object)
+        srcs = np.asarray(tbl.column("source").to_numpy(zero_copy_only=False), dtype=object)
+        gcodes = np.unique(grams, return_inverse=True)[1]
+        # global distinct (gram, source): batches may re-emit the same pair
+        order = np.lexsort((srcs, gcodes))
+        gs, ss = gcodes[order], srcs[order]
+        first = np.ones(order.size, dtype=bool)
+        first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+        gs, ss = gs[first], ss[first]
+        # sources sorted within each gram run -> a_idx < b_idx means
+        # source_a < source_b, matching the SQL join condition
+        a_idx, b_idx = _segment_pairs(gs, 1 << 20, "source_overlap")
+        if a_idx.size == 0:
+            return empty
+        key = np.char.add(np.char.add(ss[a_idx].astype(str), "\x1f"), ss[b_idx].astype(str))
+        uk, counts = np.unique(key, return_counts=True)
+        ab = np.array([u.split("\x1f", 1) for u in uk], dtype=object)
+        return pa.table(
+            {
+                "source_a": pa.array(ab[:, 0].tolist(), pa.string()),
+                "source_b": pa.array(ab[:, 1].tolist(), pa.string()),
+                "n_partial": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: pair_kernel(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    df = parts.to_pandas()  # <= GRAM_PARTS x n_sources^2 rows — bounded
+    out = (
+        df.groupby(["source_a", "source_b"], as_index=False)["n_partial"]
+        .sum()
+        .rename(columns={"n_partial": "shared_grams"})
+    )
+    out["shared_grams"] = out["shared_grams"].astype("int64")
+    return out
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT source, array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS gram
+  FROM t, UNNEST(range(1, len(toks) - {SPAN_K} + 2)) AS u(i)
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY source_a, source_b
+"""
