@@ -235,6 +235,9 @@ def run_bench() -> dict:
         ).embedding_pca),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
+        ("docs_chunk_windows", text_analysis.chunk_documents),
+        ("docs_length_quantile_hist", text_analysis.length_quantile_hist),
+        ("docs_source_overlap", spans.source_overlap),
         ("docs_bpe_merges", bpe.bpe_merges),
     ]:
         t0 = time.perf_counter()
