@@ -253,3 +253,51 @@ def test_chunk_batch_kernel_edges():
     # consecutive chunks of one doc overlap by CHUNK_TOKENS - CHUNK_STRIDE
     starts = np.array([r[2] for r in got if r[0] == 4])
     assert (np.diff(starts) == CHUNK_STRIDE).all()
+
+
+def test_source_overlap_cross_batch_distinct(ray_session, tmp_path):
+    """The same (gram, source) pair arriving in MANY batches must count once:
+    3000 rows force multiple map_batches batches per block, every row of a
+    source shares its grams, and the result must still equal the quadratic
+    SQL reference."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.spans import SPAN_K, source_overlap
+
+    rng = np.random.default_rng(11)
+    base = [f"w{i}" for i in range(SPAN_K + 4)]
+    rows = []
+    for i in range(3000):
+        src = f"s{i % 3}"
+        # each source has one shared long phrase (same grams in every row)
+        # plus a small per-row twist so batches are not all identical
+        toks = base + [f"x{src}", f"y{rng.integers(0, 4)}"]
+        rows.append((i, " ".join(toks), src))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = source_overlap(str(d)).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    from audio_feature_extraction_ray.pipelines.spans import SOURCE_OVERLAP_SQL
+
+    ref = (
+        con.execute(SOURCE_OVERLAP_SQL)
+        .fetchdf()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == ref.shape == (3, 3)
+    assert (got["shared_grams"].to_numpy() == ref["shared_grams"].to_numpy()).all()
+    assert list(got["source_a"]) == list(ref["source_a"])
