@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": text_analysis.quality,
         "doc_quality_rank": text_analysis.quality_rank,
         "docs_pack_sequences": text_analysis.pack_sequences,
+        "docs_pack_greedy_single": text_analysis.pack_greedy_single_stream,
         "docs_chunk_windows": text_analysis.chunk_documents,
         "docs_pack_greedy": text_analysis.pack_greedy_nosplit,  # rows-only (partition-local greedy)
         "doc_langid": text_analysis.langid_docs,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": text_analysis.QUALITY_SQL,
         "doc_quality_rank": text_analysis.QUALITY_RANK_SQL,
         "docs_pack_sequences": text_analysis.PACK_SEQUENCES_SQL,
+        "docs_pack_greedy_single": text_analysis.PACK_GREEDY_SINGLE_SQL,
         "docs_chunk_windows": text_analysis.CHUNK_DOCUMENTS_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,

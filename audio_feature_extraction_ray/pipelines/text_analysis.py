@@ -1810,8 +1810,10 @@ FROM c
 # exactly once, deterministic) pinned in pytest.
 
 
-def pack_greedy_nosplit(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
-    bounds = _pack_bounds(sf_dir)
+def pack_greedy_nosplit(
+    sf_dir: str, seq_len: int = SEQ_LEN, bounds: np.ndarray | None = None
+) -> ray.data.Dataset:
+    bounds = _pack_bounds(sf_dir) if bounds is None else bounds
 
     def tag(tbl: pa.Table) -> pa.Table:
         text = tbl.column("text").combine_chunks() if isinstance(tbl.column("text"), pa.ChunkedArray) else tbl.column("text")
@@ -1858,6 +1860,45 @@ def pack_greedy_nosplit(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset
         .groupby("__pid")
         .map_groups(pack_kernel, batch_format="pyarrow")
     )
+
+
+def pack_greedy_single_stream(sf_dir: str, seq_len: int = SEQ_LEN) -> ray.data.Dataset:
+    """pack_greedy_nosplit with ONE global stream (empty bounds): the same
+    greedy first-fit kernel run over the full doc_id order, which IS
+    SQL-expressible (a linear recursive CTE) — so the greedy-packing family
+    gets a driver-visible hash-exact oracle. Validation-regime by
+    construction (one partition scans all docs); the sampled-bounds
+    partitioned variant stays the scale path, since greedy reset is
+    inherently sequential per stream."""
+    return pack_greedy_nosplit(sf_dir, seq_len=seq_len, bounds=np.array([], np.int64))
+
+
+PACK_GREEDY_SINGLE_SQL = f"""
+WITH RECURSIVE tc AS (
+  SELECT doc_id,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+         row_number() OVER (ORDER BY doc_id) AS rn,
+         COUNT(*) OVER () AS n_docs
+  FROM documents
+),
+s AS (
+  SELECT rn, doc_id, n_tokens,
+         0::BIGINT AS seq_id, 0::BIGINT AS offset_in_seq,
+         GREATEST(n_tokens, 1)::BIGINT AS fill
+  FROM tc WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN s.fill + GREATEST(t.n_tokens, 1) > {SEQ_LEN} AND s.fill > 0
+              THEN s.seq_id + 1 ELSE s.seq_id END,
+         CASE WHEN s.fill + GREATEST(t.n_tokens, 1) > {SEQ_LEN} AND s.fill > 0
+              THEN 0 ELSE s.fill END,
+         CASE WHEN s.fill + GREATEST(t.n_tokens, 1) > {SEQ_LEN} AND s.fill > 0
+              THEN GREATEST(t.n_tokens, 1) ELSE s.fill + GREATEST(t.n_tokens, 1) END
+  FROM s JOIN tc t ON t.rn = s.rn + 1
+)
+SELECT doc_id, n_tokens, seq_id, offset_in_seq FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
