@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dq_violations": text_analysis.dq_violations,
         "doc_unigram_logprob": text_analysis.unigram_logprob,
         "doc_bigram_logprob": text_analysis.bigram_logprob,
+        "docs_dsir_weights": text_analysis.dsir_weights,
+        "docs_ccnet_buckets": text_analysis.ccnet_buckets,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
         # sub-document n-gram span family (exact-substring dedup granularity)
@@ -143,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
         "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
         "embedding_normalize": search_dedup.embedding_normalize,
+        "embedding_quantize": search_dedup.embedding_quantize,
         "embedding_centroids": search_dedup.embedding_centroids,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
         "events_lag_lead": events.lag_lead,
@@ -249,6 +252,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dq_violations": text_analysis.DQ_VIOLATIONS_SQL,
         "doc_unigram_logprob": text_analysis.UNIGRAM_LOGPROB_SQL,
         "doc_bigram_logprob": text_analysis.BIGRAM_LOGPROB_SQL,
+        "docs_dsir_weights": text_analysis.DSIR_WEIGHTS_SQL,
+        "docs_ccnet_buckets": text_analysis.CCNET_BUCKETS_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "docs_dup_spans": spans.DUP_SPANS_SQL,
@@ -272,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,
         "embedding_normalize": search_dedup.EMBEDDING_NORMALIZE_SQL,
+        "embedding_quantize": search_dedup.EMBEDDING_QUANTIZE_SQL,
         "embedding_centroids": search_dedup.EMBEDDING_CENTROIDS_SQL,
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,

@@ -531,6 +531,63 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization (symmetric, per-vector absmax scale) — the
+# standard 4x embedding-compression step before an ANN index at corpus
+# scale (FAISS SQ8 / product-quantizer front end): q_i = round(e_i / s),
+# s = max|e| / 127, so every component lands in [-127, 127]. Purely
+# per-row (one map_batches, no exchange); all outputs INTEGER (the code
+# q_i, and the scale quantized to nano units) so the SQL oracle
+# hash-matches exactly. round is floor(x + 0.5) on BOTH sides — numpy
+# round() is banker's and would disagree with SQL at .5 boundaries.
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "dim": pa.array([], pa.int64()),
+                 "qval": pa.array([], pa.int64()), "scale_e9": pa.array([], pa.int64())}
+            )
+        arr = tbl.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(tbl.num_rows, -1)
+        d = m.shape[1]
+        s = np.abs(m).max(axis=1) / 127.0
+        safe = np.where(s == 0, 1.0, s)
+        q = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+        q[s == 0] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(tbl.column("vec_id").to_numpy(), d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), tbl.num_rows)),
+                "qval": pa.array(q.ravel(), pa.int64()),
+                "scale_e9": pa.array(
+                    np.repeat(np.floor(s * 1e9 + 0.5).astype(np.int64), d), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0 AS s
+  FROM embeddings
+)
+SELECT vec_id,
+       unnest(range(len(e))) AS dim,
+       unnest(list_transform(e, x -> CASE WHEN s = 0 THEN 0
+                                          ELSE CAST(floor(x / s + 0.5) AS BIGINT) END)) AS qval,
+       CAST(floor(s * 1e9 + 0.5) AS BIGINT) AS scale_e9
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components over exact-Jaccard pairs (the
 # iterative label-propagation operator in stages/graph.py), hash-checked
 # against a recursive-CTE SQL oracle.

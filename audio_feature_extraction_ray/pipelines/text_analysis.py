@@ -1106,6 +1106,290 @@ FROM sc GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every document by the log-ratio
+# of its likelihood under a TARGET-domain unigram LM vs the raw-corpus
+# unigram LM — the weight used to resample a web crawl toward a target
+# distribution. Target = docs from one source (default "src0"); both LMs
+# are add-1 smoothed over the shared corpus vocabulary V:
+#
+#   w(d) = sum_tok tf * [ ln((ct+1)/(Tt+V)) - ln((cr+1)/(Tr+V)) ]
+#        = sum_tok tf * [ ln(ct+1) - ln(cr+1) ]  +  ntok(d) * ln((Tr+V)/(Tt+V))
+#
+# The algebraic split is what makes the plan one exchange: the per-token
+# part needs only the token's own counts (partition-exclusive after a
+# hash(token) exchange), while the smoothing denominators collapse into a
+# per-doc ntok * C term with C a global scalar computed from three cheap
+# O(1)-output passes (Tt, Tr streaming sums; V via the distinct-token
+# exchange). Both pieces are quantized to INTEGER micro-nats (floor(x*1e6
+# + 0.5)) so cross-partition per-doc sums are order-free and exact — the
+# same idiom as unigram_logprob/TF-IDF, giving a hash-exact SQL oracle.
+
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64, string_hash_array, string_hash_strong
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
+
+    # pass 1 — token totals Tt (target docs) and Tr (all docs): one streaming
+    # scan, one tiny row per batch, O(1) driver result.
+    def totals_batch(tbl: pa.Table) -> pa.Table:
+        ntok = pc.list_value_length(pc.split_pattern(tbl.column("text"), " ")).cast(pa.int64())
+        tgt = pc.equal(tbl.column("source"), target_source)
+        nt = pc.sum(pc.if_else(tgt, ntok, pa.scalar(0, pa.int64()))).as_py() or 0
+        nr = pc.sum(ntok).as_py() or 0
+        return pa.table({"nt": pa.array([nt], pa.int64()), "nr": pa.array([nr], pa.int64())})
+
+    tot = docs.map_batches(totals_batch, batch_format="pyarrow").sum(["nt", "nr"])
+    t_t, t_r = float(tot["sum(nt)"]), float(tot["sum(nr)"])
+
+    # pass 2 — corpus vocabulary size V: per-batch unique tokens (combiner),
+    # hash(token) exchange, per-partition exact distinct, <= P driver ints.
+    def vocab_partial(tbl: pa.Table) -> pa.Table:
+        uniq = pc.unique(_raw_flat_tokens(tbl))
+        pid = (string_hash_array(uniq) % np.uint64(UNIGRAM_PARTS)).astype(np.int32)
+        return pa.table({"token": uniq, "__pid": pa.array(pid)})
+
+    def vocab_count(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([pc.count_distinct(tbl.column("token")).as_py()], pa.int64())}
+        )
+
+    v = float(
+        docs.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: vocab_count(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .sum("n")
+    )
+    c6 = np.int64(np.floor(np.log((t_r + v) / (t_t + v)) * 1e6 + 0.5))
+
+    # main exchange — distinct (doc, token, tf) pairs + target flag, routed
+    # by the FULL-coverage token hash (identity-bearing: ct/cr group by it).
+    def pairs(tbl: pa.Table) -> pa.Table:
+        rows, tok_arr, tf = _doc_token_pairs(tbl)
+        did = tbl.column("doc_id").to_numpy()[rows]
+        tgt = pc.equal(tbl.column("source"), target_source).to_numpy(zero_copy_only=False)[rows]
+        pid = (string_hash_strong(tok_arr) % np.uint64(UNIGRAM_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": tok_arr if not isinstance(tok_arr, pa.ChunkedArray) else tok_arr.combine_chunks(),
+                "tf": pa.array(tf, pa.int64()),
+                "tgt": pa.array(tgt),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        """Owns its tokens exclusively: ct/cr are partition-local sums; the
+        per-token micro-nat log-ratio folds into per-doc integer partials."""
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        de = pc.dictionary_encode(tok)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = tbl.column("tf").to_numpy()
+        tgt = tbl.column("tgt").to_numpy(zero_copy_only=False)
+        nv = len(de.dictionary)
+        cr = np.zeros(nv, dtype=np.int64)
+        ct = np.zeros(nv, dtype=np.int64)
+        np.add.at(cr, codes, tf)
+        np.add.at(ct, codes, np.where(tgt, tf, 0))
+        s6 = np.floor(
+            (np.log(ct.astype(np.float64) + 1.0) - np.log(cr.astype(np.float64) + 1.0)) * 1e6
+            + 0.5
+        ).astype(np.int64)
+        contrib = tf * s6[codes]
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        psum = np.zeros(uniq.size, dtype=np.int64)
+        pnt = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(psum, inv, contrib)
+        np.add.at(pnt, inv, tf)
+        pid2 = (
+            avalanche64(uniq.astype(np.int64).view(np.uint64)) % np.uint64(UNIGRAM_PARTS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "psum": pa.array(psum, pa.int64()),
+                "pnt": pa.array(pnt, pa.int64()),
+                "__pid2": pa.array(pid2),
+            }
+        )
+
+    def fold_partition(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy()
+        uniq, inv = np.unique(did, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, tbl.column("psum").to_numpy())
+        np.add.at(n, inv, tbl.column("pnt").to_numpy())
+        e6 = s + n * c6
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "token_count": pa.array(n, pa.int64()),
+                "dsir_logratio_e6": pa.array(e6, pa.int64()),
+                "dsir_logratio": pa.array(e6.astype(np.float64) / 1e6, pa.float64()),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .groupby("__pid2")
+        .map_groups(lambda g: fold_partition(g.drop_columns(["__pid2"])), batch_format="pyarrow")
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf,
+         max(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END) AS is_tgt
+  FROM tok GROUP BY doc_id, token
+), cnt AS (
+  SELECT token,
+         CAST(sum(tf) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_tgt = 1 THEN tf ELSE 0 END) AS BIGINT) AS ct
+  FROM tf GROUP BY token
+), gl AS (
+  SELECT (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) AS t_r,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf WHERE is_tgt = 1) AS t_t,
+         (SELECT CAST(count(*) AS DOUBLE) FROM cnt) AS v
+), c6 AS (
+  SELECT CAST(floor(ln((t_r + v) / (t_t + v)) * 1e6 + 0.5) AS BIGINT) AS c FROM gl
+), sc AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor((ln(cnt.ct + 1) - ln(cnt.cr + 1)) * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM tf JOIN cnt USING (token)
+)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS token_count,
+       CAST(sum(tf * s6) + sum(tf) * (SELECT c FROM c6) AS BIGINT) AS dsir_logratio_e6,
+       (sum(tf * s6) + sum(tf) * (SELECT c FROM c6)) / 1e6 AS dsir_logratio
+FROM sc GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. 2020): split the corpus into
+# head / middle / tail TERCILES by per-document LM score — the quality
+# gate CCNet applies before keeping "head" for LM training. Composition of
+# two operators this engine already proves separately:
+#
+#   1. unigram_logprob — the distributed corpus-LM scorer (token-keyed
+#      exchange, integer micro-nat partials);
+#   2. global_rank_by_key — the exact two-stage distributed rank
+#      (range-partition on sampled bounds + driver prefix-sum of
+#      <= P partition counts);
+#
+# then bucket = NTILE(3) over (avg micro-nats DESC, doc_id ASC), computed
+# from the exact global rank with SQL NTILE's larger-buckets-first sizing,
+# so the whole composition stays hash-exact against the oracle. The ranked
+# intermediate is materialized once (any exact rank must hold it); every
+# driver-side object is <= _RANK_PARTITIONS scalars + the 10k bounds
+# sample.
+
+
+def ccnet_buckets(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.parquet as pq
+
+    from ..errors import SchemaError
+
+    lp = unigram_logprob(sf_dir).materialize()  # per-doc (sum_e6, ntok); reused twice below
+
+    def key_of(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        s = tbl.column("sum_logprob_e6").to_numpy()
+        n = tbl.column("token_count").to_numpy()
+        ids = tbl.column("doc_id").to_numpy()
+        avg6 = np.floor(s.astype(np.float64) / n).astype(np.int64)  # micro-nats, <= 0
+        if avg6.size and (avg6.max() > 0 or -avg6.min() >= (1 << 30) or ids.max() >= (1 << 33)):
+            raise SchemaError("ccnet rank key out of packing range")
+        return ids, avg6, ((-avg6) << np.int64(33)) | ids
+
+    bounds = sample_key_bounds(
+        key_of(
+            pa.Table.from_pylist(
+                lp.random_sample(min(1.0, _RANK_SAMPLE / max(1, lp.count())), seed=11).take_all()
+            )
+            if lp.count()
+            else pa.table({"sum_logprob_e6": pa.array([], pa.int64()),
+                           "token_count": pa.array([], pa.int64()),
+                           "doc_id": pa.array([], pa.int64())})
+        )[2]
+    )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ids, avg6, key = key_of(tbl)
+        pid = np.searchsorted(bounds, key, side="right").astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "avg_logprob_e6": pa.array(avg6, pa.int64()),
+                "__key": pa.array(key),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    ranked = global_rank_by_key(lp, tag, bounds, ["doc_id", "avg_logprob_e6"], "rank")
+
+    # NTILE(3) from the exact rank: n known from the parquet footer (every
+    # document tokenizes to >= 1 token, so the scored set is all docs)
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    base, extra = divmod(n, 3)
+    c1 = base + (1 if extra >= 1 else 0)
+    c2 = c1 + base + (1 if extra >= 2 else 0)
+
+    def bucketize(tbl: pa.Table) -> pa.Table:
+        r = tbl.column("rank").to_numpy()
+        b = np.where(r <= c1, 1, np.where(r <= c2, 2, 3)).astype(np.int64)
+        lab = np.array(["head", "middle", "tail"], dtype=object)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "avg_logprob_e6": tbl.column("avg_logprob_e6"),
+                "ppl_bucket": pa.array(b, pa.int64()),
+                "bucket_label": pa.array(lab[b - 1], pa.string()),
+            }
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
+CCNET_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), cnt AS (
+  SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+sc AS (
+  SELECT tf.doc_id, tf.tf,
+         CAST(floor(ln(cnt.c / tot.t) * 1e6 + 0.5) AS BIGINT) AS s6
+  FROM tf JOIN cnt USING (token) CROSS JOIN tot
+), lp AS (
+  SELECT doc_id,
+         CAST(floor(CAST(sum(tf * s6) AS DOUBLE) / sum(tf)) AS BIGINT) AS avg_logprob_e6
+  FROM sc GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, avg_logprob_e6,
+         CAST(ntile(3) OVER (ORDER BY avg_logprob_e6 DESC, doc_id) AS BIGINT) AS ppl_bucket
+  FROM lp
+)
+SELECT doc_id, avg_logprob_e6, ppl_bucket,
+       CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket_label
+FROM nt
+"""
+
+
+# ---------------------------------------------------------------------------
 # exact GLOBAL rank (distributed order-by): rank every document by quality
 # DESC (ties -> doc_id ASC) with a contiguous global row number. The classic
 # two-stage distributed rank:

@@ -238,6 +238,9 @@ def run_bench() -> dict:
         ("docs_chunk_windows", text_analysis.chunk_documents),
         ("docs_length_quantile_hist", text_analysis.length_quantile_hist),
         ("docs_source_overlap", spans.source_overlap),
+        ("docs_dsir_weights", text_analysis.dsir_weights),
+        ("docs_ccnet_buckets", text_analysis.ccnet_buckets),
+        ("embedding_quantize", search_dedup.embedding_quantize),
         ("docs_bpe_merges", bpe.bpe_merges),
     ]:
         t0 = time.perf_counter()

@@ -301,3 +301,95 @@ def test_source_overlap_cross_batch_distinct(ray_session, tmp_path):
     assert got.shape == ref.shape == (3, 3)
     assert (got["shared_grams"].to_numpy() == ref["shared_grams"].to_numpy()).all()
     assert list(got["source_a"]) == list(ref["source_a"])
+
+
+def test_dsir_weights_rank_target_up(ray_session, tmp_path):
+    """DSIR semantics: documents drawn from the target source's token
+    distribution must receive HIGHER importance log-ratios than documents
+    from a disjoint vocabulary — and the engine result must hash-match the
+    SQL oracle on a fixture whose batches split doc/token ownership."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        DSIR_WEIGHTS_SQL,
+        dsir_weights,
+    )
+
+    rng = np.random.default_rng(7)
+    tgt_vocab = [f"t{i}" for i in range(40)]
+    bg_vocab = [f"b{i}" for i in range(40)]
+    rows = []
+    for i in range(300):
+        if i % 3 == 0:
+            src, vocab = "src0", tgt_vocab  # target domain
+        elif i % 3 == 1:
+            src, vocab = "srcA", tgt_vocab  # target-LIKE text, other source
+        else:
+            src, vocab = "srcB", bg_vocab  # disjoint background
+        toks = rng.choice(vocab, size=30)
+        rows.append((i, " ".join(toks), src))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = dsir_weights(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 300 and got["doc_id"].is_unique
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    ref = con.execute(DSIR_WEIGHTS_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert (got["dsir_logratio_e6"].to_numpy() == ref["dsir_logratio_e6"].to_numpy()).all()
+    assert (got["token_count"].to_numpy() == ref["token_count"].to_numpy()).all()
+
+    src = np.array([r[2] for r in rows])
+    w = got.set_index("doc_id")["dsir_logratio"].to_numpy()
+    # target-distribution docs (src0 AND the target-like srcA) rank above the
+    # disjoint-vocabulary background; srcA proves the weight follows the
+    # token distribution, not the source label.
+    assert w[src == "src0"].mean() > w[src == "srcB"].mean() + 1.0
+    assert w[src == "srcA"].mean() > w[src == "srcB"].mean() + 1.0
+
+
+def test_ccnet_buckets_ties_and_ntile_sizing(ray_session, tmp_path):
+    """CCNet terciles: a tie-heavy fixture (many docs with IDENTICAL unigram
+    logprob) still bucketizes deterministically (rank key breaks ties by
+    doc_id) and matches SQL NTILE's larger-buckets-first sizing on an
+    n % 3 != 0 corpus."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        CCNET_BUCKETS_SQL,
+        ccnet_buckets,
+    )
+
+    # 200 docs over 4 templates -> huge tie groups; 200 % 3 = 2
+    templates = ["a a a", "a b", "c c d", "e"]
+    rows = [(i, templates[i % 4]) for i in range(200)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = ccnet_buckets(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    ref = con.execute(CCNET_BUCKETS_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == 200
+    assert (got["ppl_bucket"].to_numpy() == ref["ppl_bucket"].to_numpy()).all()
+    assert (got["avg_logprob_e6"].to_numpy() == ref["avg_logprob_e6"].to_numpy()).all()
+    sizes = got["ppl_bucket"].value_counts().sort_index().to_list()
+    assert sizes == [67, 67, 66]  # NTILE: first n % 3 buckets get the extra row

@@ -232,3 +232,29 @@ def test_embedding_kmeans_matches_naive_lloyd(ray_session):
     assert np.allclose(
         out["centroid_norm"], np.floor(np.linalg.norm(cent, axis=1) * 1e6 + 0.5) / 1e6
     )
+
+
+def test_embedding_quantize_roundtrip_bounds(ray_session):
+    """int8 scalar quantization: codes stay in [-127, 127], one code per
+    vector hits ±127 (absmax scaling), and dequantized reconstruction
+    error is bounded by half a quantization step per component."""
+    import numpy as np
+
+    from audio_feature_extraction_ray.pipelines.search_dedup import embedding_quantize
+
+    got = embedding_quantize("/root/testdata/sf0.001").to_pandas()
+    assert got.qval.abs().max() <= 127
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    m = np.asarray(emb.column("embedding").to_pylist(), dtype=np.float64)
+    n, d = m.shape
+    assert len(got) == n * d
+    g = got.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    q = g.qval.to_numpy().reshape(n, d)
+    s = g.scale_e9.to_numpy().reshape(n, d)[:, 0] / 1e9
+    # absmax scaling -> at least one ±127 code per non-zero vector
+    assert (np.abs(q).max(axis=1)[s > 0] == 127).all()
+    # reconstruction error <= s/2 + scale_e9 rounding slack per component
+    err = np.abs(q * s[:, None] - m)
+    assert (err <= s[:, None] / 2 + 1e-6).all()
