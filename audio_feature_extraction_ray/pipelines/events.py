@@ -524,55 +524,6 @@ FROM g GROUP BY win_us
 DISTINCT_USERS_PARTS = 32
 
 
-def _du_dedup_pairs(tbl: pa.Table) -> pa.Table:
-    """Batch-local distinct (event_type, user_id) pairs — the combiner: each
-    pair crosses the exchange at most once per batch. Fully vectorized via
-    dictionary-encode + lexsort run-heads."""
-    et = tbl.column("event_type")
-    if isinstance(et, pa.ChunkedArray):
-        et = et.combine_chunks()
-    de = pc.dictionary_encode(et)
-    tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((uid, tcode))
-    ts, us = tcode[order], uid[order]
-    head = np.ones(ts.size, dtype=bool)
-    if ts.size:
-        head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
-    keep = order[head]
-    from ..functions.hashing import avalanche64
-
-    pid = (avalanche64(uid[keep].astype(np.uint64)) % np.uint64(DISTINCT_USERS_PARTS)).astype(
-        np.int32
-    )
-    return pa.table(
-        {
-            "event_type": et.take(pa.array(keep)),
-            "user_id": pa.array(uid[keep], pa.int64()),
-            "__pid": pa.array(pid),
-        }
-    )
-
-
-def _du_count_partition(tbl: pa.Table) -> pa.Table:
-    """Per-partition distinct-pair counts per event_type. A (type, user)
-    pair is routed by hash(user_id), so one partition sees 1/P of EVERY
-    type's users — a hot type spreads over all P tasks instead of one."""
-    et = tbl.column("event_type")
-    if isinstance(et, pa.ChunkedArray):
-        et = et.combine_chunks()
-    de = pc.dictionary_encode(et)
-    tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
-    order = np.lexsort((uid, tcode))
-    ts, us = tcode[order], uid[order]
-    head = np.ones(ts.size, dtype=bool)
-    if ts.size:
-        head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
-    n = np.bincount(ts[head], minlength=len(de.dictionary)).astype(np.int64)
-    return pa.table({"event_type": de.dictionary, "n_partial": pa.array(n, pa.int64())})
-
-
 def distinct_users(sf_dir: str) -> ray.data.Dataset:
     """Exact distinct users per event_type, scale-safe on skewed keys
     (round-3 VERDICT fix): the old plan put ALL of one type's distinct
@@ -580,13 +531,62 @@ def distinct_users(sf_dir: str) -> ray.data.Dataset:
     hash(user_id) % P so every partition holds a 1/P user slice of every
     type, counts distinct pairs vectorized per partition, then sums the
     <= P x n_types partials in a tiny second exchange — the same shape as
-    docs_distinct_tokens (text_analysis.py)."""
+    docs_distinct_tokens (text_analysis.py). UDFs are closures (pickled by
+    value, hashing import captured here) so workers never need the package
+    on their sys.path — module-level UDFs broke driver-from-/tmp runs."""
+    from ..functions.hashing import avalanche64
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        """Batch-local distinct (event_type, user_id) pairs — the combiner:
+        each pair crosses the exchange at most once per batch. Fully
+        vectorized via dictionary-encode + lexsort run-heads."""
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((uid, tcode))
+        ts, us = tcode[order], uid[order]
+        head = np.ones(ts.size, dtype=bool)
+        if ts.size:
+            head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
+        keep = order[head]
+        pid = (avalanche64(uid[keep].astype(np.uint64)) % np.uint64(DISTINCT_USERS_PARTS)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(keep)),
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def count_partition(tbl: pa.Table) -> pa.Table:
+        """Per-partition distinct-pair counts per event_type. A (type, user)
+        pair is routed by hash(user_id), so one partition sees 1/P of EVERY
+        type's users — a hot type spreads over all P tasks instead of one."""
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        tcode = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, tcode))
+        ts, us = tcode[order], uid[order]
+        head = np.ones(ts.size, dtype=bool)
+        if ts.size:
+            head[1:] = (ts[1:] != ts[:-1]) | (us[1:] != us[:-1])
+        n = np.bincount(ts[head], minlength=len(de.dictionary)).astype(np.int64)
+        return pa.table({"event_type": de.dictionary, "n_partial": pa.array(n, pa.int64())})
+
     partials = (
         read_events(sf_dir, ["event_type", "user_id"])
-        .map_batches(_du_dedup_pairs, batch_format="pyarrow")
+        .map_batches(dedup_pairs, batch_format="pyarrow")
         .groupby("__pid")
         .map_groups(
-            lambda g: _du_count_partition(g.drop_columns(["__pid"])), batch_format="pyarrow"
+            lambda g: count_partition(g.drop_columns(["__pid"])), batch_format="pyarrow"
         )
     )
 

@@ -1129,41 +1129,17 @@ DSIR_TARGET_SOURCE = "src0"
 
 
 def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.data.Dataset:
-    from ..functions.hashing import avalanche64, string_hash_array, string_hash_strong
+    from ..functions.hashing import avalanche64, string_hash_strong
 
     docs = _read_docs(sf_dir, ["doc_id", "text", "source"])
 
-    # pass 1 — token totals Tt (target docs) and Tr (all docs): one streaming
-    # scan, one tiny row per batch, O(1) driver result.
-    def totals_batch(tbl: pa.Table) -> pa.Table:
-        ntok = pc.list_value_length(pc.split_pattern(tbl.column("text"), " ")).cast(pa.int64())
-        tgt = pc.equal(tbl.column("source"), target_source)
-        nt = pc.sum(pc.if_else(tgt, ntok, pa.scalar(0, pa.int64()))).as_py() or 0
-        nr = pc.sum(ntok).as_py() or 0
-        return pa.table({"nt": pa.array([nt], pa.int64()), "nr": pa.array([nr], pa.int64())})
-
-    tot = docs.map_batches(totals_batch, batch_format="pyarrow").sum(["nt", "nr"])
-    t_t, t_r = float(tot["sum(nt)"]), float(tot["sum(nr)"])
-
-    # pass 2 — corpus vocabulary size V: per-batch unique tokens (combiner),
-    # hash(token) exchange, per-partition exact distinct, <= P driver ints.
-    def vocab_partial(tbl: pa.Table) -> pa.Table:
-        uniq = pc.unique(_raw_flat_tokens(tbl))
-        pid = (string_hash_array(uniq) % np.uint64(UNIGRAM_PARTS)).astype(np.int32)
-        return pa.table({"token": uniq, "__pid": pa.array(pid)})
-
-    def vocab_count(tbl: pa.Table) -> pa.Table:
-        return pa.table(
-            {"n": pa.array([pc.count_distinct(tbl.column("token")).as_py()], pa.int64())}
-        )
-
-    v = float(
-        docs.map_batches(vocab_partial, batch_format="pyarrow")
-        .groupby("__pid")
-        .map_groups(lambda g: vocab_count(g.drop_columns(["__pid"])), batch_format="pyarrow")
-        .sum("n")
-    )
-    c6 = np.int64(np.floor(np.log((t_r + v) / (t_t + v)) * 1e6 + 0.5))
+    # ONE tokenize pass: the smoothing scalars (Tt, Tr token totals and the
+    # vocabulary size V) all fall out of the main exchange for free — each
+    # score partition owns its tokens exclusively, so its local vocab /
+    # tf-sums are disjoint slices of the global ones. score_partition
+    # stamps them on its first output row; the materialized per-doc-partial
+    # intermediate (which the doc-keyed fold needs anyway) is then reduced
+    # once for 3 driver scalars, and the C6 constant is applied in the fold.
 
     # main exchange — distinct (doc, token, tf) pairs + target flag, routed
     # by the FULL-coverage token hash (identity-bearing: ct/cr group by it).
@@ -1184,7 +1160,9 @@ def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.da
 
     def score_partition(tbl: pa.Table) -> pa.Table:
         """Owns its tokens exclusively: ct/cr are partition-local sums; the
-        per-token micro-nat log-ratio folds into per-doc integer partials."""
+        per-token micro-nat log-ratio folds into per-doc integer partials.
+        The partition's disjoint slice of the global smoothing scalars
+        (vocab_p, tt_p, tr_p) rides out on the first row (0 elsewhere)."""
         tok = tbl.column("token")
         if isinstance(tok, pa.ChunkedArray):
             tok = tok.combine_chunks()
@@ -1211,14 +1189,34 @@ def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.da
         pid2 = (
             avalanche64(uniq.astype(np.int64).view(np.uint64)) % np.uint64(UNIGRAM_PARTS)
         ).astype(np.int32)
+        stat = np.zeros((uniq.size, 3), dtype=np.int64)
+        if uniq.size:
+            stat[0] = (nv, int(ct.sum()), int(cr.sum()))
         return pa.table(
             {
                 "doc_id": pa.array(uniq, pa.int64()),
                 "psum": pa.array(psum, pa.int64()),
                 "pnt": pa.array(pnt, pa.int64()),
                 "__pid2": pa.array(pid2),
+                "vocab_p": pa.array(stat[:, 0], pa.int64()),
+                "tt_p": pa.array(stat[:, 1], pa.int64()),
+                "tr_p": pa.array(stat[:, 2], pa.int64()),
             }
         )
+
+    partials = (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .materialize()  # the fold input; reduced once more for 3 scalars
+    )
+    gl = partials.sum(["vocab_p", "tt_p", "tr_p"])
+    v, t_t, t_r = (
+        float(gl["sum(vocab_p)"]),
+        float(gl["sum(tt_p)"]),
+        float(gl["sum(tr_p)"]),
+    )
+    c6 = np.int64(np.floor(np.log((t_r + v) / (t_t + v)) * 1e6 + 0.5))
 
     def fold_partition(tbl: pa.Table) -> pa.Table:
         did = tbl.column("doc_id").to_numpy()
@@ -1238,11 +1236,11 @@ def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.da
         )
 
     return (
-        docs.map_batches(pairs, batch_format="pyarrow")
-        .groupby("__pid")
-        .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
-        .groupby("__pid2")
-        .map_groups(lambda g: fold_partition(g.drop_columns(["__pid2"])), batch_format="pyarrow")
+        partials.groupby("__pid2")
+        .map_groups(
+            lambda g: fold_partition(g.drop_columns(["__pid2", "vocab_p", "tt_p", "tr_p"])),
+            batch_format="pyarrow",
+        )
     )
 
 

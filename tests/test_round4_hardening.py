@@ -47,10 +47,10 @@ def test_distinct_users_skewed_hot_type(ray_session, tmp_path):
     share of the hot type's pairs."""
     import duckdb
 
+    from audio_feature_extraction_ray.functions.hashing import avalanche64
     from audio_feature_extraction_ray.pipelines.events import (
         DISTINCT_USERS_PARTS,
         DISTINCT_USERS_SQL,
-        _du_dedup_pairs,
         distinct_users,
     )
 
@@ -78,12 +78,13 @@ def test_distinct_users_skewed_hot_type(ray_session, tmp_path):
     assert out["event_type"].tolist() == want["event_type"].tolist()
     assert out["n_users"].tolist() == want["n_users"].tolist()
 
-    # exchange-shape evidence: the hot type's pairs spread over ALL partitions
-    pairs = _du_dedup_pairs(tbl)
-    hot = pairs.filter(pa.compute.equal(pairs.column("event_type"), "view"))
-    pid_counts = np.bincount(
-        hot.column("__pid").to_numpy(), minlength=DISTINCT_USERS_PARTS
+    # exchange-shape evidence: the routing rule (hash(user_id) % P — the
+    # same contract the closure applies) spreads the hot type's distinct
+    # pairs over ALL partitions
+    pids = (avalanche64(hot_users.astype(np.uint64)) % np.uint64(DISTINCT_USERS_PARTS)).astype(
+        np.int32
     )
+    pid_counts = np.bincount(pids, minlength=DISTINCT_USERS_PARTS)
     assert (pid_counts > 0).sum() == DISTINCT_USERS_PARTS  # every partition sees the hot type
     assert pid_counts.max() <= 2 * hot_users.size / DISTINCT_USERS_PARTS  # no hot task
 
