@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bigram_logprob": text_analysis.bigram_logprob,
         "docs_dsir_weights": text_analysis.dsir_weights,
         "docs_ccnet_buckets": text_analysis.ccnet_buckets,
+        "docs_gopher_rules": text_analysis.gopher_rules,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
         # sub-document n-gram span family (exact-substring dedup granularity)
@@ -254,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bigram_logprob": text_analysis.BIGRAM_LOGPROB_SQL,
         "docs_dsir_weights": text_analysis.DSIR_WEIGHTS_SQL,
         "docs_ccnet_buckets": text_analysis.CCNET_BUCKETS_SQL,
+        "docs_gopher_rules": text_analysis.GOPHER_RULES_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "docs_dup_spans": spans.DUP_SPANS_SQL,

@@ -196,6 +196,92 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, §A1.1 "MassiveWeb filtering"):
+# HARD pass/fail gates, not a weighted score — the standard pre-filter a
+# web-scale LM pipeline applies before any model-based scoring. Purely
+# per-row (one map_batches, no exchange). Every rule is evaluated in
+# INTEGER arithmetic (mean-word-length bounds as 3*ntok <= sum_len <=
+# 10*ntok, symbol ratio as 5*punct <= chars) so the bitmask is exact —
+# no float-rounding divergence from the SQL oracle is possible.
+#
+#   bit 0: 10 <= n_tokens <= 100000        (length gate)
+#   bit 1: mean token length in [3, 10]    (gibberish / boilerplate gate)
+#   bit 2: >= 2 stopwords                  (natural-language gate)
+#   bit 3: punctuation ratio <= 0.2        (symbol-spam gate)
+#
+# keep = all four bits set. Empty docs fail every rule.
+
+
+def gopher_rules(sf_dir: str) -> ray.data.Dataset:
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks() if isinstance(
+            tbl.column("text"), pa.ChunkedArray
+        ) else tbl.column("text")
+        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy().astype(np.int64)
+        sum_len = np.where(ntok > 0, charc - (ntok - 1), 0)
+        stop_cnt = _segment_sums(
+            pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False), offs
+        ).astype(np.int64)
+        punct_cnt = charc - pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
+        ).cast(pa.int64()).to_numpy()
+        nonempty = (charc > 0) & (ntok > 0)
+        r1 = nonempty & (ntok >= 10) & (ntok <= 100_000)
+        r2 = nonempty & (3 * ntok <= sum_len) & (sum_len <= 10 * ntok)
+        r3 = nonempty & (stop_cnt >= 2)
+        r4 = nonempty & (5 * punct_cnt <= charc)
+        mask = (
+            r1.astype(np.int64)
+            | (r2.astype(np.int64) << 1)
+            | (r3.astype(np.int64) << 2)
+            | (r4.astype(np.int64) << 3)
+        )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "rule_mask": pa.array(mask, pa.int64()),
+                "keep": pa.array(mask == 15),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+GOPHER_RULES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS charc,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS ntok,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> list_contains({_stoplist_sql(_EN_STOP)}, x))) AS BIGINT) AS stop_cnt,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS punct_cnt
+  FROM documents
+), r AS (
+  SELECT doc_id, ntok,
+         CASE WHEN charc > 0 AND ntok > 0 THEN charc - (ntok - 1) ELSE 0 END AS sum_len,
+         charc > 0 AND ntok > 0 AS nonempty, stop_cnt, punct_cnt, charc
+  FROM t
+)
+SELECT doc_id, ntok AS n_tokens,
+       (CAST(nonempty AND ntok >= 10 AND ntok <= 100000 AS BIGINT)
+      + CAST(nonempty AND 3 * ntok <= sum_len AND sum_len <= 10 * ntok AS BIGINT) * 2
+      + CAST(nonempty AND stop_cnt >= 2 AS BIGINT) * 4
+      + CAST(nonempty AND 5 * punct_cnt <= charc AS BIGINT) * 8) AS rule_mask,
+       (CAST(nonempty AND ntok >= 10 AND ntok <= 100000 AS BIGINT)
+      + CAST(nonempty AND 3 * ntok <= sum_len AND sum_len <= 10 * ntok AS BIGINT) * 2
+      + CAST(nonempty AND stop_cnt >= 2 AS BIGINT) * 4
+      + CAST(nonempty AND 5 * punct_cnt <= charc AS BIGINT) * 8) = 15 AS keep
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # language-ID heuristic (functions.text.langid, vectorized): CJK-ratio gate
 # then stopword vote, ties broken by _LANG_ORDER; 'und' with no evidence.
 

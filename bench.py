@@ -240,6 +240,7 @@ def run_bench() -> dict:
         ("docs_source_overlap", spans.source_overlap),
         ("docs_dsir_weights", text_analysis.dsir_weights),
         ("docs_ccnet_buckets", text_analysis.ccnet_buckets),
+        ("docs_gopher_rules", text_analysis.gopher_rules),
         ("embedding_quantize", search_dedup.embedding_quantize),
         ("docs_bpe_merges", bpe.bpe_merges),
     ]:

@@ -394,3 +394,46 @@ def test_ccnet_buckets_ties_and_ntile_sizing(ray_session, tmp_path):
     assert (got["avg_logprob_e6"].to_numpy() == ref["avg_logprob_e6"].to_numpy()).all()
     sizes = got["ppl_bucket"].value_counts().sort_index().to_list()
     assert sizes == [67, 67, 66]  # NTILE: first n % 3 buckets get the extra row
+
+
+def test_gopher_rules_each_bit(ray_session, tmp_path):
+    """Each Gopher gate flips independently on a crafted doc, empty text
+    fails all gates, and the integer bitmask matches the SQL oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        GOPHER_RULES_SQL,
+        gopher_rules,
+    )
+
+    docs = [
+        (0, "the and for with this that from have " + "word " * 20),  # passes all
+        (1, "the and one two"),  # < 10 tokens -> bit0 off
+        (2, "the and " + "a " * 38),  # mean len < 3 -> bit1 off (stopwords ok)
+        (3, "zebra " * 40),  # no stopwords -> bit2 off
+        (4, "the and for with this that " + "!!!! .... ,,,, " * 12),  # punct -> bit3 off
+        (5, ""),  # empty -> mask 0
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1].strip() for d in docs], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = gopher_rules(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    ref = con.execute(GOPHER_RULES_SQL).fetchdf().sort_values("doc_id").reset_index(drop=True)
+    assert (got["rule_mask"].to_numpy() == ref["rule_mask"].to_numpy()).all()
+    masks = dict(zip(got.doc_id, got.rule_mask))
+    assert masks[0] == 15 and got.keep[0]
+    assert masks[1] & 1 == 0 and masks[1] & 4  # short but has stopwords
+    assert masks[2] & 2 == 0 and masks[2] & 1  # mean-length fail, length ok
+    assert masks[3] & 4 == 0 and masks[3] & 2  # stopword fail
+    assert masks[4] & 8 == 0 and masks[4] & 4  # punct fail
+    assert masks[5] == 0
