@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q14_promo_share": relational.q14_promo_share,
         "q15_top_supplier": relational.q15_top_supplier,
+        "q18_big_orders": relational.q18_big_orders,
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": relational.Q6_FORECAST_SQL,
         "q14_promo_share": relational.Q14_PROMO_SHARE_SQL,
         "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
+        "q18_big_orders": relational.Q18_BIG_ORDERS_SQL,
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,

@@ -1631,3 +1631,123 @@ SELECT s_suppkey, s_name, CAST(r.rev4 AS DOUBLE) / 1e4 AS total_revenue
 FROM supplier JOIN r ON s_suppkey = l_suppkey
 WHERE r.rev4 = (SELECT max(rev4) FROM r)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog ("large volume customers"): orders whose total lineitem
+# quantity exceeds a threshold, joined back to customer. The classic
+# group-HAVING + double-join, with the scale-defining property that the
+# HAVING filter is massively selective — so the plan is: map-side combine
+# of integer quantity sums per orderkey, ONE bounded hash exchange to fold
+# them exactly, filter (now a tiny set), then two broadcast joins
+# (matched orders into orders, matched orders into customer) instead of
+# shuffling the two big tables. l_quantity is integral by TPC-H spec, so
+# the sums are exact int64.
+
+Q18_MIN_QTY = 250
+Q18_PARTS = 32
+
+
+def q18_big_orders(sf_dir: str, num_partitions: int = Q18_PARTS) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64
+    from ..stages.join import broadcast_dim_join, gather_small_side
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("l_orderkey").to_numpy()
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ok, kind="stable")
+        ok_s, q_s = ok[order], qty[order]
+        head = np.ones(ok_s.size, dtype=bool)
+        head[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(head)
+        sums = np.add.reduceat(q_s, starts) if starts.size else np.empty(0, np.int64)
+        keys = ok_s[starts]
+        pid = (avalanche64(keys.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(keys, pa.int64()),
+                "qty": pa.array(sums, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def fold_filter(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("l_orderkey").to_numpy()
+        qty = tbl.column("qty").to_numpy()
+        uniq, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, qty)
+        keep = s > Q18_MIN_QTY
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uniq[keep], pa.int64()),
+                "sum_qty": pa.array(s[keep], pa.int64()),
+            }
+        )
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: fold_filter(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    # the HAVING survivors: a declared-small set (threshold selectivity),
+    # safe to broadcast — the two base tables never shuffle
+    big_tbl = gather_small_side(big)
+
+    matched_orders = broadcast_dim_join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        big_tbl,
+        fact_key="o_orderkey",
+        dim_key="l_orderkey",
+        dim_cols=["sum_qty"],
+    )
+    mo_tbl = gather_small_side(matched_orders)
+    mck = mo_tbl.column("o_custkey").to_numpy()
+    morder = np.argsort(mck, kind="stable")
+    mo_ref = ray.put((mck[morder], mo_tbl.take(pa.array(morder))))
+
+    def cust_join(tbl: pa.Table) -> pa.Table:
+        """Inner join customer rows to their matched orders; a customer can
+        own several qualifying orders (vectorized multi-match expansion)."""
+        cks, mo = ray.get(mo_ref)
+        cu = tbl.column("c_custkey").to_numpy()
+        lo = np.searchsorted(cks, cu, side="left")
+        hi = np.searchsorted(cks, cu, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        crow = np.repeat(np.arange(cu.size, dtype=np.int64), cnt)
+        if total:
+            midx = lo.repeat(cnt) + (
+                np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+        else:
+            midx = np.empty(0, np.int64)
+        msel = mo.take(pa.array(midx))
+        return pa.table(
+            {
+                "c_custkey": tbl.column("c_custkey").take(pa.array(crow)).cast(pa.int64()),
+                "c_name": tbl.column("c_name").take(pa.array(crow)),
+                "o_orderkey": msel.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": msel.column("o_orderdate"),
+                "o_totalprice": msel.column("o_totalprice"),
+                "sum_qty": msel.column("sum_qty"),
+            }
+        )
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        cust_join, batch_format="pyarrow"
+    )
+
+
+Q18_BIG_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN big ON o_orderkey = l_orderkey
+"""

@@ -230,6 +230,7 @@ def run_bench() -> dict:
         ("q6_forecast_revenue", relational.q6_forecast_revenue),
         ("q14_promo_share", relational.q14_promo_share),
         ("q15_top_supplier", relational.q15_top_supplier),
+        ("q18_big_orders", relational.q18_big_orders),
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),
