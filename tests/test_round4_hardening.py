@@ -437,3 +437,66 @@ def test_gopher_rules_each_bit(ray_session, tmp_path):
     assert masks[3] & 4 == 0 and masks[3] & 2  # stopword fail
     assert masks[4] & 8 == 0 and masks[4] & 4  # punct fail
     assert masks[5] == 0
+
+
+def test_dsir_weights_matches_naive_reference(ray_session, tmp_path):
+    """Property check vs an independent naive implementation (pure Python
+    dict counting, no shared code): exact integer equality of
+    dsir_logratio_e6 on a randomized multi-source corpus — pins the
+    algebraic split sum(tf*s6) + ntok*C6 == the smoothed log-ratio, and the
+    in-exchange derivation of Tt/Tr/V."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import dsir_weights
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(150)]
+    docs = []
+    for i in range(120):
+        src = f"src{i % 5}"
+        toks = list(rng.choice(vocab, size=int(rng.integers(1, 60))))
+        docs.append((i, " ".join(toks), src))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "source": pa.array([d[2] for d in docs], pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    got = dsir_weights(str(d)).to_pandas().set_index("doc_id").sort_index()
+
+    # naive reference
+    ct, cr = {}, {}
+    tt = tr = 0
+    per_doc = {}
+    for did, text, src in docs:
+        toks = text.split(" ")
+        tf = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        per_doc[did] = tf
+        for t, c in tf.items():
+            cr[t] = cr.get(t, 0) + c
+            if src == "src0":
+                ct[t] = ct.get(t, 0) + c
+        tr += len(toks)
+        if src == "src0":
+            tt += len(toks)
+    v = len(cr)
+    c6 = math.floor(math.log((tr + v) / (tt + v)) * 1e6 + 0.5)
+    for did, text, src in docs:
+        tf = per_doc[did]
+        s = sum(
+            c * math.floor((math.log(ct.get(t, 0) + 1) - math.log(cr[t] + 1)) * 1e6 + 0.5)
+            for t, c in tf.items()
+        )
+        ntok = sum(tf.values())
+        want = s + ntok * c6
+        assert int(got.loc[did, "dsir_logratio_e6"]) == want, did
+        assert int(got.loc[did, "token_count"]) == ntok
