@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer training (rows-only: iterative global argmax; pinned
         # against a naive single-process BPE reference in pytest)
         "docs_bpe_merges": bpe.bpe_merges,
+        "docs_bpe_encode": bpe.bpe_encode,  # rows-only (iterative merge learning)
         # dedup family
         "dedup_exact_docs": search_dedup.dedup_exact_docs,
         "dedup_incremental": search_dedup.dedup_incremental_docs,

@@ -219,11 +219,13 @@ def _pin(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ray.data.from_arrow_refs(refs)
 
 
-def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
+def bpe_train(sf_dir: str, n_merges: int = N_MERGES, return_encoder: bool = False):
     """Learn `n_merges` BPE merges over the corpus. Returns a pandas
     DataFrame (rank, left, right, token, pair_count) — the merge table, in
     learned order. Deterministic: ties break on the packed pair key, i.e.
-    (left id, right id) ascending."""
+    (left id, right id) ascending. With return_encoder=True, also returns
+    the id-level encoder state (alphabet list, [(a, b, new_id), ...]) for
+    bpe_encode."""
     import pandas as pd
 
     words = _pin(word_counts(sf_dir))
@@ -242,6 +244,7 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
     table = _pin(words.map_batches(lambda t: _symbolize(t, sym_of), batch_format="pyarrow"))
 
     merges = []
+    id_merges: list[tuple[int, int, int]] = []
     for rank in range(n_merges):
         cands = (
             table.map_batches(
@@ -262,6 +265,7 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
         b = pair_key & ((1 << int(PAIR_SHIFT)) - 1)
         new_id = len(sym_str)
         sym_str.append(sym_str[a] + sym_str[b])
+        id_merges.append((a, b, new_id))
         merges.append(
             {
                 "rank": rank,
@@ -277,10 +281,74 @@ def bpe_train(sf_dir: str, n_merges: int = N_MERGES):
                 batch_format="pyarrow",
             )
         )
-    return pd.DataFrame(merges, columns=["rank", "left", "right", "token", "pair_count"])
+    df = pd.DataFrame(merges, columns=["rank", "left", "right", "token", "pair_count"])
+    if return_encoder:
+        return df, alphabet, id_merges
+    return df
 
 
 def bpe_merges(sf_dir: str):
     """Driver-contract query (rows-only: iterative global argmax is not
     SQL-expressible; pinned against a naive reference in pytest)."""
     return bpe_train(sf_dir, N_MERGES)
+
+
+def bpe_encode(sf_dir: str, n_merges: int = N_MERGES) -> ray.data.Dataset:
+    """Tokenizer APPLICATION at corpus scale — the other half of the
+    train -> encode story: learn the merge table once (bounded driver
+    state), broadcast it (ray.put once), then one stateless vectorized
+    pass over documents. Per batch, only the DISTINCT words are encoded
+    (dictionary-encode combiner: Zipf makes this a large constant factor),
+    merges replay in rank order through the same _apply_merge kernel the
+    trainer uses, and per-doc BPE token counts come from one segment-sum —
+    no per-word Python in the hot path. Rows-only driver check (iterative
+    merge learning is not SQL-expressible); pinned against a naive
+    single-process encoder in pytest, including the "aaa" left-to-right
+    non-overlap parity case."""
+    _, alphabet, id_merges = bpe_train(sf_dir, n_merges, return_encoder=True)
+    sym_of = {ch: i for i, ch in enumerate(alphabet)}
+    enc_ref = ray.put((sym_of, id_merges))
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        sym, merges_l = ray.get(enc_ref)
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        de = pc.dictionary_encode(flat)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        words = de.dictionary
+        if len(words):
+            wt = _symbolize(
+                pa.table(
+                    {"word": words, "cnt": pa.array(np.ones(len(words), np.int64), pa.int64())}
+                ),
+                sym,
+            )
+            for a, b, nid in merges_l:
+                wt = _apply_merge(wt, a, b, nid)
+            n_syms = (
+                pc.list_value_length(wt.column("syms").combine_chunks())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            per_word = n_syms[codes]
+        else:
+            per_word = np.zeros(0, np.int64)
+        offs = np.concatenate([[0], np.cumsum(nw)])[:-1]
+        per_doc = (
+            np.add.reduceat(per_word, np.minimum(offs, per_word.size - 1))
+            if per_word.size
+            else np.zeros(tbl.num_rows, np.int64)
+        )
+        per_doc = np.where(nw > 0, per_doc, 0)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_bpe_tokens": pa.array(per_doc, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(encode, batch_format="pyarrow")
