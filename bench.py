@@ -244,6 +244,7 @@ def run_bench() -> dict:
         ("docs_gopher_rules", text_analysis.gopher_rules),
         ("embedding_quantize", search_dedup.embedding_quantize),
         ("docs_bpe_merges", bpe.bpe_merges),
+        ("docs_bpe_encode", bpe.bpe_encode),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
@@ -251,15 +252,20 @@ def run_bench() -> dict:
             _consume(res)
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # full per-query map goes to a sidecar file; the stdout line stays compact
-    try:
-        with open(QUERIES_FILE, "w") as fh:
-            json.dump(
-                {"sf": sf, "num_cpus": NUM_CPUS, "queries": timings}, fh, indent=1
-            )
-        qfile: str | None = QUERIES_FILE
-    except OSError:
-        qfile = None
+    # full per-query map goes to a sidecar file; the stdout line stays
+    # compact. headline_only (the --scaling subprocess mode) must NOT write
+    # it — the ladder runs would clobber the full suite's map with a
+    # one-entry file.
+    qfile: str | None = None
+    if not headline_only:
+        try:
+            with open(QUERIES_FILE, "w") as fh:
+                json.dump(
+                    {"sf": sf, "num_cpus": NUM_CPUS, "queries": timings}, fh, indent=1
+                )
+            qfile = QUERIES_FILE
+        except OSError:
+            qfile = None
 
     ray.shutdown()
     if headline_only:
