@@ -500,3 +500,39 @@ def test_dsir_weights_matches_naive_reference(ray_session, tmp_path):
         want = s + ntok * c6
         assert int(got.loc[did, "dsir_logratio_e6"]) == want, did
         assert int(got.loc[did, "token_count"]) == ntok
+
+
+def test_bench_metric_line_fits_driver_tail_capture():
+    """BENCH_r03 parsed=null because the final metric line outgrew the
+    driver's 2000-char tail capture. Pin the contract: a worst-case final
+    line (the 5 LONGEST query names actually in bench.py's suite, maximal
+    realistic numeric widths, both scaling medians) stays well under the
+    limit — so the suite can keep growing without re-breaking the parse."""
+    import json
+    import re
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parents[1] / "bench.py").read_text()
+    names = re.findall(r'^\s+\("([a-z0-9_]+)", ', src, re.M)
+    assert len(names) > 50  # the timed suite, parsed from source
+    longest5 = sorted(names, key=len, reverse=True)[:5]
+    line = json.dumps(
+        {
+            "metric": "end-to-end feature pipeline wall (pages: asof+LOCF+lag+"
+            "rolling+sessionize) + operator suite",
+            "value": 99999.999,
+            "unit": "sec",
+            "sf": "0.001",
+            "num_cpus": 32,
+            "headline_rows": 1_800_027_000,
+            "docs_per_s": 99999999.9,
+            "fault_probe_gbps": 10.25,
+            "suite_sec": 99999.999,
+            "suite_n": len(names) + 1,
+            "slowest5": {n: 99999.999 for n in longest5},
+            "queries_file": "/root/repo/BENCH_QUERIES.json",
+            "scaling_4_16": 0.995,
+            "scaling_8_32": 0.316,
+        }
+    )
+    assert len(line) < 1500, len(line)
