@@ -1098,7 +1098,9 @@ def unigram_logprob(sf_dir: str) -> ray.data.Dataset:
         n = pc.sum(pc.list_value_length(toks).cast(pa.int64())).as_py() or 0
         return pa.table({"ntok": pa.array([n], pa.int64())})
 
-    total = float(docs.map_batches(ntok_batch, batch_format="pyarrow").sum("ntok"))
+    # `or 0`: Dataset.sum returns None when the input has no blocks (empty
+    # parquet) — total only feeds per-token scores, of which there are none
+    total = float(docs.map_batches(ntok_batch, batch_format="pyarrow").sum("ntok") or 0)
 
     def pairs(tbl: pa.Table) -> pa.Table:
         rows, tok_arr, tf = _doc_token_pairs(tbl)
@@ -1296,12 +1298,12 @@ def dsir_weights(sf_dir: str, target_source: str = DSIR_TARGET_SOURCE) -> ray.da
         .map_groups(lambda g: score_partition(g.drop_columns(["__pid"])), batch_format="pyarrow")
         .materialize()  # the fold input; reduced once more for 3 scalars
     )
-    gl = partials.sum(["vocab_p", "tt_p", "tr_p"])
-    v, t_t, t_r = (
-        float(gl["sum(vocab_p)"]),
-        float(gl["sum(tt_p)"]),
-        float(gl["sum(tr_p)"]),
-    )
+    # empty corpus: Dataset.sum yields None (or None-valued fields) — no
+    # rows reach the fold, so any c6 works; 1/0/0 keeps the log defined
+    gl = partials.sum(["vocab_p", "tt_p", "tr_p"]) or {}
+    v = float(gl.get("sum(vocab_p)") or 1)
+    t_t = float(gl.get("sum(tt_p)") or 0)
+    t_r = float(gl.get("sum(tr_p)") or 0)
     c6 = np.int64(np.floor(np.log((t_r + v) / (t_t + v)) * 1e6 + 0.5))
 
     def fold_partition(tbl: pa.Table) -> pa.Table:

@@ -536,3 +536,49 @@ def test_bench_metric_line_fits_driver_tail_capture():
         }
     )
     assert len(line) < 1500, len(line)
+
+
+def test_round4_ops_empty_and_single_row_inputs(ray_session, tmp_path):
+    """0-row and 1-row corpora flow through every round-4 operator without
+    crashing (Dataset.sum returns None on a 0-block input — the dsir/ccnet
+    smoothing scalars must guard it) and produce row-conserving output."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from audio_feature_extraction_ray.pipelines import bpe, search_dedup, text_analysis
+
+    for label, rows in [("empty", []), ("one", [(0, "hello world the a", "src0")])]:
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array([r[2] for r in rows], pa.string()),
+                    "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+                }
+            ),
+            d / "documents.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "embedding": pa.array([[1.0, 2.0]] * len(rows), pa.list_(pa.float32())),
+                    "label": pa.array([0] * len(rows), pa.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        for name, fn, want in [
+            ("dsir", text_analysis.dsir_weights, len(rows)),
+            ("ccnet", text_analysis.ccnet_buckets, len(rows)),
+            ("gopher", text_analysis.gopher_rules, len(rows)),
+            ("quantize", search_dedup.embedding_quantize, 2 * len(rows)),
+            ("bpe_encode", bpe.bpe_encode, len(rows)),
+        ]:
+            r = fn(str(d))
+            n = len(r) if isinstance(r, pd.DataFrame) else r.count()
+            assert n == want, (label, name, n)
