@@ -123,6 +123,51 @@ def cmd_gen_fixture(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any operator-suite query (the __ray_entry__.queries() registry)
+    over a testdata-shaped table dir; stream the result to parquet (one
+    file per block — resumable layout) or, with --show, print the first
+    rows. `--list` enumerates available queries."""
+    import importlib.util
+    import os
+
+    # the registry lives in the repo-root driver contract module
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "afe_ray_entry", os.path.join(root, "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    if args.list:
+        print("\n".join(sorted(qs)))
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    if not args.sf_dir or (not args.out and not args.show):
+        print("need --sf-dir and one of --out/--show", file=sys.stderr)
+        return 2
+    _init_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+
+    res = qs[args.name](args.sf_dir)
+    if isinstance(res, pd.DataFrame):
+        res = __import__("ray").data.from_pandas(res)
+    elif isinstance(res, pa.Table):
+        res = __import__("ray").data.from_arrow(res)
+    if args.show:
+        import pandas as _pd
+
+        head = res.limit(args.show).to_pandas()
+        print(head.to_string())
+        return 0
+    res.write_parquet(args.out)
+    print(json.dumps({"query": args.name, "out": args.out}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="audio_feature_extraction_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -163,6 +208,15 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--files", type=int, default=2)
     g.add_argument("--seed", type=int, default=42)
     g.set_defaults(fn=cmd_gen_fixture)
+
+    q = sub.add_parser("query", help="run an operator-suite query over a table dir")
+    q.add_argument("name", nargs="?", default="", help="query name (see --list)")
+    q.add_argument("--sf-dir", help="dir with documents/events/... parquet tables")
+    q.add_argument("--out", help="write result parquet here")
+    q.add_argument("--show", type=int, default=0, help="print first N rows instead of writing")
+    q.add_argument("--list", action="store_true", help="list available queries")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -270,3 +270,34 @@ def test_jaccard_join_under_object_store_pressure():
     assert out.returncode == 0, out.stderr[-2000:]
     pairs = [l for l in out.stdout.splitlines() if l.startswith("PAIRS")]
     assert pairs and int(pairs[0].split()[1]) == 11025  # == the oracle count
+
+
+def test_cli_query_subcommand(ray_session, tmp_path, capsys):
+    """query --list enumerates the full registry; --show prints rows; --out
+    streams the result to parquet; unknown names fail with rc=2."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rc = main(["query", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.strip().splitlines()
+    assert len(names) > 100 and "docs_gopher_rules" in names
+
+    rc = main(
+        ["query", "docs_gopher_rules", "--sf-dir", "/root/testdata/sf0.001", "--show", "3"]
+    )
+    assert rc == 0
+    shown = capsys.readouterr().out
+    assert "rule_mask" in shown
+
+    out = tmp_path / "q1"
+    rc = main(
+        ["query", "q1_pricing", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out)]
+    )
+    assert rc == 0
+    files = glob.glob(str(out / "*.parquet"))
+    assert files and sum(pq.read_metadata(f).num_rows for f in files) > 0
+
+    assert main(["query", "no_such_query", "--sf-dir", "x", "--show", "1"]) == 2
+    assert main(["query", "q1_pricing"]) == 2  # missing --sf-dir/--out
