@@ -50,6 +50,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from audio_feature_extraction_ray.stages.ann import (
         embedding_pca as _embedding_pca,
     )
+    from audio_feature_extraction_ray.stages.ann import (
+        embedding_semdedup as _embedding_semdedup,
+    )
     from audio_feature_extraction_ray.stages.multimodal import (
         media_audio_features as _media_audio_features,
     )
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
         "embedding_lsh_dups": search_dedup.embedding_lsh_dups,  # rows-only (LSH)
         "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
+        "embedding_semdedup": _embedding_semdedup,  # rows-only (iterative k-means)
         "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
         "embedding_normalize": search_dedup.embedding_normalize,
         "embedding_quantize": search_dedup.embedding_quantize,

@@ -514,3 +514,77 @@ def embedding_pca(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): k-means the embedding space,
+# then prune near-duplicate vectors WITHIN each cluster by pairwise cosine
+# — the clustering is exactly what makes semantic dedup tractable at
+# corpus scale (pairwise work is bounded per cluster, never all-pairs).
+# Deterministic keep rule: a vector is dropped iff an EARLIER-id vector in
+# its cluster has cosine >= tau. Plan: deterministic distributed Lloyd's
+# (kmeans_fit, broadcast centroids), per-batch assignment, ONE exchange on
+# cluster id, per-cluster chunked-GEMM prune (row blocks of the similarity
+# matrix — memory c x B, never c x c for big clusters). Rows-only driver
+# check (iterative k-means); pinned against a naive single-process
+# reference in pytest.
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.95
+_SEMDEDUP_ROW_BLOCK = 4096
+
+
+def embedding_semdedup(
+    sf_dir: str, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent, _, _ = kmeans_fit(ds, k=k)
+    cref = ray.put(cent)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _emb_matrix(tbl)
+        d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                "vec_id": tbl.column("vec_id").cast(pa.int64()),
+                "embedding": tbl.column("embedding"),
+                "cluster": pa.array(d.argmin(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def prune(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        ids = ids[order]
+        nm = _norm_rows(_emb_matrix(tbl))
+        n = nm.shape[0]
+        max_cos = np.full(n, -1.0)
+        # row blocks against the full (cluster-sized) matrix: position in
+        # the id-sorted order IS the earlier-vector mask
+        for lo in range(1, n, _SEMDEDUP_ROW_BLOCK):
+            hi = min(lo + _SEMDEDUP_ROW_BLOCK, n)
+            sim = nm[lo:hi] @ nm.T  # (B, n)
+            col = np.arange(n)[None, :]
+            row = np.arange(lo, hi)[:, None]
+            sim[col >= row] = -1.0  # only earlier ids count
+            max_cos[lo:hi] = sim.max(axis=1)
+        keep = max_cos < tau
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": tbl.column("cluster"),
+                "keep": pa.array(keep),
+                "max_cos_e6": pa.array(
+                    np.floor(max_cos * 1e6 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

@@ -258,3 +258,70 @@ def test_embedding_quantize_roundtrip_bounds(ray_session):
     # reconstruction error <= s/2 + scale_e9 rounding slack per component
     err = np.abs(q * s[:, None] - m)
     assert (err <= s[:, None] / 2 + 1e-6).all()
+
+
+def test_embedding_semdedup_matches_naive_and_prunes_planted(ray_session, tmp_path):
+    """SemDeDup: (a) keep flags match a naive single-process reference
+    (naive Lloyd + per-cluster pairwise cosine, keep-lowest-id) on the
+    fixture; (b) planted exact duplicates are pruned, orthogonal vectors
+    survive."""
+    import pyarrow as pa
+
+    from audio_feature_extraction_ray.stages.ann import (
+        SEMDEDUP_TAU,
+        _emb_matrix,
+        embedding_semdedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = embedding_semdedup(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = _emb_matrix(t)
+    assert len(got) == len(ids) and got.vec_id.is_unique
+
+    # naive reference: same deterministic Lloyd as the engine's contract
+    cent = m[np.argsort(ids, kind="stable")[:8]].copy()
+    for _ in range(5):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(8):
+            msk = assign == c
+            if msk.any():
+                cent[c] = m[msk].mean(axis=0)
+    nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+    keep_ref = {}
+    for c in range(8):
+        cids = np.sort(ids[assign == c])
+        idx = {v: np.flatnonzero(ids == v)[0] for v in cids}
+        for i, v in enumerate(cids):
+            earlier = [idx[w] for w in cids[:i]]
+            mx = max((float(nm[idx[v]] @ nm[e]) for e in earlier), default=-1.0)
+            keep_ref[v] = mx < SEMDEDUP_TAU
+    g = got.set_index("vec_id")["keep"]
+    assert all(bool(g.loc[v]) == keep_ref[v] for v in keep_ref)
+
+    # planted duplicates: 3 copies of one vector + 3 orthogonal axes
+    n, dim = 40, 8
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(n, dim))
+    base[10] = base[11] = base[12]  # exact trio
+    base[0], base[1], base[2] = np.eye(dim)[0] * 5, np.eye(dim)[1] * 5, np.eye(dim)[2] * 5
+    d2 = tmp_path / "sf"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype("float32").tolist() for r in base], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        d2 / "embeddings.parquet",
+    )
+    out = embedding_semdedup(str(d2)).to_pandas().set_index("vec_id")
+    assert bool(out.loc[10, "keep"])  # first copy survives
+    assert not bool(out.loc[11, "keep"]) and not bool(out.loc[12, "keep"])
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"]) and bool(out.loc[2, "keep"])
