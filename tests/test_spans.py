@@ -325,3 +325,18 @@ def test_embedding_semdedup_matches_naive_and_prunes_planted(ray_session, tmp_pa
     assert bool(out.loc[10, "keep"])  # first copy survives
     assert not bool(out.loc[11, "keep"]) and not bool(out.loc[12, "keep"])
     assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"]) and bool(out.loc[2, "keep"])
+
+
+def test_embedding_semdedup_row_block_invariance(ray_session, monkeypatch):
+    """The chunked-GEMM prune must be invariant to _SEMDEDUP_ROW_BLOCK:
+    forcing 3-row blocks gives bit-identical keep flags and max_cos_e6 to
+    the default (one-block) path on the fixture."""
+    from audio_feature_extraction_ray.stages import ann
+
+    sf = "/root/testdata/sf0.001"
+    base = ann.embedding_semdedup(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    monkeypatch.setattr(ann, "_SEMDEDUP_ROW_BLOCK", 3)
+    small = ann.embedding_semdedup(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (base["keep"].to_numpy() == small["keep"].to_numpy()).all()
+    assert (base["max_cos_e6"].to_numpy() == small["max_cos_e6"].to_numpy()).all()
+    assert (base["cluster"].to_numpy() == small["cluster"].to_numpy()).all()
