@@ -133,9 +133,17 @@ def cmd_query(args) -> int:
 
     # the registry lives in the repo-root driver contract module
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    spec = importlib.util.spec_from_file_location(
-        "afe_ray_entry", os.path.join(root, "__ray_entry__.py")
-    )
+    entry_path = os.path.join(root, "__ray_entry__.py")
+    if not os.path.isfile(entry_path):
+        # installed-wheel layout (site-packages) has no repo-root module;
+        # fail with a clear message instead of a FileNotFoundError traceback
+        print(
+            "query registry (__ray_entry__.py) not found next to the package; "
+            "the `query` subcommand requires a repo checkout",
+            file=sys.stderr,
+        )
+        return 2
+    spec = importlib.util.spec_from_file_location("afe_ray_entry", entry_path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     qs = mod.queries()

@@ -320,20 +320,35 @@ def bpe_encode(sf_dir: str, n_merges: int = N_MERGES) -> ray.data.Dataset:
         codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         words = de.dictionary
         if len(words):
-            wt = _symbolize(
-                pa.table(
-                    {"word": words, "cnt": pa.array(np.ones(len(words), np.int64), pa.int64())}
-                ),
-                sym,
-            )
-            for a, b, nid in merges_l:
-                wt = _apply_merge(wt, a, b, nid)
-            n_syms = (
-                pc.list_value_length(wt.column("syms").combine_chunks())
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            per_word = n_syms[codes]
+            # Zero-length dictionary entries (empty docs split to [""],
+            # double/leading spaces) contribute 0 BPE tokens but would break
+            # the flat-buffer offset arithmetic in _symbolize/_apply_merge
+            # (offs[i+1]==offs[i] makes the boundary mask wrap) — filter them
+            # out of the word table and map their codes to 0 tokens, the same
+            # policy word_counts applies on the training path.
+            wlens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = wlens > 0
+            per_word_all = np.zeros(len(words), np.int64)
+            if keep.any():
+                kept_words = words.filter(pa.array(keep))
+                wt = _symbolize(
+                    pa.table(
+                        {
+                            "word": kept_words,
+                            "cnt": pa.array(np.ones(len(kept_words), np.int64), pa.int64()),
+                        }
+                    ),
+                    sym,
+                )
+                for a, b, nid in merges_l:
+                    wt = _apply_merge(wt, a, b, nid)
+                n_syms = (
+                    pc.list_value_length(wt.column("syms").combine_chunks())
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                per_word_all[keep] = n_syms
+            per_word = per_word_all[codes]
         else:
             per_word = np.zeros(0, np.int64)
         offs = np.concatenate([[0], np.cumsum(nw)])[:-1]

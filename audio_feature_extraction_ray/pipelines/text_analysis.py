@@ -1739,9 +1739,26 @@ LENGTH_QUANTILE_BINS = 4096
 
 
 def length_quantile_hist(sf_dir: str) -> ray.data.Dataset:
+    from ..errors import SchemaError
     from ..stages.window import grouped_quantile_sketch
 
-    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+    def guard(tbl: pa.Table) -> pa.Table:
+        # The exact-regime contract (width-1 bins own every integer value)
+        # silently breaks if a doc exceeds the bin range — the clamp into the
+        # top bin would diverge from the exact SQL oracle. Enforce, don't
+        # assume (ADVICE r4).
+        mx = pc.max(tbl.column("n_chars")).as_py()
+        if mx is not None and mx >= LENGTH_QUANTILE_BINS:
+            raise SchemaError(
+                f"length_quantile_hist exact regime requires n_chars < "
+                f"{LENGTH_QUANTILE_BINS}; saw {mx} — raise LENGTH_QUANTILE_BINS "
+                "or use events_quantile_sketch (approximate regime)"
+            )
+        return tbl
+
+    ds = _read_docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        guard, batch_format="pyarrow"
+    )
     return grouped_quantile_sketch(
         ds,
         key="lang",
@@ -1880,26 +1897,45 @@ def hll_distinct_langs_exact(sf_dir: str):
     m = 1 << HLL_P
 
     def partial(tbl: pa.Table) -> pa.Table:
-        h = string_hash_strong(pc.unique(tbl.column("lang").combine_chunks()
-                                         if isinstance(tbl.column("lang"), pa.ChunkedArray)
-                                         else tbl.column("lang")))
+        uniq = pc.unique(tbl.column("lang").combine_chunks()
+                         if isinstance(tbl.column("lang"), pa.ChunkedArray)
+                         else tbl.column("lang"))
+        h = string_hash_strong(uniq)
         reg = np.zeros(m, dtype=np.uint8)
         if h.size:
             idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
             reg[idx] = 1  # presence is all the exact regime needs
+        # also ship the batch's distinct lang strings (bounded domain) so
+        # the driver can VERIFY the collision-free assumption instead of
+        # assuming it (ADVICE r4)
         return pa.table(
-            {"regs": pa.FixedSizeListArray.from_arrays(pa.array(reg, pa.uint8()), m)}
+            {
+                "regs": pa.FixedSizeListArray.from_arrays(pa.array(reg, pa.uint8()), m),
+                "langs": pa.array([uniq.to_pylist()], pa.list_(pa.string())),
+            }
         )
 
     parts = _read_docs(sf_dir, ["lang"]).map_batches(partial, batch_format="pyarrow")
     import pandas as pd
 
     regs = np.zeros(m, dtype=np.uint8)
+    seen: set[str] = set()
     for batch in parts.iter_batches(batch_format="pyarrow"):
         col = batch.column("regs").combine_chunks()
         r = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
         regs = np.maximum(regs, r.max(axis=0).astype(np.uint8))
-    return pd.DataFrame({"n_langs": [np.int64(np.count_nonzero(regs))]})
+        for ls in batch.column("langs").to_pylist():
+            seen.update(ls)
+    n_regs = int(np.count_nonzero(regs))
+    if n_regs != len(seen):
+        from ..errors import SchemaError
+
+        raise SchemaError(
+            f"hll_distinct_langs_exact collision: {len(seen)} distinct langs map "
+            f"to {n_regs} registers at p={HLL_P} — exact regime violated; raise "
+            "HLL_P or use the estimate path (docs_hll_by_lang)"
+        )
+    return pd.DataFrame({"n_langs": [np.int64(n_regs)]})
 
 
 HLL_LANGS_EXACT_SQL = "SELECT COUNT(DISTINCT lang)::BIGINT AS n_langs FROM documents"

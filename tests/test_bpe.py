@@ -145,3 +145,28 @@ def test_bpe_encode_overlapping_runs(ray_session, tmp_path):
     # merge (a,a): aaaa -> [aa,aa]=2, aaa -> [aa,a]=2; aa -> 1 each
     assert int(got.loc[0, "n_bpe_tokens"]) == 4
     assert int(got.loc[1, "n_bpe_tokens"]) == 3
+
+def test_bpe_encode_empty_tokens(ray_session, tmp_path):
+    """Zero-length dictionary words (empty docs, double/leading spaces) must
+    not corrupt the flat-buffer merge kernel. With '' as the batch's FIRST
+    dictionary word, the unfixed boundary mask wrapped (hit[offs[1]-1] ==
+    hit[-1]) and blocked the last word's final merge — 'aab' under merge
+    (a,b) came out as 3 symbols instead of 2."""
+    from audio_feature_extraction_ray.pipelines.bpe import bpe_encode
+
+    # word counts: ab=3, aab=2 -> pair (a,b)=5 beats (a,a)=2 -> merge 1=(a,b)
+    texts = ["", " ab  aab", "ab ab aab"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    got = bpe_encode(str(d), 1).to_pandas().set_index("doc_id")
+    # '' -> 0 tokens; 'ab' -> [ab] = 1; 'aab' -> [a, ab] = 2
+    assert int(got.loc[0, "n_words"]) == 1 and int(got.loc[0, "n_bpe_tokens"]) == 0
+    assert int(got.loc[1, "n_words"]) == 4 and int(got.loc[1, "n_bpe_tokens"]) == 3
+    assert int(got.loc[2, "n_words"]) == 3 and int(got.loc[2, "n_bpe_tokens"]) == 4
