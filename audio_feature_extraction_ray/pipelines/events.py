@@ -728,10 +728,19 @@ def zscore(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    # bounded driver fold: <= num_blocks x 5 tiny partial rows
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type"])
+            .aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+            .rename_columns(["event_type", "n", "s1", "s2"])
+        )
+
+    # ONE exchange merges the per-block partials; driver folds <= types rows
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
     stats: dict[str, tuple[int, int, int]] = {}
-    for r in parts:
+    for r in folded.to_pylist() if folded is not None else []:
         nn, ss1, ss2 = stats.get(r["event_type"], (0, 0, 0))
         stats[r["event_type"]] = (nn + r["n"], ss1 + r["s1"], ss2 + r["s2"])
     mean_std = {}
@@ -1203,9 +1212,18 @@ def props_stats(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type"])
+            .aggregate([("n", "sum"), ("s", "sum"), ("mx", "max")])
+            .rename_columns(["event_type", "n", "s", "mx"])
+        )
+
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
     agg: dict[str, list[int]] = {}
-    for r in parts:
+    for r in folded.to_pylist() if folded is not None else []:
         cur = agg.setdefault(r["event_type"], [0, 0, np.iinfo(np.int64).min])
         cur[0] += r["n"]; cur[1] += r["s"]; cur[2] = max(cur[2], r["mx"])
     rows = [
@@ -1460,8 +1478,18 @@ def winsorized_stats(sf_dir: str):
         }
         return pa.table(out)
 
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type"])
+            .aggregate([("n", "sum"), ("n_lo", "sum"), ("n_hi", "sum"), ("mid_sum", "sum")])
+            .rename_columns(["event_type", "n", "n_lo", "n_hi", "mid_sum"])
+        )
+
+    folded = exchange_fold(cents_ds.map_batches(partial, batch_format="pyarrow"), fold)
     agg: dict[str, list[int]] = {}
-    for r in cents_ds.map_batches(partial, batch_format="pyarrow").take_all():
+    for r in folded.to_pylist() if folded is not None else []:
         cur = agg.setdefault(r["event_type"], [0, 0, 0, 0])
         cur[0] += r["n"]; cur[1] += r["n_lo"]; cur[2] += r["n_hi"]; cur[3] += r["mid_sum"]
     rows = []
@@ -1603,8 +1631,21 @@ def value_props_corr(sf_dir: str):
             }
         )
 
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type"])
+            .aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")]
+            )
+            .rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx", "syy"])
+        )
+
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
     agg: dict[str, np.ndarray] = {}
-    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: types
+    for r in folded.to_pylist() if folded is not None else []:
         cur = agg.setdefault(r["event_type"], np.zeros(6, dtype=np.int64))
         cur += np.array([r["n"], r["sx"], r["sy"], r["sxy"], r["sxx"], r["syy"]], dtype=np.int64)
     rows = []
@@ -2131,8 +2172,18 @@ def ab_lift(sf_dir: str):
             }
         )
 
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type", "arm"])
+            .aggregate([("n", "sum"), ("s1", "sum"), ("s2", "sum")])
+            .rename_columns(["event_type", "arm", "n", "s1", "s2"])
+        )
+
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
     agg: dict[tuple[str, int], list[int]] = {}
-    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 2*types
+    for r in folded.to_pylist() if folded is not None else []:
         cur = agg.setdefault((r["event_type"], int(r["arm"])), [0, 0, 0])
         cur[0] += r["n"]; cur[1] += r["s1"]; cur[2] += r["s2"]
     rows = []

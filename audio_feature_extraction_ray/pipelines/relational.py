@@ -1105,9 +1105,16 @@ def q7_nation_volume(sf_dir: str, num_partitions: int = 32):
             {"cell": pa.array(uniq, pa.int64()), "rev4": pa.array(sums, pa.int64())}
         )
 
-    parts = joined.map_batches(cell_partial, batch_format="pyarrow").take_all()
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["cell"]).aggregate([("rev4", "sum")]).rename_columns(["cell", "rev4"])
+        )
+
+    folded = exchange_fold(joined.map_batches(cell_partial, batch_format="pyarrow"), fold)
     agg: dict[int, int] = {}
-    for r in parts:
+    for r in folded.to_pylist() if folded is not None else []:
         agg[r["cell"]] = agg.get(r["cell"], 0) + r["rev4"]
     rows = []
     for cell in sorted(agg):
@@ -1277,11 +1284,23 @@ def q12_priority_by_status(sf_dir: str, num_partitions: int = 32):
             }
         )
 
-    agg: dict[str, list[int]] = {}
-    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 2/blk
-        cur = agg.setdefault(r["l_linestatus"], [0, 0])
-        cur[0] += r["high_line_count"]; cur[1] += r["low_line_count"]
-    rows = [(s, v[0], v[1]) for s, v in sorted(agg.items())]
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["l_linestatus"])
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+        )
+
+    folded = exchange_fold(joined.map_batches(partial, batch_format="pyarrow"), fold)
+    rows = sorted(
+        zip(
+            folded.column("l_linestatus").to_pylist(),
+            folded.column("high_line_count").to_pylist(),
+            folded.column("low_line_count").to_pylist(),
+        )
+    )
     return pd.DataFrame(rows, columns=["l_linestatus", "high_line_count", "low_line_count"])
 
 
@@ -1394,10 +1413,22 @@ def q4_order_priority(sf_dir: str, num_partitions: int = 32):
             }
         )
 
-    agg: dict[str, int] = {}
-    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 5/blk
-        agg[r["o_orderpriority"]] = agg.get(r["o_orderpriority"], 0) + int(r["order_count"])
-    rows = sorted(agg.items())
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["o_orderpriority"])
+            .aggregate([("order_count", "sum")])
+            .rename_columns(["o_orderpriority", "order_count"])
+        )
+
+    folded = exchange_fold(joined.map_batches(partial, batch_format="pyarrow"), fold)
+    rows = sorted(
+        zip(
+            folded.column("o_orderpriority").to_pylist(),
+            (int(c) for c in folded.column("order_count").to_pylist()),
+        )
+    )
     return pd.DataFrame(rows, columns=["o_orderpriority", "order_count"])
 
 
@@ -1443,10 +1474,18 @@ def q6_forecast_revenue(sf_dir: str):
         rev4 = int((price[keep] * disc[keep]).sum())  # cents x cents = 1e-4 units
         return pa.table({"rev4": pa.array([rev4], pa.int64())})
 
+    from ..stages.fold import exchange_fold
+
     ds = _read(
         sf_dir, "lineitem", ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"]
     ).map_batches(partial, batch_format="pyarrow")
-    total = sum(int(r["rev4"]) for r in ds.take_all())  # bounded: 1 row per block
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return pa.table({"rev4": pa.array([int(pc.sum(tbl.column("rev4")).as_py() or 0)],
+                                          pa.int64())})
+
+    folded = exchange_fold(ds, fold)
+    total = int(folded.column("rev4")[0].as_py()) if folded is not None else 0
     return pd.DataFrame({"revenue": [total / 1e4]})
 
 
@@ -1526,9 +1565,19 @@ def q14_promo_share(sf_dir: str, num_partitions: int = 32):
             }
         )
 
-    promo4 = total4 = 0
-    for r in joined.map_batches(partial, batch_format="pyarrow").take_all():  # 1 row/blk
-        promo4 += int(r["promo4"]); total4 += int(r["total4"])
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "promo4": pa.array([int(pc.sum(tbl.column("promo4")).as_py() or 0)], pa.int64()),
+                "total4": pa.array([int(pc.sum(tbl.column("total4")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(joined.map_batches(partial, batch_format="pyarrow"), fold)
+    promo4 = int(folded.column("promo4")[0].as_py()) if folded is not None else 0
+    total4 = int(folded.column("total4")[0].as_py()) if folded is not None else 0
     share = float(np.floor(100.0 * np.float64(promo4) / np.float64(total4) * 1e6 + 0.5) / 1e6)
     return pd.DataFrame({"promo_revenue_pct": [share]})
 

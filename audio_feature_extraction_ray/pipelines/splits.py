@@ -318,8 +318,18 @@ def _lang_counts(sf_dir: str) -> dict[str, int]:
         n = np.bincount(codes, minlength=len(de.dictionary)).astype(np.int64)
         return pa.table({"lang": de.dictionary, "n_partial": pa.array(n, pa.int64())})
 
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["lang"])
+            .aggregate([("n_partial", "sum")])
+            .rename_columns(["lang", "n_partial"])
+        )
+
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
     counts: dict[str, int] = {}
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+    for row in folded.to_pylist() if folded is not None else []:
         counts[row["lang"]] = counts.get(row["lang"], 0) + int(row["n_partial"])
     return counts
 

@@ -12,11 +12,16 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
+
+logger = logging.getLogger(__name__)
 
 
 def _emb_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -473,14 +478,35 @@ def pca_fit(ds: ray.data.Dataset, emb_col: str = "embedding", n_components: int 
             }
         )
 
-    n_tot, sx_tot, gram_tot, d = 0, None, None, None
-    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():  # bounded: 1 row/block
-        n_tot += int(r["n"])
-        sxa = np.asarray(r["sx"], dtype=np.int64)
-        ga = np.asarray(r["gram"], dtype=np.int64)
-        sx_tot = sxa if sx_tot is None else sx_tot + sxa
-        gram_tot = ga if gram_tot is None else gram_tot + ga
-        d = int(r["d"])
+    from .fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        n = int(pc.sum(tbl.column("n")).as_py() or 0)
+        sx = np.zeros(0, np.int64)
+        gram = np.zeros(0, np.int64)
+        for row_sx in tbl.column("sx").to_pylist():
+            a = np.asarray(row_sx, dtype=np.int64)
+            sx = a if sx.size == 0 else sx + a
+        for row_g in tbl.column("gram").to_pylist():
+            a = np.asarray(row_g, dtype=np.int64)
+            gram = a if gram.size == 0 else gram + a
+        d_ = int(tbl.column("d")[0].as_py())
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sx": pa.array([sx.tolist()], pa.list_(pa.int64())),
+                "gram": pa.array([gram.tolist()], pa.list_(pa.int64())),
+                "d": pa.array([d_], pa.int64()),
+            }
+        )
+
+    # per-block moment partials merge through ONE exchange (driver receives
+    # <= parts one-row tables, then one final fold — O(parts), not O(blocks))
+    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
+    n_tot = int(folded.column("n")[0].as_py())
+    sx_tot = np.asarray(folded.column("sx")[0].as_py(), dtype=np.int64)
+    gram_tot = np.asarray(folded.column("gram")[0].as_py(), dtype=np.int64)
+    d = int(folded.column("d")[0].as_py())
     gram_tot = gram_tot.reshape(d, d)
     mean_q = sx_tot.astype(np.float64) / n_tot
     cov = (gram_tot.astype(np.float64) - np.outer(mean_q, mean_q) * n_tot) / n_tot
@@ -533,11 +559,25 @@ def embedding_pca(sf_dir: str) -> ray.data.Dataset:
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.95
 _SEMDEDUP_ROW_BLOCK = 4096
+# A k-means cluster larger than this is SPLIT over ceil(size/cap) salted
+# sub-tasks before the prune (round-4 VERDICT #3: one degenerate centroid
+# must not put a corpus-sized matrix in one task). Within-shard pruning is
+# exact; cross-shard comparisons inside an oversized cluster are skipped
+# with a log line (the minhash mega-bucket policy: observable truncation,
+# never silent, recall loss confined to the pathological cluster). At the
+# default cap the per-task matrix is <= cap x dim x 8 B (~50 MB at d=64).
+SEMDEDUP_MAX_CLUSTER = 100_000
 
 
 def embedding_semdedup(
-    sf_dir: str, k: int = SEMDEDUP_K, tau: float = SEMDEDUP_TAU
+    sf_dir: str,
+    k: int = SEMDEDUP_K,
+    tau: float = SEMDEDUP_TAU,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
 ) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64
+    from .fold import exchange_fold
+
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cent, _, _ = kmeans_fit(ds, k=k)
     cref = ray.put(cent)
@@ -554,7 +594,55 @@ def embedding_semdedup(
             }
         )
 
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    # cluster-size census (k counters per block -> exchange_fold -> k rows on
+    # the driver) decides the per-cluster shard count BEFORE the exchange, so
+    # an oversized cluster never lands whole in one prune task
+    def size_partial(tbl: pa.Table) -> pa.Table:
+        cnt = np.bincount(tbl.column("cluster").to_numpy(), minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def size_fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["cluster"]).aggregate([("n", "sum")]).rename_columns(["cluster", "n"])
+        )
+
+    assigned = assigned.materialize()  # the prune exchange consumes it anyway
+    sizes_tbl = exchange_fold(assigned.map_batches(size_partial, batch_format="pyarrow"), size_fold)
+    shards = np.ones(k, dtype=np.int64)
+    if sizes_tbl is not None:
+        for c_, n_ in zip(sizes_tbl.column("cluster").to_pylist(), sizes_tbl.column("n").to_pylist()):
+            shards[int(c_)] = max(1, -(-int(n_) // max_cluster))
+    n_split = int((shards > 1).sum())
+    if n_split:
+        logger.warning(
+            "embedding_semdedup: %d oversized cluster(s) split over salted shards "
+            "(max_cluster=%d, shard counts=%s) — cross-shard duplicate pairs inside "
+            "those clusters are not compared",
+            n_split,
+            max_cluster,
+            {i: int(s) for i, s in enumerate(shards) if s > 1},
+        )
+    shards_ref = ray.put(shards)
+
+    def salt(tbl: pa.Table) -> pa.Table:
+        s = ray.get(shards_ref)
+        cl = tbl.column("cluster").to_numpy()
+        ids = tbl.column("vec_id").to_numpy().astype(np.uint64)
+        shard = (avalanche64(ids) % s[cl].astype(np.uint64)).astype(np.int64)
+        # pack (cluster, shard) into one group key; shard < 2^32 always
+        return tbl.append_column(
+            "gkey", pa.array((cl << np.int64(32)) | shard, pa.int64())
+        )
+
     def prune(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["gkey"])
         ids = tbl.column("vec_id").to_numpy()
         order = np.argsort(ids, kind="stable")
         tbl = tbl.take(pa.array(order))
@@ -584,7 +672,7 @@ def embedding_semdedup(
         )
 
     return (
-        ds.map_batches(assign, batch_format="pyarrow")
-        .groupby("cluster")
+        assigned.map_batches(salt, batch_format="pyarrow")
+        .groupby("gkey")
         .map_groups(prune, batch_format="pyarrow")
     )

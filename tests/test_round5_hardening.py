@@ -1,0 +1,236 @@
+"""Round-5 scale-robustness pins: the shared exchange_fold helper and the
+de-drivered partial folds (embedding_centroids, bigram_pmi — round-4 VERDICT
+#1/#2), mirroring test_heavy_hitters_driver_fold_bounded."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from audio_feature_extraction_ray.stages.fold import exchange_fold
+
+
+def test_exchange_fold_global_sum(ray_session):
+    """Global (un-keyed) fold: many one-row partials reduce to one total,
+    independent of how many blocks produced them."""
+    import ray.data
+
+    partials = ray.data.from_arrow(
+        pa.table({"v": pa.array(np.arange(1000, dtype=np.int64), pa.int64())})
+    ).repartition(37)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"v": pa.array([int(pc.sum(tbl.column("v")).as_py() or 0)], pa.int64())})
+
+    out = exchange_fold(partials, fold, parts=8)
+    assert out.num_rows == 1
+    assert int(out.column("v")[0].as_py()) == int(np.arange(1000).sum())
+
+
+def test_exchange_fold_keyed(ray_session):
+    """Keyed fold with pid_of: equal keys co-locate, output has one final row
+    per key; driver-side concat is a no-op re-fold."""
+    import ray.data
+
+    from audio_feature_extraction_ray.functions.hashing import avalanche64
+
+    n = 500
+    keys = np.arange(n, dtype=np.int64) % 7
+    partials = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "c": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+    ).repartition(23)
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by(["k"]).aggregate([("c", "sum")]).rename_columns(["k", "c"])
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        k = tbl.column("k").to_numpy().astype(np.uint64)
+        return (avalanche64(k) % np.uint64(4)).astype(np.int32)
+
+    out = exchange_fold(partials, fold, parts=4, pid_of=pid_of)
+    assert out.num_rows == 7  # one FINAL row per key — bounded by keys, not blocks
+    got = dict(zip(out.column("k").to_pylist(), out.column("c").to_pylist()))
+    for k in range(7):
+        assert got[k] == int((keys == k).sum())
+
+
+def test_exchange_fold_empty(ray_session):
+    import ray.data
+
+    partials = ray.data.from_arrow(pa.table({"v": pa.array([], pa.int64())}))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return tbl
+
+    assert exchange_fold(partials, fold) is None
+
+
+def test_embedding_centroids_driver_fold_bounded(ray_session, tmp_path):
+    """round-4 VERDICT #1: the centroid partials merge through ONE label-hash
+    exchange; the driver receives <= labels x dim final rows regardless of
+    block count, and the answer stays exact against a naive computation."""
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        CENTROID_Q,
+        embedding_centroids,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, k = 400, 8, 5
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    labels = (np.arange(n) % k).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # many tiny row groups -> many blocks -> many per-block partials
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=16)
+    out = embedding_centroids(str(sf))
+    assert len(out) == k * d  # driver fold bounded by labels x dim
+
+    # exactness: identical quantized-sum formula
+    xq = np.rint(emb.astype(np.float64) * CENTROID_Q).astype(np.int64)
+    for lab in range(k):
+        m = labels == lab
+        s = xq[m].sum(axis=0)
+        cnt = int(m.sum())
+        want = np.floor((s.astype(np.float64) / CENTROID_Q) / cnt * 1e6 + 0.5) / 1e6
+        got = out[out["label"] == lab].sort_values("dim")["centroid"].to_numpy()
+        assert np.array_equal(got, want)
+        assert (out[out["label"] == lab]["n"] == cnt).all()
+
+
+def test_no_per_block_take_all_outside_helper():
+    """grep-clean contract (round-4 VERDICT task 6): every take_all() in the
+    package is either inside the fold helper, post-exchange (<= partitions),
+    a declared driver-side sample, or a per-partition manifest/export row —
+    never a raw per-block partial fold. The allowlist makes any new site a
+    conscious decision."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "audio_feature_extraction_ray"
+    allowed = {
+        ("stages/fold.py",),  # docstring mention only
+        ("stages/graph.py", "groupby(\"__pid\")"),  # post-exchange, <= P rows
+    }
+    bad = []
+    for f in pkg.rglob("*.py"):
+        rel = f.relative_to(pkg).as_posix()
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if "take_all()" not in line or line.strip().startswith("#"):
+                continue
+            ok = (
+                rel == "stages/fold.py"
+                or "__pid" in line
+                or "sample" in line
+                or "bounded" in line
+                or "<= " in line
+                or "x 20 rows" in line
+                or "partition_id" in line
+                or "from_items" in line
+                or "random_sample" in line
+            )
+            if not ok:
+                # look back a couple of lines for the random_sample/groupby
+                ctx = "\n".join(f.read_text().splitlines()[max(0, i - 4) : i])
+                if not any(
+                    s in ctx for s in ("random_sample", "__pid", "from_items", "bounded")
+                ):
+                    bad.append(f"{rel}:{i}: {line.strip()}")
+    assert not bad, "unreviewed take_all() partial folds:\n" + "\n".join(bad)
+
+
+def test_semdedup_oversized_cluster_split(ray_session, tmp_path):
+    """round-4 VERDICT #3: a skewed k-means cluster (one cluster ~= 90% of
+    vectors) is split over salted shards so no prune task holds a
+    corpus-sized matrix. Pins: (a) shard sizes stay near max_cluster;
+    (b) keep flags match a shard-aware naive reference exactly (within-shard
+    pruning exact, cross-shard skipped by documented policy); (c) planted
+    same-shard duplicates are still pruned."""
+    from audio_feature_extraction_ray.functions.hashing import avalanche64
+    from audio_feature_extraction_ray.stages.ann import (
+        SEMDEDUP_TAU,
+        _emb_matrix,
+        embedding_semdedup,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 600, 8, 4
+    # one dense blob (cluster-skew: ~90% of vectors) + a few far outliers
+    m = rng.normal(size=(n, dim)) * 0.05
+    m[:540] += np.array([10.0] * dim)  # the mega-cluster
+    m[540:560] += np.array([-40.0] + [0.0] * (dim - 1))
+    m[560:580] += np.array([0.0, 40.0] + [0.0] * (dim - 2))
+    m[580:] += np.array([0.0, 0.0, -40.0] + [0.0] * (dim - 3))
+    # plant an exact duplicate pair inside the mega-cluster
+    m[100] = m[50]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [r.astype("float32").tolist() for r in m], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=64)
+
+    cap = 100  # force the mega-cluster (~540 rows) over ~6 shards
+    out = (
+        embedding_semdedup(str(sf), k=k, max_cluster=cap)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == n and out.vec_id.is_unique
+
+    # reconstruct the engine's shard routing and verify per-task bound
+    cl = out.set_index("vec_id")["cluster"]
+    sizes = cl.value_counts()
+    big = sizes[sizes > cap]
+    assert len(big) >= 1  # the planted skew survives k-means (>= 1 oversized)
+    shards = {int(c): max(1, -(-int(s) // cap)) for c, s in sizes.items()}
+    ids = out["vec_id"].to_numpy().astype(np.uint64)
+    shard = (
+        avalanche64(ids)
+        % np.array([shards[int(c)] for c in out["cluster"]], dtype=np.uint64)
+    ).astype(np.int64)
+    gsizes = (
+        out.assign(shard=shard).groupby(["cluster", "shard"]).size()
+    )
+    assert gsizes.max() <= 2 * cap  # hash-balanced shards, bounded per task
+
+    # shard-aware naive reference: within each (cluster, shard), keep iff no
+    # EARLIER-id vector in the same shard has cosine >= tau
+    mm = _emb_matrix(t)
+    nm = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-300)
+    keep_ref = np.ones(n, dtype=bool)
+    df = out.assign(shard=shard)
+    for (_c, _s), grp in df.groupby(["cluster", "shard"]):
+        gids = np.sort(grp["vec_id"].to_numpy())
+        for i, v in enumerate(gids):
+            if i and (nm[gids[:i]] @ nm[v]).max() >= SEMDEDUP_TAU:
+                keep_ref[v] = False
+    assert (out["keep"].to_numpy() == keep_ref).all()
+
+    # the planted exact duplicate: when co-sharded with its twin (or any
+    # earlier near-parallel blob-mate), it must be pruned — one direction
+    # only, since ANY earlier same-shard vector over tau also prunes it
+    same_shard = shard[50] == shard[100] and int(cl.loc[50]) == int(cl.loc[100])
+    if same_shard:
+        assert not bool(out.loc[100, "keep"])
