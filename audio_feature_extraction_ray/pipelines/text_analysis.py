@@ -2530,22 +2530,33 @@ GROUP BY lang, bucket
 
 # ---------------------------------------------------------------------------
 # column profile: the one-pass data-profiling summary (per column: nulls,
-# exact distinct count, min/max rendered as text) a pipeline runs before
-# ingesting an unknown table. Distincts ride the same bounded per-batch
-# unique combiner + driver fold (cardinalities here are bounded; for
-# unbounded columns the HLL sketch family is the scale path and is cited in
-# the output). One row per profiled column, flat schema, SQL-comparable.
+# EXACT distinct count, min/max rendered as text) a pipeline runs before
+# ingesting an unknown table. Two distributed passes, both scale-safe for
+# UNBOUNDED columns (round-5 fix: the old version shipped every distinct
+# value to the driver as comma-joined strings — fine for lang/source,
+# O(corpus) for doc_id, the primary key):
+#   A. tiny counter partials (nulls / rows / typed min-max), 4 rows per
+#      block, merged through exchange_fold;
+#   B. exact distincts via the distinct_tokens idiom — per-batch DISTINCT
+#      (column, value) pairs hash-routed on the value, per-partition
+#      count_distinct, driver sums <= parts x columns counters. The same
+#      value never lands in two partitions, so the sum is exact.
 
 _PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+_PROFILE_PARTS = 16
 
 
 def column_profile(sf_dir: str):
     import pandas as pd
 
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
     ds = _read_docs(sf_dir, _PROFILE_COLS)
 
-    def partial(tbl: pa.Table) -> pa.Table:
-        names, nulls, uniques, mins, maxs, counts = [], [], [], [], [], []
+    # --- pass A: nulls / rows / min / max (counter rows only) ---
+    def stats_partial(tbl: pa.Table) -> pa.Table:
+        names, nulls, mins, maxs, counts = [], [], [], [], []
         for c in _PROFILE_COLS:
             col = tbl.column(c)
             if isinstance(col, pa.ChunkedArray):
@@ -2553,40 +2564,29 @@ def column_profile(sf_dir: str):
             arr = col.to_numpy(zero_copy_only=False)
             valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
             vals = arr[valid]
-            u = np.unique(vals)
             names.append(c)
             nulls.append(int((~valid).sum()))
             counts.append(len(arr))
-            uniques.append(",".join(str(v) for v in u))  # bounded by contract
-            mins.append(str(u[0]) if u.size else "")
-            maxs.append(str(u[-1]) if u.size else "")
+            mins.append(str(vals.min()) if vals.size else "")
+            maxs.append(str(vals.max()) if vals.size else "")
         return pa.table(
             {
                 "column": pa.array(names, pa.string()),
                 "n_null": pa.array(nulls, pa.int64()),
                 "n_rows": pa.array(counts, pa.int64()),
-                "uniques": pa.array(uniques, pa.string()),
                 "min_v": pa.array(mins, pa.string()),
                 "max_v": pa.array(maxs, pa.string()),
             }
         )
 
-    agg: dict[str, dict] = {}
-    from ..stages.fold import exchange_fold
-
-    def fold(tbl: pa.Table) -> pa.Table:
-        # per-column merge of profile partials (counter rows, not data rows):
-        # sums, distinct-string union, typed min/max — re-emitted in the same
-        # schema so the fold is idempotent across exchange rounds
+    def stats_fold(tbl: pa.Table) -> pa.Table:
         cols: dict[str, dict] = {}
         for r in tbl.to_pylist():
             cur = cols.setdefault(
-                r["column"], {"n_null": 0, "n_rows": 0, "uniq": set(), "min": None, "max": None}
+                r["column"], {"n_null": 0, "n_rows": 0, "min": None, "max": None}
             )
             cur["n_null"] += int(r["n_null"])
             cur["n_rows"] += int(r["n_rows"])
-            if r["uniques"]:
-                cur["uniq"].update(r["uniques"].split(","))
             for k, best in (("min", min), ("max", max)):
                 v = r["min_v" if k == "min" else "max_v"]
                 if v != "":
@@ -2599,9 +2599,6 @@ def column_profile(sf_dir: str):
                 "column": pa.array(names, pa.string()),
                 "n_null": pa.array([cols[c]["n_null"] for c in names], pa.int64()),
                 "n_rows": pa.array([cols[c]["n_rows"] for c in names], pa.int64()),
-                "uniques": pa.array(
-                    [",".join(sorted(cols[c]["uniq"])) for c in names], pa.string()
-                ),
                 "min_v": pa.array(
                     [cols[c]["min"] if cols[c]["min"] is not None else "" for c in names],
                     pa.string(),
@@ -2613,24 +2610,58 @@ def column_profile(sf_dir: str):
             }
         )
 
-    folded = exchange_fold(ds.map_batches(partial, batch_format="pyarrow"), fold)
-    for r in folded.to_pylist() if folded is not None else []:
-        cur = agg.setdefault(
-            r["column"], {"n_null": 0, "n_rows": 0, "uniq": set(), "min": None, "max": None}
+    stats_tbl = exchange_fold(ds.map_batches(stats_partial, batch_format="pyarrow"), stats_fold)
+    stats = {r["column"]: r for r in (stats_tbl.to_pylist() if stats_tbl is not None else [])}
+
+    # --- pass B: exact distinct counts via value-hash exchange ---
+    def uniq_partial(tbl: pa.Table) -> pa.Table:
+        out_col: list[str] = []
+        out_val: list[str] = []
+        for c in _PROFILE_COLS:
+            col = tbl.column(c)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arr = col.to_numpy(zero_copy_only=False)
+            valid = pa.compute.is_valid(col).to_numpy(zero_copy_only=False)
+            u = np.unique(arr[valid])
+            out_col.extend([c] * u.size)
+            out_val.extend(str(v) for v in u)  # injective rendering per column
+        varr = pa.array(out_val, pa.string())
+        pid = (string_hash_strong(varr) % np.uint64(_PROFILE_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "column": pa.array(out_col, pa.string()),
+                "v": varr,
+                "__pid": pa.array(pid),
+            }
         )
-        cur["n_null"] += int(r["n_null"])
-        cur["n_rows"] += int(r["n_rows"])
-        if r["uniques"]:
-            cur["uniq"].update(r["uniques"].split(","))
-        for k, best in (("min", min), ("max", max)):
-            v = r["min_v" if k == "min" else "max_v"]
-            if v != "":
-                cur[k] = v if cur[k] is None else best(cur[k], v, key=_profile_key(r["column"]))
+
+    def uniq_count(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        agg = tbl.group_by(["column"]).aggregate([("v", "count_distinct")])
+        return agg.rename_columns(["column", "nd"])
+
+    nd: dict[str, int] = {c: 0 for c in _PROFILE_COLS}
+    parts = (
+        ds.map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(uniq_count, batch_format="pyarrow")
+    )
+    for r in parts.take_all():  # bounded: post-__pid-exchange, <= parts x columns
+        nd[r["column"]] += int(r["nd"])
+
     rows = []
     for c in _PROFILE_COLS:
-        cur = agg[c]
+        cur = stats.get(c, {"n_rows": 0, "n_null": 0, "min_v": None, "max_v": None})
         rows.append(
-            (c, cur["n_rows"], cur["n_null"], len(cur["uniq"]), cur["min"], cur["max"])
+            (
+                c,
+                cur["n_rows"],
+                cur["n_null"],
+                nd[c],
+                cur["min_v"] if cur["min_v"] != "" else None,
+                cur["max_v"] if cur["max_v"] != "" else None,
+            )
         )
     return pd.DataFrame(
         rows, columns=["column", "n_rows", "n_null", "n_distinct", "min_v", "max_v"]

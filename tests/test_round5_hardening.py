@@ -234,3 +234,38 @@ def test_semdedup_oversized_cluster_split(ray_session, tmp_path):
     same_shard = shard[50] == shard[100] and int(cl.loc[50]) == int(cl.loc[100])
     if same_shard:
         assert not bool(out.loc[100, "keep"])
+
+
+def test_column_profile_distincts_distributed(ray_session, tmp_path):
+    """round-5: column_profile's exact distinct counts ride a value-hash
+    exchange (never a driver-side value union — the old path shipped every
+    distinct doc_id to the driver). Pin exactness across MANY blocks, with
+    nulls and duplicate values spread over row groups."""
+    import pandas as pd
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import column_profile
+
+    rng = np.random.default_rng(23)
+    n = 900
+    langs = rng.choice(["en", "de", "fr", None], size=n, p=[0.5, 0.25, 0.2, 0.05])
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array(rng.choice(["web", "wiki"], size=n).tolist(), pa.string()),
+            "n_chars": pa.array(rng.integers(0, 50, size=n), pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet", row_group_size=32)  # ~29 blocks
+    out = column_profile(str(sf)).set_index("column")
+    df = t.to_pandas()
+    for c in ["doc_id", "lang", "source", "n_chars"]:
+        assert int(out.loc[c, "n_rows"]) == n
+        assert int(out.loc[c, "n_null"]) == int(df[c].isna().sum())
+        assert int(out.loc[c, "n_distinct"]) == int(df[c].nunique(dropna=True)), c
+    assert int(out.loc["doc_id", "min_v"]) == 0
+    assert int(out.loc["doc_id", "max_v"]) == n - 1
+    assert out.loc["lang", "min_v"] == "de" and out.loc["lang", "max_v"] == "fr"
