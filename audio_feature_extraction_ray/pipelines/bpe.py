@@ -96,12 +96,20 @@ def _alphabet(words: ray.data.Dataset) -> list[str]:
         cps = np.unique(np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32))
         return pa.table({"ch": pa.array([chr(c) for c in cps], pa.string())})
 
-    out = set()
-    for b in words.map_batches(chars, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        out.update(b.column("ch").to_pylist())
-    return sorted(out)
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        u = pc.unique(
+            tbl.column("ch").combine_chunks()
+            if isinstance(tbl.column("ch"), pa.ChunkedArray)
+            else tbl.column("ch")
+        )
+        return pa.table({"ch": u})
+
+    # alphabet-sized rows per BLOCK merge through one exchange (driver sees
+    # <= parts x alphabet rows, not blocks x alphabet)
+    folded = exchange_fold(words.map_batches(chars, batch_format="pyarrow"), fold)
+    return sorted(folded.column("ch").to_pylist()) if folded is not None else []
 
 
 def _symbolize(tbl: pa.Table, sym_of: dict[str, int]) -> pa.Table:

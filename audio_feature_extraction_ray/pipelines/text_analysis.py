@@ -496,11 +496,10 @@ def hll_distinct_tokens(sf_dir: str):
     parts = _read_docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
     import pandas as pd
 
-    regs = np.zeros(m, dtype=np.uint8)
-    for batch in parts.iter_batches(batch_format="pyarrow"):
-        col = batch.column("regs").combine_chunks()
-        r = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
-        regs = np.maximum(regs, r.max(axis=0).astype(np.uint8))
+    from ..stages.fold import merge_registers
+
+    merged = merge_registers(parts, col="regs", op="max")
+    regs = merged if merged is not None else np.zeros(m, dtype=np.uint8)
     alpha = 0.7213 / (1 + 1.079 / m)
     est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
     zeros = int(np.count_nonzero(regs == 0))
@@ -1654,11 +1653,10 @@ def bloom_token_novelty(sf_dir: str, bits_log2: int = BLOOM_BITS_LOG2) -> ray.da
     parts = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         build_partial, batch_format="pyarrow"
     )
-    bloom = np.zeros(n_words, dtype=np.uint64)
-    for batch in parts.iter_batches(batch_format="pyarrow"):
-        col = batch.column("bits").combine_chunks()
-        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, n_words)
-        bloom |= np.bitwise_or.reduce(arr.astype(np.uint64), axis=0)
+    from ..stages.fold import merge_registers
+
+    merged = merge_registers(parts, col="bits", op="or")
+    bloom = merged.astype(np.uint64) if merged is not None else np.zeros(n_words, np.uint64)
     bloom_ref = ray.put(bloom)
 
     def probe(tbl: pa.Table) -> pa.Table:
@@ -1918,14 +1916,28 @@ def hll_distinct_langs_exact(sf_dir: str):
     parts = _read_docs(sf_dir, ["lang"]).map_batches(partial, batch_format="pyarrow")
     import pandas as pd
 
-    regs = np.zeros(m, dtype=np.uint8)
-    seen: set[str] = set()
-    for batch in parts.iter_batches(batch_format="pyarrow"):
-        col = batch.column("regs").combine_chunks()
-        r = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
-        regs = np.maximum(regs, r.max(axis=0).astype(np.uint8))
-        for ls in batch.column("langs").to_pylist():
-            seen.update(ls)
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("regs")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        r = c.flatten().to_numpy(zero_copy_only=False).reshape(-1, m).max(axis=0)
+        u = sorted({x for ls in tbl.column("langs").to_pylist() for x in ls})
+        return pa.table(
+            {
+                "regs": pa.FixedSizeListArray.from_arrays(pa.array(r, pa.uint8()), m),
+                "langs": pa.array([u], pa.list_(pa.string())),
+            }
+        )
+
+    folded = exchange_fold(parts, fold)
+    if folded is not None:
+        c = folded.column("regs").combine_chunks()
+        regs = c.flatten().to_numpy(zero_copy_only=False).reshape(-1, m).max(axis=0)
+        seen = {x for ls in folded.column("langs").to_pylist() for x in ls}
+    else:
+        regs, seen = np.zeros(m, dtype=np.uint8), set()
     n_regs = int(np.count_nonzero(regs))
     if n_regs != len(seen):
         from ..errors import SchemaError
@@ -1979,14 +1991,48 @@ def hll_distinct_tokens_by_lang(sf_dir: str):
     parts = _read_docs(sf_dir, ["text", "lang"]).map_batches(partial, batch_format="pyarrow")
     import pandas as pd
 
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        # per-lang element-wise register max (one register row per lang per
+        # BLOCK before the exchange — O(blocks x langs x m) driver bytes)
+        lang_col = tbl.column("lang")
+        if isinstance(lang_col, pa.ChunkedArray):
+            lang_col = lang_col.combine_chunks()
+        langs_np = np.asarray(lang_col.to_numpy(zero_copy_only=False), dtype=object)
+        c = tbl.column("regs")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        arr = c.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
+        uniq = np.unique(langs_np)
+        out = np.empty((uniq.size, m), dtype=np.uint8)
+        for i, lg in enumerate(uniq):
+            out[i] = arr[langs_np == lg].max(axis=0)
+        return pa.table(
+            {
+                "lang": pa.array([str(x) for x in uniq], pa.string()),
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(out.reshape(-1), pa.uint8()), m
+                ),
+            }
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        lg = tbl.column("lang")
+        if isinstance(lg, pa.ChunkedArray):
+            lg = lg.combine_chunks()
+        return (string_hash_strong(lg) % np.uint64(16)).astype(np.int32)
+
+    merged = exchange_fold(parts, fold, parts=16, pid_of=pid_of)
     folded: dict[str, np.ndarray] = {}
-    for batch in parts.iter_batches(batch_format="pyarrow"):
-        langs = batch.column("lang").to_pylist()
-        col = batch.column("regs").combine_chunks()
-        arr = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, m)
-        for lang, row in zip(langs, arr):
-            prev = folded.get(lang)
-            folded[lang] = row.astype(np.uint8) if prev is None else np.maximum(prev, row)
+    if merged is not None:
+        arr = (
+            merged.column("regs").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(-1, m)
+        )
+        for lang, row in zip(merged.column("lang").to_pylist(), arr):
+            folded[lang] = row.astype(np.uint8)
     alpha = 0.7213 / (1 + 1.079 / m)
     rows = []
     for lang in sorted(folded):

@@ -379,10 +379,11 @@ def kmeans_fit(
         take = np.argsort(ids, kind="stable")[:k]
         return tbl.take(pa.array(np.sort(take)))
 
-    cand = pa.concat_tables(
-        [b for b in ds.map_batches(smallest_k, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow")]
-    )
+    from .fold import exchange_fold
+
+    # init candidates merge through ONE exchange (k rows per block before,
+    # O(blocks x k) driver concat) — smallest_k is its own fold
+    cand = exchange_fold(ds.map_batches(smallest_k, batch_format="pyarrow"), smallest_k)
     order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:k]
     cent = _emb_matrix(cand.take(pa.array(np.sort(order))), emb_col)
 
@@ -407,16 +408,32 @@ def kmeans_fit(
                 }
             )
 
-        tot_s = np.zeros_like(cent)
-        tot_n = np.zeros(cent.shape[0], dtype=np.int64)
-        tot_i = 0.0
-        for b in ds.map_batches(partials, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            for row in range(b.num_rows):
-                tot_s += np.asarray(b.column("sums")[row].as_py()).reshape(cent.shape)
-                tot_n += np.asarray(b.column("counts")[row].as_py(), dtype=np.int64)
-                tot_i += float(b.column("inertia")[row].as_py())
+        kd = cent.size
+
+        def moments_fold(tbl: pa.Table, kd=kd, kk=cent.shape[0]) -> pa.Table:
+            s = (
+                tbl.column("sums").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, kd).sum(axis=0)
+            )
+            n = (
+                tbl.column("counts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, kk).sum(axis=0)
+            )
+            i_ = float(pc.sum(tbl.column("inertia")).as_py() or 0.0)
+            return pa.table(
+                {
+                    "sums": pa.array([s.tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([n.tolist()], pa.list_(pa.int64())),
+                    "inertia": pa.array([i_], pa.float64()),
+                }
+            )
+
+        # per-round moment partials merge through ONE exchange (one row per
+        # block before — O(blocks x k x d) floats through the driver)
+        folded = exchange_fold(ds.map_batches(partials, batch_format="pyarrow"), moments_fold)
+        tot_s = np.asarray(folded.column("sums")[0].as_py()).reshape(cent.shape)
+        tot_n = np.asarray(folded.column("counts")[0].as_py(), dtype=np.int64)
+        tot_i = float(folded.column("inertia")[0].as_py())
         nz = tot_n > 0
         cent = cent.copy()
         cent[nz] = tot_s[nz] / tot_n[nz, None]  # empty clusters keep position

@@ -69,3 +69,33 @@ def exchange_fold(
     # <= parts small tables; the final fold is a no-op for keyed folds
     # (disjoint keys) and a <= parts-row reduction for global folds.
     return fold(pa.concat_tables(folded))
+
+
+def merge_registers(
+    partials: ray.data.Dataset,
+    *,
+    col: str = "regs",
+    op: str = "max",
+    parts: int = DEFAULT_FOLD_PARTS,
+) -> Optional[np.ndarray]:
+    """Element-wise max (HLL registers) or bitwise-or (Bloom bitmaps) merge
+    of fixed-size-list rows through one exchange_fold. One register row per
+    BLOCK otherwise streams to the driver — O(blocks x width) bytes; this
+    returns the merged vector after O(parts x width)."""
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        c = tbl.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        w = c.type.list_size
+        a = c.flatten().to_numpy(zero_copy_only=False).reshape(-1, w)
+        red = np.bitwise_or.reduce(a, axis=0) if op == "or" else a.max(axis=0)
+        return pa.table({col: pa.FixedSizeListArray.from_arrays(pa.array(red), w)})
+
+    out = exchange_fold(partials, fold, parts=parts)
+    if out is None:
+        return None
+    c = out.column(col)
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.flatten().to_numpy(zero_copy_only=False).copy()
