@@ -48,7 +48,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         embedding_kmeans as _embedding_kmeans,
     )
     from audio_feature_extraction_ray.stages.ann import (
+        embedding_kmeans_step as _embedding_kmeans_step,
+    )
+    from audio_feature_extraction_ray.stages.ann import (
         embedding_pca as _embedding_pca,
+    )
+    from audio_feature_extraction_ray.stages.ann import (
+        embedding_pca_moments as _embedding_pca_moments,
     )
     from audio_feature_extraction_ray.stages.ann import (
         embedding_semdedup as _embedding_semdedup,
@@ -148,8 +154,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join_exact": search_dedup.knn_join_exact,  # Dataset x Dataset
         "embedding_lsh_dups": search_dedup.embedding_lsh_dups,  # rows-only (LSH)
         "embedding_kmeans": _embedding_kmeans,  # rows-only (iterative)
+        "embedding_kmeans_step": _embedding_kmeans_step,  # exact-integer twin
         "embedding_semdedup": _embedding_semdedup,  # rows-only (iterative k-means)
         "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
+        "embedding_pca_moments": _embedding_pca_moments,  # exact-integer twin
         "embedding_normalize": search_dedup.embedding_normalize,
         "embedding_quantize": search_dedup.embedding_quantize,
         "embedding_centroids": search_dedup.embedding_centroids,
@@ -223,6 +231,10 @@ def oracle_sql() -> dict[str, str]:
         splits,
         text_analysis,
     )
+    from audio_feature_extraction_ray.stages.ann import (
+        EMBEDDING_KMEANS_STEP_SQL,
+        EMBEDDING_PCA_MOMENTS_SQL,
+    )
 
     return {
         "docs_split_stats": splits.DOCS_SPLIT_STATS_SQL,
@@ -288,6 +300,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": search_dedup.EMBEDDING_QUANTIZE_SQL,
         "embedding_centroids": search_dedup.EMBEDDING_CENTROIDS_SQL,
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,
+        "embedding_kmeans_step": EMBEDDING_KMEANS_STEP_SQL,
+        "embedding_pca_moments": EMBEDDING_PCA_MOMENTS_SQL,
         "events_lag_lead": events.LAG_LEAD_SQL,
         "events_sessionize": events.SESSIONIZE_SQL,
         "events_rolling": events.ROLLING_SQL,

@@ -477,8 +477,11 @@ PCA_Q = 10_000.0
 PCA_COMPONENTS = 2
 
 
-def pca_fit(ds: ray.data.Dataset, emb_col: str = "embedding", n_components: int = PCA_COMPONENTS):
-    """Returns (mean: (d,), components: (k, d)) from integer-exact moments."""
+def pca_moments(ds: ray.data.Dataset, emb_col: str = "embedding"):
+    """Integer-exact pass-1 moments at PCA_Q quantization: returns
+    (n, sx: (d,) int64, gram: (d, d) int64) — the distributed reduction
+    pca_fit eigendecomposes. Split out so the moments themselves are a
+    driver-visible hash-exact query (embedding_pca_moments)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
         m = _emb_matrix(tbl, emb_col)
@@ -524,7 +527,12 @@ def pca_fit(ds: ray.data.Dataset, emb_col: str = "embedding", n_components: int 
     sx_tot = np.asarray(folded.column("sx")[0].as_py(), dtype=np.int64)
     gram_tot = np.asarray(folded.column("gram")[0].as_py(), dtype=np.int64)
     d = int(folded.column("d")[0].as_py())
-    gram_tot = gram_tot.reshape(d, d)
+    return n_tot, sx_tot, gram_tot.reshape(d, d)
+
+
+def pca_fit(ds: ray.data.Dataset, emb_col: str = "embedding", n_components: int = PCA_COMPONENTS):
+    """Returns (mean: (d,), components: (k, d)) from integer-exact moments."""
+    n_tot, sx_tot, gram_tot = pca_moments(ds, emb_col)
     mean_q = sx_tot.astype(np.float64) / n_tot
     cov = (gram_tot.astype(np.float64) - np.outer(mean_q, mean_q) * n_tot) / n_tot
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -557,6 +565,172 @@ def embedding_pca(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def embedding_pca_moments(sf_dir: str):
+    """Driver-contract query (hash-exact SQL oracle): the integer-exact
+    pass-1 moments of embedding_pca — n, per-dim sums, and the
+    upper-triangle Gram matrix at PCA_Q quantization — as flat
+    (dim_i, dim_j, val) BIGINT rows (sums ride dim_j = -1, n rides
+    (-1, -1)). Moves the PCA family's distributed reduction onto a
+    driver-visible exact check; only the driver-side (d x d)
+    eigendecomposition stays rows-only by design."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    n, sx, gram = pca_moments(ds)
+    d = sx.size
+    iu, ju = np.triu_indices(d)
+    dim_i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+    dim_j = np.concatenate([ju, np.full(d, -1, dtype=np.int64), [-1]]).astype(np.int64)
+    val = np.concatenate([gram[iu, ju], sx, [n]]).astype(np.int64)
+    return pd.DataFrame({"dim_i": dim_i, "dim_j": dim_j, "val": val})
+
+
+EMBEDDING_PCA_MOMENTS_SQL = f"""
+WITH xq AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {int(PCA_Q)}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(sum(a.q * b.q) AS BIGINT) AS val
+FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+UNION ALL
+SELECT dim AS dim_i, CAST(-1 AS BIGINT) AS dim_j, CAST(sum(q) AS BIGINT) AS val
+FROM xq GROUP BY dim
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS dim_i, CAST(-1 AS BIGINT) AS dim_j,
+       CAST(count(*) AS BIGINT) AS val
+FROM embeddings
+"""
+
+
+# one exact-integer Lloyd step: same deterministic init (k smallest-id
+# vectors) and the same argmin assignment rule as the iterative
+# embedding_kmeans, but distances and cluster sums computed in the
+# quantized-integer domain (Q=1e4) so the answer is bit-exact and
+# SQL-expressible — the kmeans family's driver-visible hash-exact twin.
+# Overflow contract: per-dim |q| <= Q*|x|_max (~5e3 here); squared-distance
+# terms are <= d*(2*Q*|x|_max)^2 ~ 6e9 and cluster sums <= n*Q*|x|_max,
+# both comfortably int64 up to ~1e14 rows per cluster.
+
+KSTEP_K = 8
+KSTEP_Q = 10_000
+KSTEP_PARTS = 16
+
+
+def embedding_kmeans_step(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import avalanche64
+    from .fold import exchange_fold
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    k = KSTEP_K
+
+    def smallest_k(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("vec_id").to_numpy()
+        take = np.argsort(ids, kind="stable")[:k]
+        return tbl.take(pa.array(np.sort(take)))
+
+    cand = exchange_fold(ds.map_batches(smallest_k, batch_format="pyarrow"), smallest_k)
+    if cand is None:
+        return pd.DataFrame(columns=["cluster", "dim", "n", "s"])
+    # centroid index = rank of the centroid's vec_id (ascending), matching
+    # the oracle's row_number() OVER (ORDER BY vec_id)
+    pos = np.argsort(cand.column("vec_id").to_numpy(), kind="stable")[:k]
+    cq = np.rint(_emb_matrix(cand.take(pa.array(pos))) * KSTEP_Q).astype(np.int64)
+    cref = ray.put(cq)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cluster": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        c = ray.get(cref)
+        xq = np.rint(_emb_matrix(tbl) * KSTEP_Q).astype(np.int64)
+        # exact integer squared distance; argmin ties break to the lowest
+        # centroid index (numpy first-occurrence == the oracle's ORDER BY
+        # d2, cid)
+        d2 = (xq * xq).sum(axis=1)[:, None] - 2 * (xq @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        uniq, inv = np.unique(assign, return_inverse=True)
+        kk, d = uniq.size, xq.shape[1]
+        sums = np.zeros((kk, d), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        n = np.bincount(inv, minlength=kk).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.repeat(uniq.astype(np.int64), d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk), pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["cluster", "dim"])
+            .aggregate([("s", "sum"), ("n", "sum")])
+            .rename_columns(["cluster", "dim", "s", "n"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        cl = tbl.column("cluster").to_numpy().astype(np.uint64)
+        return (avalanche64(cl) % np.uint64(KSTEP_PARTS)).astype(np.int32)
+
+    # ONE cluster-hash exchange merges the per-block (cluster, dim) partials;
+    # the driver sees <= k x d final rows regardless of block count
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold,
+        parts=KSTEP_PARTS,
+        pid_of=pid_of,
+    )
+    out = folded.to_pandas().sort_values(["cluster", "dim"]).reset_index(drop=True)
+    return out[["cluster", "dim", "n", "s"]]
+
+
+EMBEDDING_KMEANS_STEP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {KSTEP_K}
+), cid AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding FROM cent
+), cq AS (
+  SELECT cid, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {KSTEP_Q}) AS BIGINT) AS q
+  FROM cid, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), xq AS (
+  SELECT vec_id, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {KSTEP_Q}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), dist AS (
+  SELECT x.vec_id, c.cid, sum((x.q - c.q) * (x.q - c.q)) AS d2
+  FROM xq x JOIN cq c ON x.dim = c.dim
+  GROUP BY x.vec_id, c.cid
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)
+SELECT a.cid AS cluster, x.dim AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x.q) AS BIGINT) AS s
+FROM assign a JOIN xq x ON a.vec_id = x.vec_id
+GROUP BY a.cid, x.dim
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -234,6 +234,12 @@ def run_bench() -> dict:
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),
+        ("embedding_kmeans_step", __import__(
+            "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_kmeans_step"]
+        ).embedding_kmeans_step),
+        ("embedding_pca_moments", __import__(
+            "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca_moments"]
+        ).embedding_pca_moments),
         ("events_hopping_window", events.hopping_window),
         ("docs_global_shuffle", splits_mod.docs_global_shuffle),
         ("docs_chunk_windows", text_analysis.chunk_documents),

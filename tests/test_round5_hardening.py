@@ -269,3 +269,85 @@ def test_column_profile_distincts_distributed(ray_session, tmp_path):
     assert int(out.loc["doc_id", "min_v"]) == 0
     assert int(out.loc["doc_id", "max_v"]) == n - 1
     assert out.loc["lang", "min_v"] == "de" and out.loc["lang", "max_v"] == "fr"
+
+
+def test_embedding_kmeans_step_exact_vs_naive(ray_session, tmp_path):
+    """The kmeans family's driver-visible exact twin: one Lloyd step in the
+    quantized-integer domain equals a naive single-process replication —
+    same smallest-id init, same argmin tie rule, bit-exact sums."""
+    from audio_feature_extraction_ray.stages.ann import (
+        KSTEP_K,
+        KSTEP_Q,
+        embedding_kmeans_step,
+    )
+
+    rng = np.random.default_rng(17)
+    n, d = 300, 6
+    emb = (rng.normal(size=(n, d)) * 0.4).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)  # ids NOT in row order
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=16)  # ~19 blocks
+    out = embedding_kmeans_step(str(sf))
+    assert len(out) <= KSTEP_K * d  # driver fold bounded by k x dim
+
+    # naive: centroids = the KSTEP_K smallest-id vectors in id order
+    xq = np.rint(emb.astype(np.float64) * KSTEP_Q).astype(np.int64)
+    order = np.argsort(ids, kind="stable")[:KSTEP_K]
+    cq = xq[order]
+    d2 = (
+        (xq * xq).sum(axis=1)[:, None]
+        - 2 * (xq @ cq.T)
+        + (cq * cq).sum(axis=1)[None, :]
+    )
+    assign = d2.argmin(axis=1)
+    for cl in np.unique(assign):
+        m = assign == cl
+        sub = out[out["cluster"] == cl].sort_values("dim")
+        assert (sub["n"] == int(m.sum())).all()
+        assert np.array_equal(sub["s"].to_numpy(), xq[m].sum(axis=0))
+
+
+def test_embedding_pca_moments_exact_vs_naive(ray_session, tmp_path):
+    """The PCA family's driver-visible exact twin: the distributed
+    integer-moment reduction equals a naive single-process computation,
+    independent of block count."""
+    from audio_feature_extraction_ray.stages.ann import (
+        PCA_Q,
+        embedding_pca_moments,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 250, 5
+    emb = (rng.normal(size=(n, d)) * 0.3).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "embeddings.parquet", row_group_size=16)
+    out = embedding_pca_moments(str(sf))
+    assert len(out) == d * (d + 1) // 2 + d + 1  # bounded by the moment count
+
+    xq = np.rint(emb.astype(np.float64) * PCA_Q).astype(np.int64)
+    gram = xq.T @ xq
+    sx = xq.sum(axis=0)
+    got = {(r.dim_i, r.dim_j): r.val for r in out.itertuples()}
+    assert got[(-1, -1)] == n
+    for i in range(d):
+        assert got[(i, -1)] == sx[i]
+        for j in range(i, d):
+            assert got[(i, j)] == gram[i, j]
