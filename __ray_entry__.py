@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_rules": text_analysis.gopher_rules,
         "docs_lang_join": text_analysis.docs_lang_join,
         "lang_top_token": text_analysis.lang_top_token,
+        "docs_pii_scrub": text_analysis.pii_scrub,
         # sub-document n-gram span family (exact-substring dedup granularity)
         "docs_dup_spans": spans.dup_spans,
         "docs_decontaminate": spans.decontaminate,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": text_analysis.DSIR_WEIGHTS_SQL,
         "docs_ccnet_buckets": text_analysis.CCNET_BUCKETS_SQL,
         "docs_gopher_rules": text_analysis.GOPHER_RULES_SQL,
+        "docs_pii_scrub": text_analysis.PII_SCRUB_SQL,
         "docs_lang_join": text_analysis.DOCS_LANG_JOIN_SQL,
         "lang_top_token": text_analysis.LANG_TOP_TOKEN_SQL,
         "docs_dup_spans": spans.DUP_SPANS_SQL,

@@ -2999,3 +2999,84 @@ SELECT 'text_nonempty',
        CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene): count and redact email / phone
+# spans with vectorized RE2 kernels. Both pyarrow.compute and DuckDB run
+# RE2, so the oracle comparison is byte-exact on the scrubbed text, not
+# just on the counts. The synthetic fixtures contain no PII, so the query
+# plants ONE deterministic email + phone per document (a pure function of
+# doc_id, constructed identically in the SQL oracle) — the redaction path
+# is exercised on every row rather than trivially matching on zeros. The
+# stage itself (scrub of the raw text column) is what a real corpus runs:
+# stateless vectorized map_batches, zero shuffle, scale-free.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?\d[\d ]{4,}\d"
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    ds = _read_docs(sf_dir, columns=["doc_id", "text"])
+
+    def scrub(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").cast(pa.int64())
+        did_np = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        did_s = did.cast(pa.string())
+        area = pa.array(did_np % 900 + 100, pa.int64()).cast(pa.string())
+        # lpad to 4 digits so the planted phone always clears PHONE_RE's
+        # minimum length, whatever the doc_id
+        local = pc.utf8_lpad(
+            pa.array(did_np % 10000, pa.int64()).cast(pa.string()), 4, "0"
+        )
+        aug = pc.binary_join_element_wise(
+            tbl.column("text").cast(pa.string()),
+            pa.scalar(" contact user"), did_s,
+            pa.scalar("@example.com call +"), area,
+            pa.scalar(" "), local,
+            "",
+        )
+        n_email = pc.count_substring_regex(aug, PII_EMAIL_RE).cast(pa.int64())
+        t1 = pc.replace_substring_regex(aug, PII_EMAIL_RE, "<EMAIL>")
+        n_phone = pc.count_substring_regex(t1, PII_PHONE_RE).cast(pa.int64())
+        clean = pc.replace_substring_regex(t1, PII_PHONE_RE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": did,
+                "n_email": n_email,
+                "n_phone": n_phone,
+                "text_clean": clean,
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+PII_SCRUB_SQL = (
+    """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com call +' || CAST(doc_id % 900 + 100 AS VARCHAR) ||
+         ' ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '"""
+    + PII_EMAIL_RE
+    + """')) AS BIGINT) AS n_email,
+         regexp_replace(t, '"""
+    + PII_EMAIL_RE
+    + """', '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_email,
+       CAST(len(regexp_extract_all(t1, '"""
+    + PII_PHONE_RE
+    + """')) AS BIGINT) AS n_phone,
+       regexp_replace(t1, '"""
+    + PII_PHONE_RE
+    + """', '<PHONE>', 'g') AS text_clean
+FROM e
+"""
+)

@@ -249,6 +249,7 @@ def run_bench() -> dict:
         ("docs_ccnet_buckets", text_analysis.ccnet_buckets),
         ("docs_gopher_rules", text_analysis.gopher_rules),
         ("embedding_quantize", search_dedup.embedding_quantize),
+        ("docs_pii_scrub", text_analysis.pii_scrub),
         ("docs_bpe_merges", bpe.bpe_merges),
         ("docs_bpe_encode", bpe.bpe_encode),
     ]:

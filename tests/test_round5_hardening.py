@@ -351,3 +351,48 @@ def test_embedding_pca_moments_exact_vs_naive(ray_session, tmp_path):
         assert got[(i, -1)] == sx[i]
         for j in range(i, d):
             assert got[(i, j)] == gram[i, j]
+
+
+def test_pii_scrub_kernel_planted_cases(ray_session, tmp_path):
+    """PII redaction pinned on handcrafted rows (multiple emails, adjacent
+    phones, no-PII) against Python re with the same patterns — the RE2
+    kernels must agree with re on count AND scrubbed bytes."""
+    import re
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+    )
+
+    texts = [
+        "reach a.b-c_d%x@mail.example.org or z@q.io now",
+        "call +44 20 7946 0958 or 555 0100 99 today",
+        "mixed bob@x.co +1 212 555 0000 bob@x.co",
+        "no pii here at all",
+        "",
+    ]
+    n = len(texts)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["web"] * n, pa.string()),
+            "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet", row_group_size=2)
+    out = pii_scrub(str(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    for i, s in enumerate(texts):
+        aug = f"{s} contact user{i}@example.com call +{i % 900 + 100} {i % 10000:04d}"
+        want_e = len(re.findall(PII_EMAIL_RE, aug))
+        t1 = re.sub(PII_EMAIL_RE, "<EMAIL>", aug)
+        want_p = len(re.findall(PII_PHONE_RE, t1))
+        want_clean = re.sub(PII_PHONE_RE, "<PHONE>", t1)
+        assert out.loc[i, "n_email"] == want_e >= 1  # planted email always hits
+        assert out.loc[i, "n_phone"] == want_p >= 1  # planted phone always hits
+        assert out.loc[i, "text_clean"] == want_clean
