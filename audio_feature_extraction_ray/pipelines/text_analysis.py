@@ -3017,11 +3017,20 @@ PII_PHONE_RE = r"\+?\d[\d ]{4,}\d"
 
 
 def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    # hoisted OUT of the worker closure: a body-level relative import would
+    # execute on workers whose sys.path lacks the repo (the round-4
+    # distinct_users cloudpickle trap); captured by value instead
+    from ..errors import SchemaError
+
     ds = _read_docs(sf_dir, columns=["doc_id", "text"])
 
-    def scrub(tbl: pa.Table) -> pa.Table:
+    def scrub(tbl: pa.Table, _schema_error=SchemaError) -> pa.Table:
         did = tbl.column("doc_id").cast(pa.int64())
         did_np = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        if did_np.size and did_np.min() < 0:
+            # the planted-PII arithmetic relies on nonneg ids: numpy % and
+            # SQL % disagree on negative dividends — enforce, don't assume
+            raise _schema_error("pii_scrub requires nonnegative doc_id")
         did_s = did.cast(pa.string())
         area = pa.array(did_np % 900 + 100, pa.int64()).cast(pa.string())
         # lpad to 4 digits so the planted phone always clears PHONE_RE's

@@ -396,3 +396,31 @@ def test_pii_scrub_kernel_planted_cases(ray_session, tmp_path):
         assert out.loc[i, "n_email"] == want_e >= 1  # planted email always hits
         assert out.loc[i, "n_phone"] == want_p >= 1  # planted phone always hits
         assert out.loc[i, "text_clean"] == want_clean
+
+
+def test_pii_scrub_rejects_negative_doc_id(ray_session, tmp_path):
+    """The planted-PII arithmetic assumes nonnegative ids (numpy % and SQL %
+    disagree on negative dividends) — enforced at runtime, not assumed."""
+    import pytest
+
+    from audio_feature_extraction_ray.errors import SchemaError
+    from audio_feature_extraction_ray.pipelines.text_analysis import pii_scrub
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([-1, 0], pa.int64()),
+            "text": pa.array(["a", "b"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+            "source": pa.array(["web", "web"], pa.string()),
+            "n_chars": pa.array([1, 1], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet")
+    with pytest.raises(Exception) as ei:
+        pii_scrub(str(sf)).to_pandas()
+    # Ray wraps worker exceptions; the SchemaError must be the cause chain
+    assert "pii_scrub requires nonnegative doc_id" in str(ei.value) or isinstance(
+        ei.value, SchemaError
+    )
