@@ -424,3 +424,36 @@ def test_pii_scrub_rejects_negative_doc_id(ray_session, tmp_path):
     assert "pii_scrub requires nonnegative doc_id" in str(ei.value) or isinstance(
         ei.value, SchemaError
     )
+
+
+def test_no_relative_imports_in_worker_closures():
+    """AST contract for the distinct_users cloudpickle trap: a RELATIVE
+    import in the body of a NESTED function (the shape of every worker UDF
+    here) executes at call time on workers whose sys.path may lack the repo.
+    Capture by value in the enclosing scope instead. Module-level function
+    bodies are driver-side and audited separately (round 4)."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "audio_feature_extraction_ray"
+    hits = []
+    for f in pkg.rglob("*.py"):
+        tree = ast.parse(f.read_text())
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.depth = 0
+
+            def visit_FunctionDef(self, node):
+                self.depth += 1
+                if self.depth >= 2:
+                    for sub in ast.walk(node):
+                        if isinstance(sub, ast.ImportFrom) and (sub.level or 0) > 0:
+                            hits.append(f"{f.name}:{sub.lineno} in {node.name}")
+                self.generic_visit(node)
+                self.depth -= 1
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+        V().visit(tree)
+    assert not hits, "relative imports inside worker closures:\n" + "\n".join(hits)
