@@ -2234,3 +2234,166 @@ SELECT event_type,
              * 1e6 + 0.5) / 1e6 AS z_stat
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) per-type scaling — the outlier-insensitive twin of
+# zscore. Pass 1: exact per-type median through stages.window.grouped_quantiles
+# (its interpolator is bit-identical to DuckDB quantile_cont). Pass 2: exact
+# per-type median absolute deviation over the derived |value - med| column,
+# same kernel. Pass 3: broadcast the <= |types| (median, mad) rows via
+# ray.put and apply in one vectorized map stage. Each quantile pass ships
+# only (type, value) pairs through its exchange; nothing else shuffles.
+
+
+def robust_zscale(sf_dir: str) -> ray.data.Dataset:
+    import ray as _ray
+
+    from ..stages.window import grouped_quantiles
+
+    med_df = grouped_quantiles(
+        read_events(sf_dir, ["event_type", "value"]), "event_type", "value", {"med": 0.5}
+    ).to_pandas()  # bounded: one row per event_type
+    med = dict(zip(med_df["event_type"], med_df["med"]))
+    med_ref = _ray.put(med)
+
+    def adev(tbl: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        t = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        v = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, codes = np.unique(t, return_inverse=True)
+        meds = np.array([m[x] for x in uniq], dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "adev": pa.array(np.abs(v - meds[codes]), pa.float64()),
+            }
+        )
+
+    mad_df = grouped_quantiles(
+        read_events(sf_dir, ["event_type", "value"]).map_batches(adev, batch_format="pyarrow"),
+        "event_type",
+        "adev",
+        {"mad": 0.5},
+    ).to_pandas()  # bounded: one row per event_type
+    mad = dict(zip(mad_df["event_type"], mad_df["mad"]))
+    for t, v in mad.items():
+        if not v > 0:
+            raise SchemaError(f"robust_zscale: MAD is zero for event_type={t!r}")
+    stats_ref = _ray.put((med, mad))
+
+    def apply(tbl: pa.Table) -> pa.Table:
+        m, d = _ray.get(stats_ref)
+        t = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        v = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, codes = np.unique(t, return_inverse=True)
+        meds = np.array([m[x] for x in uniq], dtype=np.float64)
+        mads = np.array([d[x] for x in uniq], dtype=np.float64)
+        rz = (v - meds[codes]) / mads[codes]
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "event_type": tbl.column("event_type"),
+                "value": tbl.column("value"),
+                "med": pa.array(meds[codes], pa.float64()),
+                "mad": pa.array(mads[codes], pa.float64()),
+                # same defensive 1e-6 rounding idiom as zscore/ab_lift
+                "robust_z": pa.array(np.floor(rz * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return read_events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        apply, batch_format="pyarrow"
+    )
+
+
+ROBUST_ZSCALE_SQL = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med
+  FROM events e JOIN m USING (event_type)
+), s AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM d GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value, d.med, s.mad,
+       floor(((d.value - d.med) / s.mad) * 1e6 + 0.5) / 1e6 AS robust_z
+FROM d JOIN s USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-day exact COUNT(DISTINCT user_id): the windowed twin of
+# events_distinct_users. Per-batch (day, user) unique combiner (each pair
+# crosses the exchange at most once per batch), ONE hash exchange keyed on
+# the (day, user) PAIR — so equal pairs co-locate and each partition's
+# post-dedup per-day counts are disjoint partials — then a driver fold of
+# <= days x P rows (days is a calendar-bounded domain, never data-sized).
+
+
+WINDOW_DISTINCT_PARTS = 32
+_DAY_US = np.int64(86_400_000_000)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _day_user_dedup(day: np.ndarray, u: np.ndarray):
+    order = np.lexsort((u, day))
+    d2, u2 = day[order], u[order]
+    keep = np.r_[True, (d2[1:] != d2[:-1]) | (u2[1:] != u2[:-1])]
+    return d2[keep], u2[keep]
+
+
+def window_distinct(sf_dir: str):
+    ds = read_events(sf_dir, ["ts", "user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ts.size and ts.min() < 0:
+            # numpy // floors while date_trunc on pre-epoch timestamps would
+            # need calendar logic; the fixture domain is post-epoch
+            raise SchemaError("window_distinct requires non-negative timestamps")
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        d2, u2 = _day_user_dedup(day, u)
+        h = (d2.astype(np.uint64) * _GOLD) ^ (u2.astype(np.uint64) * _MIX2)
+        pid = (h % np.uint64(WINDOW_DISTINCT_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "day": pa.array(d2, pa.int64()),
+                "user_id": pa.array(u2, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        day = tbl.column("day").to_numpy(zero_copy_only=False)
+        u = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        d2, _ = _day_user_dedup(day, u)
+        uniq, counts = np.unique(d2, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(uniq, pa.int64()),
+                "n_users": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: finish(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .to_pandas()  # bounded: <= days x WINDOW_DISTINCT_PARTS rows
+    )
+    out = parts.groupby("day", as_index=False)["n_users"].sum()
+    out["day"] = out["day"].astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)
+
+
+WINDOW_DISTINCT_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""

@@ -457,3 +457,118 @@ def test_no_relative_imports_in_worker_closures():
 
         V().visit(tree)
     assert not hits, "relative imports inside worker closures:\n" + "\n".join(hits)
+
+
+# ---------------------------------------------------------------------------
+# round-5 continuation: robust_zscale / window_distinct edge guards.
+
+
+def _write_events(tmp_path, ts_us, user_id, event_type, value):
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(len(ts_us), dtype=np.int64)),
+                "ts": pa.array(np.asarray(ts_us, dtype=np.int64), pa.timestamp("us")),
+                "user_id": pa.array(np.asarray(user_id, dtype=np.int64)),
+                "event_type": pa.array(event_type, pa.string()),
+                "value": pa.array(np.asarray(value, dtype=np.float64)),
+                "props": pa.array(["{}"] * len(ts_us), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+def test_robust_zscale_zero_mad_raises(ray_session, tmp_path):
+    """A constant-valued group has MAD == 0; the operator must refuse rather
+    than emit inf/nan that silently diverges from the SQL oracle."""
+    import pytest
+
+    from audio_feature_extraction_ray.errors import SchemaError
+    from audio_feature_extraction_ray.pipelines.events import robust_zscale
+
+    sf = _write_events(
+        tmp_path,
+        ts_us=[1_000_000 * i for i in range(6)],
+        user_id=[1, 2, 3, 1, 2, 3],
+        event_type=["a", "a", "a", "b", "b", "b"],
+        value=[5.0, 5.0, 5.0, 1.0, 2.0, 9.0],
+    )
+    with pytest.raises(SchemaError, match="MAD is zero"):
+        robust_zscale(sf)
+
+
+def test_robust_zscale_matches_naive(ray_session, tmp_path):
+    """Engine (med, mad, robust_z) equals a naive numpy median/MAD per group
+    (odd group sizes -> quantile_cont == exact middle order statistic)."""
+    rng = np.random.default_rng(7)
+    n = 301
+    types = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    # force odd per-group counts by trimming to odd sizes per type
+    vals = np.round(rng.normal(10, 4, n), 2)
+    sf = _write_events(
+        tmp_path,
+        ts_us=[1_000_000 * i for i in range(n)],
+        user_id=rng.integers(1, 9, n),
+        event_type=types.tolist(),
+        value=vals,
+    )
+    from audio_feature_extraction_ray.pipelines.events import robust_zscale
+
+    out = robust_zscale(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    for t in ["x", "y", "z"]:
+        v = vals[types == t]
+        med = np.quantile(v, 0.5, method="linear")
+        mad = np.quantile(np.abs(v - med), 0.5, method="linear")
+        sub = out[out["event_type"] == t]
+        assert np.allclose(sub["med"], med)
+        assert np.allclose(sub["mad"], mad)
+        assert np.allclose(
+            sub["robust_z"], np.floor((sub["value"] - med) / mad * 1e6 + 0.5) / 1e6
+        )
+
+
+def test_window_distinct_negative_ts_raises(ray_session, tmp_path):
+    import pytest
+
+    from audio_feature_extraction_ray.errors import SchemaError
+    from audio_feature_extraction_ray.pipelines.events import window_distinct
+
+    sf = _write_events(
+        tmp_path,
+        ts_us=[-1],
+        user_id=[1],
+        event_type=["a"],
+        value=[1.0],
+    )
+    with pytest.raises(Exception) as ei:
+        window_distinct(sf)
+    # Ray wraps worker exceptions; the SchemaError must be the cause chain
+    assert "non-negative timestamps" in str(ei.value) or isinstance(ei.value, SchemaError)
+
+
+def test_window_distinct_pair_spans_batches(ray_session, tmp_path):
+    """The same (day, user) pair emitted from MANY input blocks must count
+    once: the pair-keyed exchange co-locates duplicates across batches."""
+    import ray.data
+
+    from audio_feature_extraction_ray.pipelines.events import window_distinct
+
+    day_us = 86_400_000_000
+    # user 7 appears on day 0 in 40 separate rows; users 1..5 on day 1
+    ts = [i * 1000 for i in range(40)] + [day_us + i for i in range(5)]
+    users = [7] * 40 + [1, 2, 3, 4, 5]
+    sf = _write_events(
+        tmp_path,
+        ts_us=ts,
+        user_id=users,
+        event_type=["a"] * 45,
+        value=[1.0] * 45,
+    )
+    out = window_distinct(sf)
+    assert out["n_users"].tolist() == [1, 5]
