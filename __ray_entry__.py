@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
         "events_robust_zscale": events.robust_zscale,
+        "events_median_2pass": events.median_2pass,
         "events_window_distinct": events.window_distinct,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
         "events_robust_zscale": events.ROBUST_ZSCALE_SQL,
+        "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "events_window_distinct": events.WINDOW_DISTINCT_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,

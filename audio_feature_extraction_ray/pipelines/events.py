@@ -2397,3 +2397,39 @@ FROM events
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# exact GLOBAL order statistics without a value exchange: median and p90 by
+# distributed selection (stages.selection.multi_kth_smallest — iterative
+# histogram narrowing, per-round exchange is (query, bin) counters only).
+# The contrast operator to events_quantiles' full (key, value) co-location:
+# this is the shape that still works when ONE group holds 100 TB of values.
+
+
+def median_2pass(sf_dir: str):
+    import math
+
+    from ..stages.selection import multi_kth_smallest
+
+    make = lambda: read_events(sf_dir, ["value"])  # noqa: E731 - fresh pass per round
+    # ranks derive from n inside the helper's stats pass (no extra scan);
+    # identical rank formulas to the SQL oracle's (n+1)//2 and ceil(0.9*n)
+    n, vals = multi_kth_smallest(
+        make, "value", lambda n: [(n + 1) // 2, int(math.ceil(0.9 * n))]
+    )
+    return pd.DataFrame({"n": [n], "median_lo": [vals[0]], "p90_lo": [vals[1]]})
+
+
+MEDIAN_2PASS_SQL = """
+WITH s AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value) AS rn,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT max(n) AS n,
+       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median_lo,
+       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_lo
+FROM s
+"""

@@ -572,3 +572,43 @@ def test_window_distinct_pair_spans_batches(ray_session, tmp_path):
     )
     out = window_distinct(sf)
     assert out["n_users"].tolist() == [1, 5]
+
+
+def test_multi_kth_smallest_forced_narrowing(ray_session):
+    """Tiny collect_cap + tiny bin count forces several histogram-narrowing
+    rounds; answers must equal np.sort exactly, including duplicate-heavy
+    data where a bin collapses to a single repeated value."""
+    import ray.data
+
+    from audio_feature_extraction_ray.stages.selection import multi_kth_smallest
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.normal(0, 1, 4000),
+            np.full(3000, 0.25),  # heavy duplicate mass: vmin==vmax collapse path
+            rng.uniform(-50, 50, 3000),
+        ]
+    )
+    make = lambda: ray.data.from_arrow(  # noqa: E731
+        pa.table({"value": pa.array(vals, pa.float64())})
+    ).repartition(17)
+    ks = [1, 2500, 5000, 7499, 10000]
+    n, got = multi_kth_smallest(make, "value", ks, bins=4, collect_cap=16)
+    assert n == vals.size
+    want = np.sort(vals)
+    assert got == [float(want[k - 1]) for k in ks]
+
+
+def test_multi_kth_smallest_nan_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from audio_feature_extraction_ray.errors import SchemaError
+    from audio_feature_extraction_ray.stages.selection import multi_kth_smallest
+
+    make = lambda: ray.data.from_arrow(  # noqa: E731
+        pa.table({"value": pa.array([1.0, float("nan"), 2.0], pa.float64())})
+    )
+    with pytest.raises(SchemaError, match="NaN"):
+        multi_kth_smallest(make, "value", [1])
