@@ -3089,3 +3089,194 @@ SELECT doc_id, n_email,
 FROM e
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch-guided EXACT top-k tokens: the two-phase production pattern for
+# frequent-items at 100 TB. Phase 1 runs the Misra-Gries exchange (counters
+# only) while explicitly accumulating E = the total mass every compress step
+# subtracted — the rigorous MG bound "any token absent from the sketch has
+# true count <= E". Phase 2 broadcasts the <= MG_K surviving candidates and
+# exact-counts ONLY them in one vectorized pass (bincount over index_in), so
+# no token-keyed data-sized exchange ever runs. A runtime guarantee check
+# (k-th exact candidate count > E) proves the result equals the full GROUP BY
+# top-k; when the distribution is too flat to prove it, the operator falls
+# back to the exact distributed count (correct, just shuffle-heavier) and
+# the choice is observable in _last_topk_path for tests.
+
+TOPK_RESCORE_K = 20
+# contains a space, which string_split(text, ' ') can never emit
+_TSUB_SENTINEL = "\x00 subtracted \x00"
+
+_last_topk_path: dict[str, str] = {}
+
+
+def _mg_compress_t(toks: np.ndarray, counts: np.ndarray, k: int):
+    """_mg_compress + the subtracted threshold t (0 when nothing compressed)."""
+    if toks.size <= k:
+        return toks, counts, 0
+    order = np.argsort(-counts, kind="stable")
+    t = int(counts[order[k]])
+    kept = order[counts[order] > t]
+    return toks[kept], counts[kept] - t, t
+
+
+def _topk_exact(sf_dir: str, k: int = TOPK_RESCORE_K):
+    """Exact distributed token count + global top-k: per-batch count combiner,
+    ONE token-hash exchange (each partition's sums are final for its tokens),
+    per-partition local top-k, driver merge of <= k x P rows."""
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_strong
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        de = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            de.indices.to_numpy(zero_copy_only=False), minlength=len(de.dictionary)
+        ).astype(np.int64)
+        pid = (string_hash_strong(de.dictionary) % np.uint64(MG_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "token": de.dictionary,
+                "n": pa.array(counts, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        de = pc.dictionary_encode(tok)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("n").to_numpy())
+        toks = de.dictionary.to_numpy(zero_copy_only=False)
+        # local top-k is globally safe: a token's total lives entirely here
+        order = np.lexsort((toks, -sums))[:k]
+        return pa.table(
+            {
+                "token": pa.array(toks[order].tolist(), pa.string()),
+                "n": pa.array(sums[order], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: finish(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .to_pandas()  # bounded: <= k x MG_PARTS rows
+    )
+    out = parts.sort_values(["n", "token"], ascending=[False, True], kind="mergesort").head(k)
+    return out.reset_index(drop=True)
+
+
+def token_topk_rescore(sf_dir: str, k: int = TOPK_RESCORE_K):
+    import pandas as pd
+    import ray as _ray
+
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    # ---- phase 1: MG candidates + exact subtracted-mass bound E ------------
+    def sketch_partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        de = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            de.indices.to_numpy(zero_copy_only=False), minlength=len(de.dictionary)
+        ).astype(np.int64)
+        toks = de.dictionary.to_numpy(zero_copy_only=False)
+        toks, counts, t_b = _mg_compress_t(toks, counts, MG_K)
+        tarr = pa.array(toks.tolist() + [_TSUB_SENTINEL], pa.string())
+        est = pa.array(np.r_[counts, t_b], pa.int64())
+        pid = (string_hash_strong(tarr) % np.uint64(MG_PARTS)).astype(np.int32)
+        return pa.table({"token": tarr, "est": est, "__pid": pa.array(pid)})
+
+    def sketch_merge(tbl: pa.Table) -> pa.Table:
+        tok = tbl.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        toks_np = tok.to_numpy(zero_copy_only=False)
+        est = tbl.column("est").to_numpy(zero_copy_only=False).astype(np.int64)
+        sent = toks_np == _TSUB_SENTINEL
+        e_in = int(est[sent].sum())
+        de = pc.dictionary_encode(pa.array(toks_np[~sent].tolist(), pa.string()))
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(sums, codes, est[~sent])
+        toks2, counts2, t_p = _mg_compress_t(
+            de.dictionary.to_numpy(zero_copy_only=False), sums, MG_K
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks2.tolist() + [_TSUB_SENTINEL], pa.string()),
+                "est": pa.array(np.r_[counts2, e_in + t_p], pa.int64()),
+            }
+        )
+
+    merged = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(sketch_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: sketch_merge(g.drop_columns(["__pid"])), batch_format="pyarrow"
+        )
+        .to_pandas()  # bounded: <= (MG_K + 1) x MG_PARTS rows
+    )
+    sent = merged["token"] == _TSUB_SENTINEL
+    e_total = int(merged.loc[sent, "est"].sum())
+    agg = merged[~sent].groupby("token", as_index=False)["est"].sum()  # disjoint keys
+    cand, _, t_final = _mg_compress_t(
+        agg["token"].to_numpy(), agg["est"].to_numpy().astype(np.int64), MG_K
+    )
+    e_total += t_final
+
+    # ---- phase 2: broadcast candidates, exact-count only them --------------
+    cand = np.sort(cand.astype(object))
+    cand_ref = _ray.put(pa.array(cand.tolist(), pa.string()))
+
+    def rescore_partial(tbl: pa.Table) -> pa.Table:
+        cands = _ray.get(cand_ref)
+        flat = _raw_flat_tokens(tbl)
+        idx = pc.index_in(flat, value_set=cands)
+        valid = idx.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(valid, minlength=len(cands)).astype(np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "ci": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(n[nz], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        _read_docs(sf_dir, ["text"]).map_batches(rescore_partial, batch_format="pyarrow"),
+        lambda t: t.group_by(["ci"]).aggregate([("n", "sum")]).rename_columns(["ci", "n"]),
+        pid_of=lambda t: (t.column("ci").to_numpy() % 32),
+    )
+    exact = np.zeros(len(cand), dtype=np.int64)
+    if folded is not None:
+        exact[folded.column("ci").to_numpy()] = folded.column("n").to_numpy()
+
+    order = np.lexsort((cand, -exact))[:k]
+    kth = int(exact[order[-1]]) if order.size >= k else 0
+
+    # ---- guarantee: any non-candidate's true count <= e_total --------------
+    if order.size >= k and kth > e_total:
+        _last_topk_path["path"] = "sketch_rescore"
+        return pd.DataFrame(
+            {"token": cand[order].astype(str), "n": exact[order]}
+        ).reset_index(drop=True)
+    _last_topk_path["path"] = "exact_fallback"
+    return _topk_exact(sf_dir, k)
+
+
+TOKEN_TOPK_RESCORE_SQL = f"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT {TOPK_RESCORE_K}
+"""

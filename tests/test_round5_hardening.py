@@ -612,3 +612,72 @@ def test_multi_kth_smallest_nan_guard(ray_session):
     )
     with pytest.raises(SchemaError, match="NaN"):
         multi_kth_smallest(make, "value", [1])
+
+
+def _write_docs(tmp_path, texts, name="sf"):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    n = len(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["web"] * n, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+        row_group_size=32,  # many blocks -> many sketch partials
+    )
+    return str(d)
+
+
+def _naive_topk(texts, k):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        c.update(t.split(" "))
+    return sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_token_topk_rescore_sketch_path_exact(ray_session, tmp_path):
+    """Zipf-ish corpus with vocab >> MG_K: batch compress fires, candidates
+    survive, the guarantee check (kth exact > E) proves the sketch path, and
+    the answer equals a naive global Counter exactly."""
+    from audio_feature_extraction_ray.pipelines import text_analysis as ta
+
+    rng = np.random.default_rng(23)
+    vocab = np.array([f"w{i:04d}" for i in range(500)])
+    # heavy head: token w0000 ~ 1/rank mass, far above the subtracted bound
+    probs = 1.0 / np.arange(1, vocab.size + 1) ** 1.6
+    probs /= probs.sum()
+    texts = [
+        " ".join(vocab[rng.choice(vocab.size, size=60, p=probs)]) for _ in range(400)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = ta.token_topk_rescore(sf)
+    want = _naive_topk(texts, ta.TOPK_RESCORE_K)
+    assert list(zip(out["token"], out["n"])) == want
+    assert ta._last_topk_path["path"] == "sketch_rescore"
+
+
+def test_token_topk_rescore_flat_falls_back_exact(ray_session, tmp_path):
+    """Near-uniform corpus: no candidate can beat the subtracted-mass bound,
+    so the operator must take the exact-fallback path — and still match the
+    naive global Counter exactly."""
+    from audio_feature_extraction_ray.pipelines import text_analysis as ta
+
+    rng = np.random.default_rng(29)
+    vocab = np.array([f"u{i:05d}" for i in range(5000)])
+    texts = [
+        " ".join(vocab[rng.choice(vocab.size, size=40, replace=False)])
+        for _ in range(300)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = ta.token_topk_rescore(sf)
+    want = _naive_topk(texts, ta.TOPK_RESCORE_K)
+    assert list(zip(out["token"], out["n"])) == want
+    assert ta._last_topk_path["path"] == "exact_fallback"
