@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_robust_zscale": events.robust_zscale,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
+        "token_countmin": text_analysis.token_countmin,
         "events_window_distinct": events.window_distinct,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "events_robust_zscale": events.ROBUST_ZSCALE_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,
+        "token_countmin": text_analysis.TOKEN_COUNTMIN_SQL,
         "events_window_distinct": events.WINDOW_DISTINCT_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,

@@ -3280,3 +3280,136 @@ GROUP BY tok
 ORDER BY n DESC, tok
 LIMIT {TOPK_RESCORE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the point-query member of the mergeable-sketch family
+# (next to Misra-Gries top-k, HLL distinct, Bloom membership). Per batch one
+# D x W int64 register grid accumulates dictionary-encoded token counts; the
+# grids merge by element-wise SUM through one exchange_fold (counters only,
+# O(parts x D x W) driver bytes regardless of block count). Point queries
+# take min over the D rows — always >= the true count; when some row has no
+# colliding probe token the estimate IS the true count. Like
+# hll_distinct_langs_exact, the registered query runs in a declared exact
+# regime (bounded vocab) and ENFORCES it: a runtime collision audit over the
+# full probe set raises SchemaError instead of silently over-counting, and
+# the general (collision-tolerated) regime is pinned by an error-bound pytest.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+CMS_VOCAB_CAP = 65536
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_cells(tokens: pa.Array, width: int, shash, av) -> np.ndarray:
+    """(CMS_DEPTH, n) int64 cell index per token per row. The hash functions
+    come in as arguments (captured driver-side) — a relative import here
+    would execute inside the worker, where the package isn't importable
+    (the no-relative-imports-in-worker-closures contract)."""
+    h = shash(tokens)
+    return np.stack(
+        [(av(h ^ s) % np.uint64(width)).astype(np.int64) for s in _CMS_SEEDS]
+    )
+
+
+def token_countmin(sf_dir: str, width: int = CMS_WIDTH, exact: bool = True):
+    import pandas as pd
+
+    from ..errors import SchemaError
+    from ..functions.hashing import avalanche64, string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    depth = CMS_DEPTH
+
+    def sketch_partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        de = pc.dictionary_encode(flat)
+        counts = np.bincount(
+            de.indices.to_numpy(zero_copy_only=False), minlength=len(de.dictionary)
+        ).astype(np.int64)
+        cells = _cms_cells(de.dictionary, width, string_hash_strong, avalanche64)
+        regs = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            np.add.at(regs[i], cells[i], counts)
+        return pa.table(
+            {
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs.reshape(-1), pa.int64()), depth * width
+                )
+            }
+        )
+
+    def sum_fold(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("regs")
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        m = c.flatten().to_numpy(zero_copy_only=False).reshape(len(c), -1)
+        return pa.table(
+            {
+                "regs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.sum(axis=0), pa.int64()), depth * width
+                )
+            }
+        )
+
+    folded = exchange_fold(
+        _read_docs(sf_dir, ["text"]).map_batches(sketch_partial, batch_format="pyarrow"),
+        sum_fold,
+    )
+    regs = (
+        folded.column("regs").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(depth, width)
+        if folded is not None
+        else np.zeros((depth, width), dtype=np.int64)
+    )
+
+    # probe set: the exact distinct-token set (declared bounded domain)
+    def uniq_partial(tbl: pa.Table) -> pa.Table:
+        uniq = pc.unique(_raw_flat_tokens(tbl))
+        pid = (string_hash_strong(uniq) % np.uint64(MG_PARTS)).astype(np.int32)
+        return pa.table({"token": uniq, "__pid": pa.array(pid)})
+
+    vocab_tbl = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(uniq_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: pa.table({"token": pc.unique(g.column("token"))}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: the declared-vocab exact regime, guarded below
+    )
+    vocab = np.sort(vocab_tbl["token"].to_numpy().astype(object))
+    if vocab.size > CMS_VOCAB_CAP:
+        raise SchemaError(
+            f"token_countmin exact regime requires vocab <= {CMS_VOCAB_CAP}; got {vocab.size}"
+        )
+    cells = _cms_cells(
+        pa.array(vocab.tolist(), pa.string()), width, string_hash_strong, avalanche64
+    )
+    est = regs[np.arange(CMS_DEPTH)[:, None], cells].min(axis=0)
+
+    if exact:
+        # collision audit: every probe token needs >= 1 row whose cell it
+        # occupies alone — then min-row == true count, bit-exact vs GROUP BY
+        clean = np.zeros(vocab.size, dtype=bool)
+        for i in range(depth):
+            occ = np.bincount(cells[i], minlength=width)
+            clean |= occ[cells[i]] == 1
+        if not clean.all():
+            bad = vocab[~clean][:5]
+            raise SchemaError(
+                f"token_countmin exact regime violated: colliding tokens {bad.tolist()}"
+            )
+    return pd.DataFrame({"token": vocab.astype(str), "est": est})
+
+
+TOKEN_COUNTMIN_SQL = """
+SELECT tok AS token, count(*) AS est
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY token
+"""

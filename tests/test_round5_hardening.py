@@ -681,3 +681,49 @@ def test_token_topk_rescore_flat_falls_back_exact(ray_session, tmp_path):
     want = _naive_topk(texts, ta.TOPK_RESCORE_K)
     assert list(zip(out["token"], out["n"])) == want
     assert ta._last_topk_path["path"] == "exact_fallback"
+
+
+def test_token_countmin_general_regime_bound(ray_session, tmp_path):
+    """Tiny width forces collisions: exact mode must refuse (SchemaError), and
+    collision-tolerated mode must satisfy the CMS invariant est >= true for
+    EVERY token while staying exact for tokens with a clean row."""
+    import pytest
+
+    from audio_feature_extraction_ray.errors import SchemaError
+    from audio_feature_extraction_ray.pipelines import text_analysis as ta
+
+    rng = np.random.default_rng(31)
+    vocab = np.array([f"c{i:03d}" for i in range(300)])
+    texts = [" ".join(vocab[rng.integers(0, vocab.size, 50)]) for _ in range(200)]
+    sf = _write_docs(tmp_path, texts)
+
+    with pytest.raises(SchemaError, match="colliding"):
+        ta.token_countmin(sf, width=64, exact=True)
+
+    out = ta.token_countmin(sf, width=64, exact=False)
+    from collections import Counter
+
+    true = Counter()
+    for t in texts:
+        true.update(t.split(" "))
+    got = dict(zip(out["token"], out["est"]))
+    assert set(got) == set(true)
+    assert all(got[t] >= c for t, c in true.items())  # CMS never undercounts
+
+
+def test_token_countmin_exact_regime_matches_counter(ray_session, tmp_path):
+    """Default width, modest vocab: the collision audit passes and every
+    point estimate equals the exact global count."""
+    from collections import Counter
+
+    from audio_feature_extraction_ray.pipelines import text_analysis as ta
+
+    rng = np.random.default_rng(37)
+    vocab = np.array([f"e{i:03d}" for i in range(120)])
+    texts = [" ".join(vocab[rng.integers(0, vocab.size, 30)]) for _ in range(150)]
+    sf = _write_docs(tmp_path, texts)
+    out = ta.token_countmin(sf)
+    true = Counter()
+    for t in texts:
+        true.update(t.split(" "))
+    assert dict(zip(out["token"], out["est"])) == dict(true)
