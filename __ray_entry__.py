@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_rescore": text_analysis.token_topk_rescore,
         "token_countmin": text_analysis.token_countmin,
         "events_window_distinct": events.window_distinct,
+        "docs_source_cap": text_analysis.source_cap,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,
         "token_countmin": text_analysis.TOKEN_COUNTMIN_SQL,
         "events_window_distinct": events.WINDOW_DISTINCT_SQL,
+        "docs_source_cap": text_analysis.SOURCE_CAP_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

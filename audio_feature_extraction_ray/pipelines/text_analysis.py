@@ -3413,3 +3413,54 @@ FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY tok
 ORDER BY token
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source quota cap ("domain caps"): keep only the top-K docs per source
+# by quality score — the CCNet/RefinedWeb curation step that stops a single
+# over-represented domain from dominating the training mix. Reference
+# analog: the spec's selection/export gating (SURVEY §2.7 limits family),
+# recast as data curation over the documents table.
+#
+# Scale shape: quality is computed per batch (vectorized, text dropped
+# before the exchange); stages/window.grouped_topk then runs its in-batch
+# combiner (<= K rows per source per input batch enter the ONE source-hash
+# exchange), so a source with 10^9 docs still ships only K x num_batches
+# slim rows, never its text. No driver materialization.
+
+SOURCE_CAP_K = 10
+
+
+def source_cap(sf_dir: str, k: int = SOURCE_CAP_K) -> ray.data.Dataset:
+    from ..stages.window import grouped_topk
+
+    def score(tbl: pa.Table) -> pa.Table:
+        q = quality_scores(tbl.column("text"))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "source": tbl.column("source"),
+                "quality": pa.array(q, pa.float64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    return grouped_topk(
+        ds, key="source", order_col="quality", tiebreak="doc_id", k=k, descending=True
+    )
+
+
+SOURCE_CAP_SQL = f"""
+WITH {QUALITY_T_CTE},
+q AS (SELECT doc_id, source, {QUALITY_EXPR} AS quality FROM t)
+SELECT doc_id, source, quality, rank
+FROM (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rank
+  FROM q
+)
+WHERE rank <= {SOURCE_CAP_K}
+"""

@@ -252,6 +252,12 @@ def run_bench() -> dict:
         ("docs_pii_scrub", text_analysis.pii_scrub),
         ("docs_bpe_merges", bpe.bpe_merges),
         ("docs_bpe_encode", bpe.bpe_encode),
+        ("events_robust_zscale", events.robust_zscale),
+        ("events_window_distinct", events.window_distinct),
+        ("events_median_2pass", events.median_2pass),
+        ("token_topk_rescore", text_analysis.token_topk_rescore),
+        ("token_countmin", text_analysis.token_countmin),
+        ("docs_source_cap", text_analysis.source_cap),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
