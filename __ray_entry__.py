@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_countmin": text_analysis.token_countmin,
         "events_window_distinct": events.window_distinct,
         "docs_source_cap": text_analysis.source_cap,
+        "token_zipf_hist": text_analysis.token_zipf_hist,
+        "token_zipf_slope": text_analysis.token_zipf_slope,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -332,6 +334,8 @@ def oracle_sql() -> dict[str, str]:
         "token_countmin": text_analysis.TOKEN_COUNTMIN_SQL,
         "events_window_distinct": events.WINDOW_DISTINCT_SQL,
         "docs_source_cap": text_analysis.SOURCE_CAP_SQL,
+        "token_zipf_hist": text_analysis.TOKEN_ZIPF_HIST_SQL,
+        "token_zipf_slope": text_analysis.TOKEN_ZIPF_SLOPE_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

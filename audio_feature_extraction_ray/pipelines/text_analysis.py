@@ -3464,3 +3464,147 @@ FROM (
 )
 WHERE rank <= {SOURCE_CAP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency analysis: the exact count-of-counts histogram over the
+# corpus vocabulary (how many tokens occur exactly c times), with each
+# distinct frequency's dense rank, plus a log-log power-law fit over the
+# histogram levels. The classic corpus diagnostic (Zipf's law: ln c ~
+# -s * ln rank) used to sanity-check crawls and detect boilerplate floods.
+#
+# Scale shape: token counts use the distinct_tokens idiom (per-batch
+# value_counts combiner -> ONE token-hash exchange -> per-partition exact
+# fold); each partition then collapses its disjoint token set to a
+# (c, n_tokens) histogram before anything reaches the driver. The histogram
+# is provably tiny: a multiset of positive counts summing to N total tokens
+# has at most sqrt(2N) DISTINCT values (k distinct values need sum >=
+# k(k+1)/2), so even a 10^13-token corpus folds to <~ 4.5M rows — merged
+# per-c through exchange_fold, never the vocabulary itself.
+
+ZIPF_PARTS = 32
+
+
+def _zipf_histogram(sf_dir: str) -> "pd.DataFrame":
+    """Driver-side exact (c, n_tokens) histogram, sorted by c descending."""
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        vc = pc.value_counts(flat)
+        tok, cnt = vc.field("values"), vc.field("counts")
+        pid = (string_hash_array(tok) % np.uint64(ZIPF_PARTS)).astype(np.int32)
+        return pa.table({"token": tok, "c": cnt, "__pid": pa.array(pid)})
+
+    def to_hist(tbl: pa.Table) -> pa.Table:
+        # exact per-token totals within this partition's disjoint token set,
+        # then collapse to count-of-counts — the only rows that leave the task
+        tc = tbl.group_by("token").aggregate([("c", "sum")])
+        hv = pc.value_counts(tc.column("c_sum"))
+        return pa.table(
+            {
+                "c": hv.field("values").cast(pa.int64()),
+                "n_tokens": hv.field("counts").cast(pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: to_hist(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("c").aggregate([("n_tokens", "sum")]).rename_columns(
+            ["c", "n_tokens"]
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        return (
+            tbl.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(ZIPF_PARTS)
+        ).astype(np.int32)
+
+    folded = exchange_fold(parts, fold, pid_of=pid_of)
+    if folded is None:
+        return pd.DataFrame({"c": pd.Series([], dtype=np.int64),
+                             "n_tokens": pd.Series([], dtype=np.int64)})
+    df = folded.to_pandas().groupby("c", as_index=False)["n_tokens"].sum()
+    return df.sort_values("c", ascending=False).reset_index(drop=True)
+
+
+def token_zipf_hist(sf_dir: str):
+    """(c, n_tokens, zipf_rank): count-of-counts with each frequency level's
+    dense rank (rank 1 = the most frequent count value). All-integer output
+    — oracle hash-exact by construction."""
+    df = _zipf_histogram(sf_dir)
+    df["zipf_rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+TOKEN_ZIPF_HIST_SQL = """
+WITH tc AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT c, count(*) AS n_tokens,
+       CAST(dense_rank() OVER (ORDER BY c DESC) AS BIGINT) AS zipf_rank
+FROM tc GROUP BY c
+"""
+
+
+def token_zipf_slope(sf_dir: str):
+    """Least-squares fit of ln(c) against ln(zipf_rank) over the histogram
+    LEVELS (one point per distinct frequency, <= sqrt(2N) points — the fit
+    itself is a driver-side scalar reduction over the already-bounded
+    histogram). slope ~ -1 is the Zipf regime. Reported on the fixed-point
+    floor(x*1e6+0.5)/1e6 grid (the quality-score discipline) — the SQL twin
+    states the SAME two-pass mean-centered formula, so only summation order
+    can differ, far inside the grid."""
+    import pandas as pd
+
+    df = _zipf_histogram(sf_dir)
+    n = len(df)
+    if n < 2:
+        return pd.DataFrame({"slope": [np.nan], "intercept": [np.nan],
+                             "n_points": [np.int64(n)]})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(df["c"].to_numpy(dtype=np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = ((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum()
+    grid = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return pd.DataFrame(
+        {
+            "slope": [grid(slope)],
+            "intercept": [grid(my - slope * mx)],
+            "n_points": [np.int64(n)],
+        }
+    )
+
+
+TOKEN_ZIPF_SLOPE_SQL = """
+WITH tc AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), h AS (
+  SELECT c, CAST(dense_rank() OVER (ORDER BY c DESC) AS BIGINT) AS zipf_rank
+  FROM tc GROUP BY c
+), pts AS (
+  SELECT ln(zipf_rank) AS x, ln(c) AS y FROM h
+), m AS (
+  SELECT avg(x) AS mx, avg(y) AS my, count(*) AS n FROM pts
+), s AS (
+  SELECT sum((x - mx) * (y - my)) / sum((x - mx) * (x - mx)) AS sl
+  FROM pts, m
+)
+SELECT floor(sl * 1e6 + 0.5) / 1e6 AS slope,
+       floor((my - sl * mx) * 1e6 + 0.5) / 1e6 AS intercept,
+       CAST(n AS BIGINT) AS n_points
+FROM s, m
+"""

@@ -258,6 +258,7 @@ def run_bench() -> dict:
         ("token_topk_rescore", text_analysis.token_topk_rescore),
         ("token_countmin", text_analysis.token_countmin),
         ("docs_source_cap", text_analysis.source_cap),
+        ("token_zipf_hist", text_analysis.token_zipf_hist),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

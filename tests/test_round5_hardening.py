@@ -727,3 +727,53 @@ def test_token_countmin_exact_regime_matches_counter(ray_session, tmp_path):
     for t in texts:
         true.update(t.split(" "))
     assert dict(zip(out["token"], out["est"])) == dict(true)
+
+
+def test_token_zipf_matches_naive_counter(ray_session, tmp_path):
+    """Zipf histogram: exact count-of-counts vs a driver Counter across MANY
+    blocks (token totals must survive the token-hash exchange — a token
+    split across row groups has partial counts in several batches), and the
+    level-fit slope vs np.polyfit over the same points."""
+    from collections import Counter
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        token_zipf_hist,
+        token_zipf_slope,
+    )
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    # zipf-ish draw with heavy ties in the count-of-counts
+    probs = 1.0 / np.arange(1, 41)
+    probs /= probs.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30), p=probs))
+        for _ in range(600)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(600, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet", row_group_size=16)  # ~38 blocks
+
+    counts = Counter()
+    for s in texts:
+        counts.update(s.split(" "))
+    hist = Counter(counts.values())
+
+    df = token_zipf_hist(str(sf))
+    assert dict(zip(df["c"], df["n_tokens"])) == dict(hist)
+    assert list(df["c"]) == sorted(hist, reverse=True)
+    assert list(df["zipf_rank"]) == list(range(1, len(hist) + 1))
+
+    sl = token_zipf_slope(str(sf)).iloc[0]
+    cs = np.array(sorted(hist, reverse=True), dtype=np.float64)
+    coef = np.polyfit(np.log(np.arange(1, cs.size + 1)), np.log(cs), 1)
+    # operator reports on the 1e-6 fixed-point grid
+    assert abs(sl["slope"] - coef[0]) < 1e-6
+    assert abs(sl["intercept"] - coef[1]) < 1e-6
+    assert int(sl["n_points"]) == cs.size
