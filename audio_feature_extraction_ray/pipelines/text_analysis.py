@@ -3608,3 +3608,119 @@ SELECT floor(sl * 1e6 + 0.5) / 1e6 AS slope,
        CAST(n AS BIGINT) AS n_points
 FROM s, m
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve: how many NEW distinct tokens each
+# ingest bucket of HEAPS_BUCKET docs contributes, plus the running
+# cumulative vocabulary size — the companion diagnostic to the Zipf fit
+# (sub-linear growth = healthy crawl; a linear segment flags an
+# id/timestamp/boilerplate flood in that ingest range).
+#
+# Scale shape: a token's first occurrence is min(doc_id) over its postings —
+# per-batch group_by-min combiner (one slim row per distinct token per
+# batch), ONE token-hash exchange, per-partition exact min fold, then each
+# partition collapses its disjoint token set to (bucket, new_tokens)
+# partials BEFORE the driver; exchange_fold merges per bucket and the
+# cumulative sum runs over <= n_docs/HEAPS_BUCKET scalars. All-integer.
+
+HEAPS_BUCKET = 100
+
+
+def token_heaps_curve(sf_dir: str, bucket: int = HEAPS_BUCKET):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        if ids.size and ids.min() < 0:
+            from ..errors import SchemaError
+
+            raise SchemaError("token_heaps_curve requires nonnegative doc_id")
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = pc.list_value_length(toks).cast(pa.int64()).to_numpy()
+        doc = np.repeat(ids, n)
+        fm = (
+            pa.table({"token": flat, "first_doc": pa.array(doc, pa.int64())})
+            .group_by("token")
+            .aggregate([("first_doc", "min")])
+        )
+        pid = (
+            string_hash_array(fm.column("token").combine_chunks())
+            % np.uint64(ZIPF_PARTS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "token": fm.column("token"),
+                "first_doc": fm.column("first_doc_min"),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def to_buckets(tbl: pa.Table) -> pa.Table:
+        fm = tbl.group_by("token").aggregate([("first_doc", "min")])
+        b = fm.column("first_doc_min").to_numpy(zero_copy_only=False) // bucket
+        bv, bc = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(bv.astype(np.int64)),
+                "new_tokens": pa.array(bc.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: to_buckets(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("bucket").aggregate([("new_tokens", "sum")]).rename_columns(
+            ["bucket", "new_tokens"]
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        return (
+            tbl.column("bucket").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(ZIPF_PARTS)
+        ).astype(np.int32)
+
+    folded = exchange_fold(parts, fold, pid_of=pid_of)
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype=np.int64),
+                "new_tokens": pd.Series([], dtype=np.int64),
+                "cum_vocab": pd.Series([], dtype=np.int64),
+            }
+        )
+    df = (
+        folded.to_pandas()
+        .groupby("bucket", as_index=False)["new_tokens"]
+        .sum()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    df["cum_vocab"] = df["new_tokens"].cumsum().astype(np.int64)
+    return df
+
+
+TOKEN_HEAPS_CURVE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), f AS (
+  SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok
+), b AS (
+  SELECT first_doc // {HEAPS_BUCKET} AS bucket, count(*) AS new_tokens
+  FROM f GROUP BY 1
+)
+SELECT bucket, new_tokens,
+       CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
+FROM b
+"""

@@ -259,6 +259,7 @@ def run_bench() -> dict:
         ("token_countmin", text_analysis.token_countmin),
         ("docs_source_cap", text_analysis.source_cap),
         ("token_zipf_hist", text_analysis.token_zipf_hist),
+        ("token_heaps_curve", text_analysis.token_heaps_curve),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -777,3 +777,44 @@ def test_token_zipf_matches_naive_counter(ray_session, tmp_path):
     assert abs(sl["slope"] - coef[0]) < 1e-6
     assert abs(sl["intercept"] - coef[1]) < 1e-6
     assert int(sl["n_points"]) == cs.size
+
+
+def test_token_heaps_curve_matches_naive(ray_session, tmp_path):
+    """Heaps curve: first-occurrence bucketing must survive BOTH exchanges
+    (a token first seen in an early block must win the min over later
+    blocks' partials) and the cumulative sum must cover skipped buckets.
+    Naive reference: dict of first doc per token."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import token_heaps_curve
+
+    rng = np.random.default_rng(37)
+    n = 400
+    texts = []
+    for i in range(n):
+        toks = [f"base{j}" for j in rng.integers(0, 30, size=5)]
+        if i % 7 == 0:
+            toks.append(f"rare{i}")  # new vocab injected throughout ingest
+        texts.append(" ".join(toks))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet", row_group_size=16)  # ~25 blocks
+
+    first = {}
+    for i, s in enumerate(texts):
+        for tok in s.split(" "):
+            first.setdefault(tok, i)
+    bucket = 50
+    exp = {}
+    for fd in first.values():
+        exp[fd // bucket] = exp.get(fd // bucket, 0) + 1
+
+    df = token_heaps_curve(str(sf), bucket=bucket)
+    assert dict(zip(df["bucket"], df["new_tokens"])) == exp
+    assert len(df) > 1  # multi-bucket: new vocab arrives all through ingest
+    assert list(df["cum_vocab"]) == list(np.cumsum(df["new_tokens"]))
+    assert int(df["cum_vocab"].iloc[-1]) == len(first)
