@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_hist": text_analysis.token_zipf_hist,
         "token_zipf_slope": text_analysis.token_zipf_slope,
         "token_heaps_curve": text_analysis.token_heaps_curve,
+        "token_cooc_window": text_analysis.token_cooc_window,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "token_zipf_hist": text_analysis.TOKEN_ZIPF_HIST_SQL,
         "token_zipf_slope": text_analysis.TOKEN_ZIPF_SLOPE_SQL,
         "token_heaps_curve": text_analysis.TOKEN_HEAPS_CURVE_SQL,
+        "token_cooc_window": text_analysis.TOKEN_COOC_WINDOW_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

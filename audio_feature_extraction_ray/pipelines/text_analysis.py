@@ -3724,3 +3724,96 @@ SELECT bucket, new_tokens,
        CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_vocab
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# windowed skip-gram co-occurrence: counts of ordered token pairs within
+# distance <= COOC_WINDOW inside a document — the corpus statistic word2vec/
+# GloVe-style embedding training consumes. Same scale shape as bigram_topk
+# (its W=1 special case): per-batch dictionary-encode + bincount combiner,
+# ONE pair-hash exchange, per-partition exact fold + local top-k, driver
+# fold <= K x P rows.
+
+COOC_WINDOW = 3
+COOC_TOPK = 20
+
+
+def token_cooc_window(sf_dir: str, window: int = COOC_WINDOW):
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        empty = pa.table(
+            {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "__pid": pa.array([], pa.int32())}
+        )
+        if nflat < 2:
+            return empty
+        docidx = np.repeat(np.arange(ntok.size, dtype=np.int64), ntok)
+        pieces = []
+        for d in range(1, window + 1):
+            if nflat <= d:
+                break
+            valid = docidx[:-d] == docidx[d:]  # pair must not cross documents
+            pieces.append(
+                pc.binary_join_element_wise(
+                    flat.slice(0, nflat - d), flat.slice(d, nflat - d), " "
+                ).filter(pa.array(valid))
+            )
+        if not pieces:
+            return empty
+        pairs = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                                  for p in pieces])
+        de = pc.dictionary_encode(pairs)
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        pid = (string_hash_array(uniq) % np.uint64(BIGRAM_PARTS)).astype(np.int32)
+        return pa.table(
+            {"pair": uniq, "n": pa.array(counts, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        de = pc.dictionary_encode(tbl.column("pair").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("n").to_numpy())
+        k = min(COOC_TOPK, len(uniq))
+        order = np.lexsort((np.asarray(uniq).astype(str), -sums))[:k]
+        return pa.table(
+            {"pair": uniq.take(pa.array(order)), "n": pa.array(sums[order], pa.int64())}
+        )
+
+    ds = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: finish(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    import pandas as pd
+
+    # bounded fold: <= P*k rows; each partition owns its pairs exclusively
+    df = ds.to_pandas()
+    df = df.sort_values(["n", "pair"], ascending=[False, True], kind="mergesort").head(
+        COOC_TOPK
+    )
+    return df.reset_index(drop=True)
+
+
+TOKEN_COOC_WINDOW_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), pr AS (
+  SELECT unnest(flatten(list_transform(range(1, {COOC_WINDOW} + 1), d ->
+           list_transform(range(1, len(t) - d + 1), i -> t[i] || ' ' || t[i + d])))) AS pair
+  FROM toks
+)
+SELECT pair, count(*) AS n FROM pr GROUP BY pair
+ORDER BY n DESC, pair LIMIT {COOC_TOPK}
+"""

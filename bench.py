@@ -260,6 +260,7 @@ def run_bench() -> dict:
         ("docs_source_cap", text_analysis.source_cap),
         ("token_zipf_hist", text_analysis.token_zipf_hist),
         ("token_heaps_curve", text_analysis.token_heaps_curve),
+        ("token_cooc_window", text_analysis.token_cooc_window),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -818,3 +818,44 @@ def test_token_heaps_curve_matches_naive(ray_session, tmp_path):
     assert len(df) > 1  # multi-bucket: new vocab arrives all through ingest
     assert list(df["cum_vocab"]) == list(np.cumsum(df["new_tokens"]))
     assert int(df["cum_vocab"].iloc[-1]) == len(first)
+
+
+def test_token_cooc_window_matches_naive(ray_session, tmp_path):
+    """Windowed co-occurrence: pairs never cross document boundaries, all
+    offsets 1..W count, and the global top-k survives the pair-hash exchange
+    with SQL-identical (n DESC, pair ASC) tie-breaking."""
+    from collections import Counter
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        COOC_TOPK,
+        COOC_WINDOW,
+        token_cooc_window,
+    )
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 9)))  # some 1-token docs
+        for _ in range(300)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, sf / "documents.parquet", row_group_size=16)  # ~19 blocks
+
+    c = Counter()
+    for s in texts:
+        toks = s.split(" ")
+        for i in range(len(toks)):
+            for d in range(1, COOC_WINDOW + 1):
+                if i + d < len(toks):
+                    c[f"{toks[i]} {toks[i + d]}"] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:COOC_TOPK]
+
+    df = token_cooc_window(str(sf))
+    assert list(zip(df["pair"], df["n"])) == want
