@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_share": relational.q14_promo_share,
         "q15_top_supplier": relational.q15_top_supplier,
         "q18_big_orders": relational.q18_big_orders,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q22_above_avg_balance": relational.q22_above_avg_balance,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q9_profit_by_nation": relational.q9_profit_by_nation,
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
@@ -375,6 +379,10 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_share": relational.Q14_PROMO_SHARE_SQL,
         "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
         "q18_big_orders": relational.Q18_BIG_ORDERS_SQL,
+        "q13_order_distribution": relational.Q13_ORDER_DISTRIBUTION_SQL,
+        "q22_above_avg_balance": relational.Q22_ABOVE_AVG_SQL,
+        "q17_small_qty_revenue": relational.Q17_SMALL_QTY_SQL,
+        "q9_profit_by_nation": relational.Q9_PROFIT_SQL,
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,

@@ -1800,3 +1800,443 @@ FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN big ON o_orderkey = l_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 analog: customer order-count distribution (how many customers
+# placed exactly k orders, including the zero-order bucket). Scale shape:
+# per-batch custkey value_counts combiner, ONE custkey-hash exchange, each
+# partition folds its disjoint custkey set exactly and collapses to a
+# (c_count, custdist) histogram BEFORE the driver; the zero bucket is
+# total-customer footer count minus purchasers (a scalar), never a join.
+
+Q13_PARTS = 32
+
+
+def q13_order_distribution(sf_dir: str, num_partitions: int = Q13_PARTS):
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ck = tbl.column("o_custkey").to_numpy()
+        uniq, cnt = np.unique(ck, return_counts=True)
+        pid = (avalanche64(uniq.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "custkey": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def to_hist(tbl: pa.Table) -> pa.Table:
+        ck = tbl.column("custkey").to_numpy()
+        n = tbl.column("n").to_numpy()
+        uniq, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, n)
+        hv, hc = np.unique(s, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(hv, pa.int64()),
+                "custdist": pa.array(hc.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: to_hist(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("c_count").aggregate([("custdist", "sum")]).rename_columns(
+            ["c_count", "custdist"]
+        )
+
+    folded = exchange_fold(
+        parts,
+        fold,
+        pid_of=lambda t: (
+            t.column("c_count").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        df = pd.DataFrame({"c_count": pd.Series([], dtype=np.int64),
+                           "custdist": pd.Series([], dtype=np.int64)})
+    else:
+        df = folded.to_pandas().groupby("c_count", as_index=False)["custdist"].sum()
+    # zero-order bucket: total customers (parquet footer scalar) - purchasers
+    total = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    zero = total - int(df["custdist"].sum())
+    if zero > 0:
+        df = pd.concat(
+            [pd.DataFrame({"c_count": [np.int64(0)], "custdist": [np.int64(zero)]}), df],
+            ignore_index=True,
+        )
+    return df.sort_values("c_count").reset_index(drop=True)
+
+
+Q13_ORDER_DISTRIBUTION_SQL = """
+WITH c AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 analog (scalar subquery): customers whose balance exceeds the
+# corpus average POSITIVE balance, counted per market segment. The global
+# average is an integer-cents (sum, count) fold broadcast as two scalars;
+# the comparison runs integer-exactly as bal_c * count > sum_c on BOTH
+# engine and oracle sides — no float-division drift. (The anti-join flavor
+# of full Q22 is covered separately by custs_without_orders.)
+
+
+def q22_above_avg_balance(sf_dir: str, num_partitions: int = 16):
+    from ..stages.fold import exchange_fold
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def bal_partial(tbl: pa.Table) -> pa.Table:
+        bal = _cents(tbl.column("c_acctbal").to_numpy(zero_copy_only=False))
+        pos = bal[bal > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "c": pa.array([int(pos.size)], pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pa.array([int(pc.sum(tbl.column("s")).as_py() or 0)], pa.int64()),
+                "c": pa.array([int(pc.sum(tbl.column("c")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(cust.map_batches(bal_partial, batch_format="pyarrow"), fold)
+    s_tot = int(pc.sum(folded.column("s")).as_py() or 0)
+    c_tot = int(pc.sum(folded.column("c")).as_py() or 0)
+
+    def seg_partial(tbl: pa.Table) -> pa.Table:
+        bal = _cents(tbl.column("c_acctbal").to_numpy(zero_copy_only=False))
+        keep = bal * c_tot > s_tot  # integer-exact bal > sum/count
+        seg = tbl.column("c_mktsegment").to_numpy(zero_copy_only=False)[keep]
+        bal = bal[keep]
+        uniq, inv = np.unique(seg, return_inverse=True)
+        ns = np.zeros(uniq.size, dtype=np.int64)
+        ss = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(ns, inv, 1)
+        np.add.at(ss, inv, bal)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(uniq.astype(str), pa.string()),
+                "numcust": pa.array(ns),
+                "totacctbal_c": pa.array(ss),
+            }
+        )
+
+    def seg_fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by("c_mktsegment")
+            .aggregate([("numcust", "sum"), ("totacctbal_c", "sum")])
+            .rename_columns(["c_mktsegment", "numcust", "totacctbal_c"])
+        )
+
+    from ..functions.hashing import hash64_str_array
+
+    out = exchange_fold(
+        cust.map_batches(seg_partial, batch_format="pyarrow"),
+        seg_fold,
+        pid_of=lambda t: (
+            hash64_str_array(t.column("c_mktsegment").to_numpy(zero_copy_only=False))
+            % np.uint64(num_partitions)
+        ).astype(np.int32),
+    )
+    if out is None:
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series([], dtype=str),
+             "numcust": pd.Series([], dtype=np.int64),
+             "totacctbal_c": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        out.to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .sum()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+
+Q22_ABOVE_AVG_SQL = """
+WITH pos AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS c
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.c > pos.s
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 analog (correlated per-part average): total revenue from
+# small-quantity lineitems — rows whose quantity is below 20% of their
+# part's average order quantity, for one brand's parts. The correlated
+# AVG(l_quantity) subquery becomes: brand partkeys broadcast -> ONE
+# partkey-hash exchange folding exact (sum_qty, cnt) per part -> thresholds
+# broadcast back -> second lineitem pass filters with the INTEGER predicate
+# 5 * qty * cnt < sum_qty (quantities are integral, so no float-division
+# drift) -> global integer-cents revenue fold. lineitem never shuffles.
+
+Q17_BRAND = "Brand#12"
+
+
+def q17_small_qty_revenue(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+    from ..stages.join import gather_small_side
+
+    pk_tbl = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_brand"), Q17_BRAND)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    brand_keys = np.sort(pk_tbl.column("p_partkey").to_numpy())
+    keys_ref = ray.put(brand_keys)
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        bk = ray.get(keys_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(bk, lp)
+        hit = pos < bk.size
+        hit[hit] = bk[pos[hit]] == lp[hit]
+        lp = lp[hit]
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        uniq, inv = np.unique(lp, return_inverse=True)
+        sq = np.zeros(uniq.size, dtype=np.int64)
+        nc = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(nc, inv, 1)
+        pid = (avalanche64(uniq.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "partkey": pa.array(uniq, pa.int64()),
+                "sq": pa.array(sq),
+                "cnt": pa.array(nc),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def qty_fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by("partkey")
+            .aggregate([("sq", "sum"), ("cnt", "sum")])
+            .rename_columns(["partkey", "sq", "cnt"])
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+    per_part = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: qty_fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    # per-part thresholds: bounded by the brand's part count — broadcast back
+    th = gather_small_side(per_part)
+    tk = th.column("partkey").to_numpy()
+    order = np.argsort(tk, kind="stable")
+    th_ref = ray.put((tk[order], th.column("sq").to_numpy()[order], th.column("cnt").to_numpy()[order]))
+
+    def rev_partial(tbl: pa.Table) -> pa.Table:
+        tks, sqs, cnts = ray.get(th_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(tks, lp)
+        hit = pos < tks.size
+        hit[hit] = tks[pos[hit]] == lp[hit]
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))[hit]
+        p = pos[hit]
+        keep = 5 * qty * cnts[p] < sqs[p]
+        return pa.table(
+            {
+                "rev_c": pa.array([int(price_c[keep].sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    def rev_fold(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "rev_c": pa.array([int(pc.sum(tbl.column("rev_c")).as_py() or 0)], pa.int64()),
+                "n": pa.array([int(pc.sum(tbl.column("n")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(li.map_batches(rev_partial, batch_format="pyarrow"), rev_fold)
+    rev = int(pc.sum(folded.column("rev_c")).as_py() or 0) if folded is not None else 0
+    n = int(pc.sum(folded.column("n")).as_py() or 0) if folded is not None else 0
+    return pd.DataFrame({"sum_revenue_c": [np.int64(rev)], "n_items": [np.int64(n)]})
+
+
+Q17_SMALL_QTY_SQL = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = '{Q17_BRAND}'),
+ag AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS cnt
+  FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY l_partkey
+)
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS sum_revenue_c,
+       count(*) AS n_items
+FROM lineitem JOIN ag USING (l_partkey)
+WHERE 5 * CAST(l_quantity AS BIGINT) * ag.cnt < ag.sq
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 analog (profit by supplier nation and order year, for parts whose
+# name matches a color prefix; the testdata has no partsupp/supplycost, so
+# profit = discounted revenue in 1e-4 dollars). Scale shape: part-filter
+# keys and the supplier->nation map are broadcast dims; lineitem
+# co-partitions with orders on orderkey (the only big-big exchange); the
+# grouped sum has <= nations x years cells, folded map-side then per
+# partition.
+
+Q9_NAME_PREFIX = "red "
+
+
+def q9_profit_by_nation(sf_dir: str, num_partitions: int = 32):
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    pk_tbl = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda t: t.filter(
+                pc.starts_with(t.column("p_name"), Q9_NAME_PREFIX)
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    part_keys = np.sort(pk_tbl.column("p_partkey").to_numpy())
+
+    sup = gather_small_side(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    nat = gather_small_side(_read(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nk = nat.column("n_nationkey").to_numpy()
+    nnames = np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False)).astype(str)
+    nation_of_supp = np.empty(0, dtype=object)
+    sk = sup.column("s_suppkey").to_numpy()
+    sorder = np.argsort(sk, kind="stable")
+    s_nk = sup.column("s_nationkey").to_numpy()[sorder]
+    name_by_nk = dict(zip(nk.tolist(), nnames.tolist()))
+    s_names = np.array([name_by_nk[int(x)] for x in s_nk], dtype=object)
+    dims_ref = ray.put((part_keys, sk[sorder], s_names))
+
+    def li_slim(tbl: pa.Table) -> pa.Table:
+        pks, sks, snames = ray.get(dims_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        hit = pos < pks.size
+        hit[hit] = pks[pos[hit]] == lp[hit]
+        tbl = tbl.filter(pa.array(hit))
+        ls = tbl.column("l_suppkey").to_numpy()
+        sp = np.searchsorted(sks, ls)
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        profit_4 = price_c * (100 - disc_pct)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "nation": pa.array(snames[sp].astype(str), pa.string()),
+                "profit_4": pa.array(profit_4, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    def ord_year(tbl: pa.Table) -> pa.Table:
+        yr = pc.year(tbl.column("o_orderdate")).cast(pa.int64())
+        return pa.table(
+            {"o_orderkey": tbl.column("o_orderkey").cast(pa.int64()), "o_year": yr}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        ord_year, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        li, orders,
+        fact_key="l_orderkey", dim_key="o_orderkey",
+        fact_cols=["nation", "profit_4"], dim_cols=["o_year"],
+        num_partitions=num_partitions,
+    )
+
+    def agg_partial(tbl: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "nation": tbl.column("nation").to_pylist(),
+                "o_year": tbl.column("o_year").to_numpy(zero_copy_only=False),
+                "profit_4": tbl.column("profit_4").to_numpy(zero_copy_only=False),
+            }
+        )
+        out = df.groupby(["nation", "o_year"], sort=False, as_index=False)["profit_4"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ..functions.hashing import hash64_str_array
+    from ..stages.fold import exchange_fold
+
+    folded = exchange_fold(
+        joined.map_batches(agg_partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["nation", "o_year"])
+            .aggregate([("profit_4", "sum")])
+            .rename_columns(["nation", "o_year", "profit_4"])
+        ),
+        pid_of=lambda t: (
+            hash64_str_array(t.column("nation").to_numpy(zero_copy_only=False))
+            % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"nation": pd.Series([], dtype=str),
+             "o_year": pd.Series([], dtype=np.int64),
+             "profit_4": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        folded.to_pandas()
+        .groupby(["nation", "o_year"], as_index=False)["profit_4"]
+        .sum()
+        .sort_values(["nation", "o_year"])
+        .reset_index(drop=True)
+    )
+
+
+Q9_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS profit_4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{Q9_NAME_PREFIX}%'
+GROUP BY n_name, year(o_orderdate)
+"""

@@ -3630,14 +3630,13 @@ HEAPS_BUCKET = 100
 def token_heaps_curve(sf_dir: str, bucket: int = HEAPS_BUCKET):
     import pandas as pd
 
+    from ..errors import SchemaError
     from ..functions.hashing import string_hash_array
     from ..stages.fold import exchange_fold
 
     def partial(tbl: pa.Table) -> pa.Table:
         ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
         if ids.size and ids.min() < 0:
-            from ..errors import SchemaError
-
             raise SchemaError("token_heaps_curve requires nonnegative doc_id")
         toks = pc.split_pattern(tbl.column("text"), " ")
         flat = pc.list_flatten(toks)
@@ -3650,10 +3649,8 @@ def token_heaps_curve(sf_dir: str, bucket: int = HEAPS_BUCKET):
             .group_by("token")
             .aggregate([("first_doc", "min")])
         )
-        pid = (
-            string_hash_array(fm.column("token").combine_chunks())
-            % np.uint64(ZIPF_PARTS)
-        ).astype(np.int32)
+        tok_u = fm.column("token").combine_chunks()
+        pid = (string_hash_array(tok_u) % np.uint64(ZIPF_PARTS)).astype(np.int32)
         return pa.table(
             {
                 "token": fm.column("token"),

@@ -231,6 +231,10 @@ def run_bench() -> dict:
         ("q14_promo_share", relational.q14_promo_share),
         ("q15_top_supplier", relational.q15_top_supplier),
         ("q18_big_orders", relational.q18_big_orders),
+        ("q9_profit_by_nation", relational.q9_profit_by_nation),
+        ("q13_order_distribution", relational.q13_order_distribution),
+        ("q17_small_qty_revenue", relational.q17_small_qty_revenue),
+        ("q22_above_avg_balance", relational.q22_above_avg_balance),
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),

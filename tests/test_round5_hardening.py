@@ -859,3 +859,39 @@ def test_token_cooc_window_matches_naive(ray_session, tmp_path):
 
     df = token_cooc_window(str(sf))
     assert list(zip(df["pair"], df["n"])) == want
+
+
+def test_q13_zero_bucket(ray_session, tmp_path):
+    """Q13 analog: customers with NO orders land in the c_count=0 bucket
+    (footer-count arithmetic, no join) and the histogram survives custkeys
+    split across many blocks."""
+    from audio_feature_extraction_ray.pipelines.relational import q13_order_distribution
+
+    rng = np.random.default_rng(43)
+    n_cust = 120
+    # customers 0..79 place orders; 80..119 never do
+    custkeys = rng.integers(0, 80, size=600).astype(np.int64)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(600, dtype=np.int64), pa.int64()),
+            "o_custkey": pa.array(custkeys, pa.int64()),
+        }
+    )
+    cust = pa.table(
+        {"c_custkey": pa.array(np.arange(n_cust, dtype=np.int64), pa.int64())}
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(orders, sf / "orders.parquet", row_group_size=32)  # ~19 blocks
+    pq.write_table(cust, sf / "customer.parquet")
+
+    counts = np.bincount(custkeys, minlength=n_cust)
+    exp = {}
+    for c in counts:
+        exp[int(c)] = exp.get(int(c), 0) + 1
+    # customers 80..119 have count 0 via bincount minlength — already in exp
+
+    df = q13_order_distribution(str(sf))
+    assert dict(zip(df["c_count"], df["custdist"])) == exp
+    assert int(df.loc[df["c_count"] == 0, "custdist"].iloc[0]) == int((counts == 0).sum())
+    assert int(df["custdist"].sum()) == n_cust
