@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_above_avg_balance": relational.q22_above_avg_balance,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q9_profit_by_nation": relational.q9_profit_by_nation,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q8_market_share": relational.q8_market_share,
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
@@ -383,6 +386,9 @@ def oracle_sql() -> dict[str, str]:
         "q22_above_avg_balance": relational.Q22_ABOVE_AVG_SQL,
         "q17_small_qty_revenue": relational.Q17_SMALL_QTY_SQL,
         "q9_profit_by_nation": relational.Q9_PROFIT_SQL,
+        "q19_disjunctive_revenue": relational.Q19_DISJUNCTIVE_SQL,
+        "q16_supplier_part_counts": relational.Q16_SUPPLIER_PART_SQL,
+        "q8_market_share": relational.Q8_MARKET_SHARE_SQL,
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,

@@ -2240,3 +2240,377 @@ JOIN orders ON l_orderkey = o_orderkey
 WHERE p_name LIKE '{Q9_NAME_PREFIX}%'
 GROUP BY n_name, year(o_orderdate)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 analog (disjunctive predicate revenue): discounted revenue from
+# lineitems matching any of three (brand, size-range, quantity-range)
+# predicate triples. Part attributes are a broadcast dim (partkey -> brand
+# code, size); the OR-of-ANDs mask is one vectorized expression per batch;
+# the result is a global 1e-4-dollar integer fold. Nothing shuffles.
+
+Q19_PREDS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1, 11),
+    ("Brand#23", 1, 10, 10, 20),
+    ("Brand#34", 1, 15, 20, 30),
+]
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    from ..stages.fold import exchange_fold
+    from ..stages.join import gather_small_side
+
+    part = gather_small_side(_read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]))
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk, kind="stable")
+    brands = np.asarray(part.column("p_brand").to_numpy(zero_copy_only=False)).astype(str)[order]
+    sizes = part.column("p_size").to_numpy()[order]
+    dims_ref = ray.put((pk[order], brands, sizes))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pks, pb, psz = ray.get(dims_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(lp.size, dtype=bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in Q19_PREDS:
+            keep |= (
+                (pb[pos] == brand)
+                & (psz[pos] >= s_lo) & (psz[pos] <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))[keep]
+        disc_pct = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))[keep]
+        rev4 = price_c * (100 - disc_pct)
+        return pa.table(
+            {
+                "revenue_4": pa.array([int(rev4.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "revenue_4": pa.array([int(pc.sum(t.column("revenue_4")).as_py() or 0)], pa.int64()),
+                "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()),
+            }
+        ),
+    )
+    rev = int(pc.sum(folded.column("revenue_4")).as_py() or 0) if folded is not None else 0
+    n = int(pc.sum(folded.column("n")).as_py() or 0) if folded is not None else 0
+    return pd.DataFrame({"revenue_4": [np.int64(rev)], "n_items": [np.int64(n)]})
+
+
+Q19_DISJUNCTIVE_SQL = f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         AS revenue_4,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_PREDS
+)}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 analog (distinct suppliers per part attribute group): for parts
+# NOT of one brand, count DISTINCT supplying suppliers per (brand, type,
+# size) — partsupp is absent from the testdata, so "supplies" is witnessed
+# by lineitem. Scale shape: the events_distinct_users idiom — per-batch
+# unique (attrs, suppkey) pair combiner, ONE pair-hash exchange (a pair
+# lands in exactly one partition, so per-partition unique = globally
+# unique), per-partition counts per attrs, attrs-keyed exchange_fold.
+
+Q16_EXCLUDE_BRAND = "Brand#15"
+Q16_PARTS = 32
+
+
+def q16_supplier_part_counts(sf_dir: str, num_partitions: int = Q16_PARTS):
+    from ..functions.hashing import avalanche64, hash64_str_array
+    from ..stages.fold import exchange_fold
+    from ..stages.join import gather_small_side
+
+    part = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t.column("p_brand"), Q16_EXCLUDE_BRAND))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    pk = part.column("p_partkey").to_numpy()
+    order = np.argsort(pk, kind="stable")
+    attrs = np.array(
+        [
+            f"{b}|{t}|{s}"
+            for b, t, s in zip(
+                np.asarray(part.column("p_brand").to_numpy(zero_copy_only=False)).astype(str),
+                np.asarray(part.column("p_type").to_numpy(zero_copy_only=False)).astype(str),
+                part.column("p_size").to_numpy(),
+            )
+        ],
+        dtype=object,
+    )[order]
+    dims_ref = ray.put((pk[order], attrs))
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        pks, att = ray.get(dims_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        hit = pos < pks.size
+        hit[hit] = pks[pos[hit]] == lp[hit]
+        sk = tbl.column("l_suppkey").to_numpy()[hit]
+        a = att[pos[hit]]
+        pairs = np.char.add(np.char.add(a.astype(str), "|"), sk.astype(str))
+        uniq, idx = np.unique(pairs, return_index=True)
+        pid = (hash64_str_array(uniq) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "pair": pa.array(uniq.astype(str), pa.string()),
+                "attrs": pa.array(a[idx].astype(str), pa.string()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def count_unique(tbl: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "pair": tbl.column("pair").to_pylist(),
+                "attrs": tbl.column("attrs").to_pylist(),
+            }
+        ).drop_duplicates("pair")
+        out = df.groupby("attrs", as_index=False).size().rename(columns={"size": "supplier_cnt"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts_ds = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: count_unique(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+
+    folded = exchange_fold(
+        parts_ds,
+        lambda t: (
+            t.group_by("attrs")
+            .aggregate([("supplier_cnt", "sum")])
+            .rename_columns(["attrs", "supplier_cnt"])
+        ),
+        pid_of=lambda t: (
+            hash64_str_array(t.column("attrs").to_numpy(zero_copy_only=False))
+            % np.uint64(Q16_PARTS)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"p_brand": pd.Series([], dtype=str), "p_type": pd.Series([], dtype=str),
+             "p_size": pd.Series([], dtype=np.int64),
+             "supplier_cnt": pd.Series([], dtype=np.int64)}
+        )
+    df = folded.to_pandas().groupby("attrs", as_index=False)["supplier_cnt"].sum()
+    split = df["attrs"].str.split("|", expand=True)
+    out = pd.DataFrame(
+        {
+            "p_brand": split[0],
+            "p_type": split[1],
+            "p_size": split[2].astype(np.int64),
+            "supplier_cnt": df["supplier_cnt"].astype(np.int64),
+        }
+    )
+    return out.sort_values(["p_brand", "p_type", "p_size"]).reset_index(drop=True)
+
+
+Q16_SUPPLIER_PART_SQL = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDE_BRAND}'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 analog (national market share): of the revenue that one region's
+# customers spent on one part family, what fraction was supplied by one
+# nation, per order year. Dims (region->nation, customer->nation,
+# supplier->nation, filtered part keys) broadcast exactly as in q5; the only
+# big-big exchange is lineitem x orders co-partitioned on orderkey; per-year
+# (numerator, denominator) integer partials fold to <= years rows. The
+# share itself is ONE float division of two exact int64s, floor-gridded at
+# 1e-6 identically on both sides — bit-equal by construction.
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_PART_PREFIX = "small "
+
+
+def q8_market_share(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+    from ..stages.join import copartitioned_equijoin, gather_small_side
+
+    nat = gather_small_side(_read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    reg = gather_small_side(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    region_keys = {
+        int(k)
+        for k, name in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if name == Q8_REGION
+    }
+    asia_nations = {
+        int(k)
+        for k, rk in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+        )
+        if int(rk) in region_keys
+    }
+    target_nations = {
+        int(k)
+        for k, name in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()
+        )
+        if name == Q8_NATION
+    }
+
+    cust = gather_small_side(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]))
+    ck = cust.column("c_custkey").to_numpy()
+    cnk = cust.column("c_nationkey").to_numpy()
+    asia_cust = np.sort(ck[np.isin(cnk, list(asia_nations))])
+
+    sup = gather_small_side(_read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]))
+    sk = sup.column("s_suppkey").to_numpy()
+    sorder = np.argsort(sk, kind="stable")
+    s_target = np.isin(sup.column("s_nationkey").to_numpy()[sorder], list(target_nations))
+
+    pk_tbl = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda t: t.filter(pc.starts_with(t.column("p_name"), Q8_PART_PREFIX)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    part_keys = np.sort(pk_tbl.column("p_partkey").to_numpy())
+    dims_ref = ray.put((part_keys, sk[sorder], s_target, asia_cust))
+
+    def li_slim(tbl: pa.Table) -> pa.Table:
+        pks, sks, stgt, _ac = ray.get(dims_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        hit = pos < pks.size
+        hit[hit] = pks[pos[hit]] == lp[hit]
+        tbl = tbl.filter(pa.array(hit))
+        ls = tbl.column("l_suppkey").to_numpy()
+        sp = np.searchsorted(sks, ls)
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))
+        disc_pct = _cents(tbl.column("l_discount").to_numpy(zero_copy_only=False))
+        rev4 = price_c * (100 - disc_pct)
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "rev_4": pa.array(rev4, pa.int64()),
+                "num_4": pa.array(np.where(stgt[sp], rev4, 0), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_slim, batch_format="pyarrow")
+
+    def ord_slim(tbl: pa.Table) -> pa.Table:
+        _pks, _sks, _st, ac = ray.get(dims_ref)
+        ok = tbl.column("o_custkey").to_numpy()
+        pos = np.searchsorted(ac, ok)
+        hit = pos < ac.size
+        hit[hit] = ac[pos[hit]] == ok[hit]
+        tbl = tbl.filter(pa.array(hit))
+        yr = pc.year(tbl.column("o_orderdate")).cast(pa.int64())
+        return pa.table({"o_orderkey": tbl.column("o_orderkey").cast(pa.int64()), "o_year": yr})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_slim, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        li, orders,
+        fact_key="l_orderkey", dim_key="o_orderkey",
+        fact_cols=["rev_4", "num_4"], dim_cols=["o_year"],
+        num_partitions=num_partitions,
+    )
+
+    def agg_partial(tbl: pa.Table) -> pa.Table:
+        yr = tbl.column("o_year").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(uniq.size, dtype=np.int64)
+        num = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(den, inv, tbl.column("rev_4").to_numpy(zero_copy_only=False))
+        np.add.at(num, inv, tbl.column("num_4").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "o_year": pa.array(uniq, pa.int64()),
+                "numerator_4": pa.array(num),
+                "denominator_4": pa.array(den),
+            }
+        )
+
+    folded = exchange_fold(
+        joined.map_batches(agg_partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("o_year")
+            .aggregate([("numerator_4", "sum"), ("denominator_4", "sum")])
+            .rename_columns(["o_year", "numerator_4", "denominator_4"])
+        ),
+        pid_of=lambda t: (
+            t.column("o_year").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"o_year": pd.Series([], dtype=np.int64),
+             "numerator_4": pd.Series([], dtype=np.int64),
+             "denominator_4": pd.Series([], dtype=np.int64),
+             "mkt_share": pd.Series([], dtype=np.float64)}
+        )
+    df = (
+        folded.to_pandas()
+        .groupby("o_year", as_index=False)[["numerator_4", "denominator_4"]]
+        .sum()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    share = df["numerator_4"].to_numpy(np.float64) / df["denominator_4"].to_numpy(np.float64)
+    df["mkt_share"] = np.floor(share * 1e6 + 0.5) / 1e6
+    return df
+
+
+Q8_MARKET_SHARE_SQL = f"""
+WITH rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_4,
+         CASE WHEN ns.n_name = '{Q8_NATION}' THEN 1 ELSE 0 END AS is_target
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_name LIKE '{Q8_PART_PREFIX}%'
+)
+SELECT o_year,
+       CAST(sum(rev_4 * is_target) AS BIGINT) AS numerator_4,
+       CAST(sum(rev_4) AS BIGINT) AS denominator_4,
+       floor(CAST(sum(rev_4 * is_target) AS DOUBLE)
+             / CAST(sum(rev_4) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+FROM rev GROUP BY o_year
+"""

@@ -235,6 +235,9 @@ def run_bench() -> dict:
         ("q13_order_distribution", relational.q13_order_distribution),
         ("q17_small_qty_revenue", relational.q17_small_qty_revenue),
         ("q22_above_avg_balance", relational.q22_above_avg_balance),
+        ("q8_market_share", relational.q8_market_share),
+        ("q16_supplier_part_counts", relational.q16_supplier_part_counts),
+        ("q19_disjunctive_revenue", relational.q19_disjunctive_revenue),
         ("embedding_pca", __import__(
             "audio_feature_extraction_ray.stages.ann", fromlist=["embedding_pca"]
         ).embedding_pca),
