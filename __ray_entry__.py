@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_status": relational.q12_priority_by_status,
         "q4_order_priority": relational.q4_order_priority,
         "q7_nation_volume": relational.q7_nation_volume,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_parts": relational.q11_important_parts,
+        "q20_share_suppliers": relational.q20_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
     }
     return q
 
@@ -392,4 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_by_status": relational.Q12_PRIORITY_SQL,
         "q4_order_priority": relational.Q4_ORDER_PRIORITY_SQL,
         "q7_nation_volume": relational.Q7_NATION_VOLUME_SQL,
+        "q2_min_cost_supplier": relational.Q2_MIN_COST_SQL,
+        "q11_important_parts": relational.Q11_IMPORTANT_SQL,
+        "q20_share_suppliers": relational.Q20_SHARE_SQL,
+        "q21_waiting_suppliers": relational.Q21_WAITING_SQL,
     }

@@ -2614,3 +2614,548 @@ SELECT o_year,
              / CAST(sum(rev_4) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
 FROM rev GROUP BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 analog (min-cost supplier per part). The testdata has no
+# partsupp/supplycost, so "cost" = min extended price in cents a supplier
+# ever charged for the part (integer-exact). Filtered parts and the
+# region's supplier set are broadcast dims; lineitem makes ONE pass with a
+# per-(part,supplier) min partial, then ONE hash exchange on partkey
+# finalizes the per-part minimum — output bounded by filtered-parts x ties.
+
+Q2_TYPE = "STANDARD"
+Q2_MIN_SIZE = 25
+Q2_REGION = "EUROPE"
+
+
+def _region_suppliers(sf_dir: str, region_name: str):
+    """(sorted s_suppkey array, supplier attr table aligned to it) for
+    suppliers whose nation lies in region_name. Dimension-sized."""
+    from ..stages.join import gather_small_side
+
+    reg = gather_small_side(_read(sf_dir, "region", ["r_regionkey", "r_name"]))
+    rkeys = {
+        int(k)
+        for k, name in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if name == region_name
+    }
+    nat = gather_small_side(_read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]))
+    nmask = np.isin(nat.column("n_regionkey").to_numpy(), list(rkeys))
+    nkeys = nat.column("n_nationkey").to_numpy()[nmask]
+    nname_of = dict(
+        zip(nkeys.tolist(), np.asarray(nat.column("n_name").to_numpy(zero_copy_only=False))[nmask].tolist())
+    )
+    sup = gather_small_side(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    )
+    smask = np.isin(sup.column("s_nationkey").to_numpy(), nkeys)
+    sup = sup.filter(pa.array(smask))
+    sk = sup.column("s_suppkey").to_numpy()
+    order = np.argsort(sk, kind="stable")
+    sup = sup.take(pa.array(order))
+    return sk[order], sup, nname_of
+
+
+def q2_min_cost_supplier(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.join import gather_small_side
+
+    pk_tbl = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.equal(t.column("p_type"), Q2_TYPE),
+                    pc.greater_equal(t.column("p_size"), Q2_MIN_SIZE),
+                )
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    part_keys = np.sort(pk_tbl.column("p_partkey").to_numpy())
+    sks, sup, nname_of = _region_suppliers(sf_dir, Q2_REGION)
+    dims_ref = ray.put((part_keys, sks))
+
+    def min_partial(tbl: pa.Table) -> pa.Table:
+        pks, sup_keys = ray.get(dims_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        hit = pos < pks.size
+        hit[hit] = pks[pos[hit]] == lp[hit]
+        ls = tbl.column("l_suppkey").to_numpy()
+        sp = np.searchsorted(sup_keys, ls)
+        shit = sp < sup_keys.size
+        shit[shit] = sup_keys[sp[shit]] == ls[shit]
+        hit &= shit
+        lp, ls = lp[hit], ls[hit]
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))[hit]
+        # group-min per (part, supplier) inside the block
+        key = lp.astype(np.uint64) * np.uint64(1 << 32) + ls.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        k_s, p_s = key[order], price_c[order]
+        head = np.ones(k_s.size, dtype=bool)
+        head[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(head)
+        mins = np.minimum.reduceat(p_s, starts) if starts.size else np.empty(0, np.int64)
+        pk_out = (k_s[starts] >> np.uint64(32)).astype(np.int64)
+        sk_out = (k_s[starts] & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pid = (avalanche64(pk_out.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "p_partkey": pa.array(pk_out, pa.int64()),
+                "s_suppkey": pa.array(sk_out, pa.int64()),
+                "min_price_c": pa.array(mins, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def min_fold(tbl: pa.Table) -> pa.Table:
+        g = (
+            tbl.group_by(["p_partkey", "s_suppkey"])
+            .aggregate([("min_price_c", "min")])
+            .rename_columns(["p_partkey", "s_suppkey", "min_price_c"])
+        )
+        pk = g.column("p_partkey").to_numpy()
+        mp = g.column("min_price_c").to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        pmin = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(pmin, inv, mp)
+        return g.filter(pa.array(mp == pmin[inv]))
+
+    winners = gather_small_side(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(min_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: min_fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    # attach supplier attrs driver-side: both sides are dimension-bounded
+    sk_all = sup.column("s_suppkey").to_numpy()
+    pos = np.searchsorted(sk_all, winners.column("s_suppkey").to_numpy())
+    acct_c = _cents(sup.column("s_acctbal").to_numpy(zero_copy_only=False))[pos]
+    names = np.asarray(sup.column("s_name").to_numpy(zero_copy_only=False))[pos]
+    nnames = np.asarray(
+        [nname_of[int(k)] for k in sup.column("s_nationkey").to_numpy()[pos]], dtype=object
+    )
+    df = pd.DataFrame(
+        {
+            "s_acctbal_c": acct_c,
+            "s_name": names,
+            "n_name": nnames,
+            "p_partkey": winners.column("p_partkey").to_numpy(),
+            "s_suppkey": winners.column("s_suppkey").to_numpy(),
+            "min_price_c": winners.column("min_price_c").to_numpy(),
+        }
+    )
+    df = df.sort_values(
+        ["s_acctbal_c", "n_name", "s_name", "p_partkey", "s_suppkey"],
+        ascending=[False, True, True, True, True],
+    ).head(100).reset_index(drop=True)
+    return df
+
+
+Q2_MIN_COST_SQL = f"""
+WITH ep AS (SELECT p_partkey FROM part
+            WHERE p_type = '{Q2_TYPE}' AND p_size >= {Q2_MIN_SIZE}),
+es AS (SELECT s_suppkey, s_name,
+              CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = '{Q2_REGION}'),
+mc AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+              min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mp
+       FROM lineitem JOIN ep ON l_partkey = p_partkey
+       JOIN es ON l_suppkey = s_suppkey
+       GROUP BY 1, 2),
+pm AS (SELECT pk, min(mp) AS pmin FROM mc GROUP BY 1)
+SELECT es.s_acctbal_c, es.s_name, es.n_name,
+       mc.pk AS p_partkey, mc.sk AS s_suppkey, mc.mp AS min_price_c
+FROM mc JOIN pm ON mc.pk = pm.pk AND mc.mp = pm.pmin
+JOIN es ON mc.sk = es.s_suppkey
+ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 analog (important stock). No partsupp table, so a part's "stock
+# value" = sum of round(l_extendedprice*100) * l_quantity over lineitems
+# shipped by suppliers in a region (integer 1e-2 dollars x units). Keep
+# parts whose value exceeds 1/Q11_FRACTION_DEN of the region total. ONE
+# lineitem pass -> per-part partials -> ONE hash exchange finalizes per-part
+# values; the grand total folds from the (bounded, per-part) intermediate,
+# never from raw lineitems.
+
+Q11_REGION = "ASIA"
+Q11_FRACTION_DEN = 1000
+
+
+def q11_important_parts(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+    from ..stages.join import gather_small_side
+
+    sks, _sup, _nn = _region_suppliers(sf_dir, Q11_REGION)
+    sk_ref = ray.put(sks)
+
+    def val_partial(tbl: pa.Table) -> pa.Table:
+        sup_keys = ray.get(sk_ref)
+        ls = tbl.column("l_suppkey").to_numpy()
+        pos = np.searchsorted(sup_keys, ls)
+        hit = pos < sup_keys.size
+        hit[hit] = sup_keys[pos[hit]] == ls[hit]
+        lp = tbl.column("l_partkey").to_numpy()[hit]
+        price_c = _cents(tbl.column("l_extendedprice").to_numpy(zero_copy_only=False))[hit]
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        val = price_c * qty
+        uniq, inv = np.unique(lp, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, val)
+        pid = (avalanche64(uniq.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "p_partkey": pa.array(uniq, pa.int64()),
+                "value_c": pa.array(s, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    per_part = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+        .map_batches(val_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: g.drop_columns(["__pid"])
+            .group_by("p_partkey")
+            .aggregate([("value_c", "sum")])
+            .rename_columns(["p_partkey", "value_c"]),
+            batch_format="pyarrow",
+        )
+        .materialize()  # bounded: one row per distinct part (dimension-sized)
+    )
+    tot_tbl = exchange_fold(
+        per_part.map_batches(
+            lambda t: pa.table(
+                {"t": pa.array([int(pc.sum(t.column("value_c")).as_py() or 0)], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table({"t": pa.array([int(pc.sum(t.column("t")).as_py() or 0)], pa.int64())}),
+    )
+    total = int(pc.sum(tot_tbl.column("t")).as_py() or 0) if tot_tbl is not None else 0
+    den = np.int64(Q11_FRACTION_DEN)
+
+    kept = gather_small_side(
+        per_part.map_batches(
+            lambda t: t.filter(
+                pa.array(t.column("value_c").to_numpy() * den > np.int64(total))
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    df = (
+        pd.DataFrame(
+            {
+                "p_partkey": kept.column("p_partkey").to_numpy(),
+                "value_c": kept.column("value_c").to_numpy(),
+            }
+        )
+        .sort_values(["value_c", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    return df
+
+
+Q11_IMPORTANT_SQL = f"""
+WITH es AS (SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{Q11_REGION}'),
+v AS (SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem JOIN es ON l_suppkey = s_suppkey
+      GROUP BY 1)
+SELECT p_partkey, value_c FROM v
+WHERE value_c * {Q11_FRACTION_DEN} > (SELECT sum(value_c) FROM v)
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 analog (potential part promotion). No partsupp/availqty, so a
+# supplier "has excess share" of a part when its shipped quantity of that
+# part (name-prefix filter, ship years Q20_YEARS) exceeds 1/5 of the part's
+# total shipped quantity. Semi-join chain: filtered part keys broadcast ->
+# ONE lineitem pass -> per-(part,supplier) partials -> hash exchange on
+# partkey -> qualifying supplier set (bounded) -> region filter + names
+# driver-side.
+
+Q20_PREFIX = "small "
+Q20_YEARS = (1998, 2000)
+Q20_SHARE_DEN = 5  # supplier qty * 5 > part total  <=>  share > 20%
+
+
+def q20_share_suppliers(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.join import gather_small_side
+
+    pk_tbl = gather_small_side(
+        _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+            lambda t: t.filter(pc.starts_with(t.column("p_name"), Q20_PREFIX)).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    part_keys = np.sort(pk_tbl.column("p_partkey").to_numpy())
+    pk_ref = ray.put(part_keys)
+    lo_us = np.int64(np.datetime64(f"{Q20_YEARS[0]}-01-01", "us").astype(np.int64))
+    hi_us = np.int64(np.datetime64(f"{Q20_YEARS[1] + 1}-01-01", "us").astype(np.int64))
+
+    def qty_partial(tbl: pa.Table) -> pa.Table:
+        pks = ray.get(pk_ref)
+        lp = tbl.column("l_partkey").to_numpy()
+        pos = np.searchsorted(pks, lp)
+        hit = pos < pks.size
+        hit[hit] = pks[pos[hit]] == lp[hit]
+        ship = tbl.column("l_shipdate").cast(pa.int64()).to_numpy()
+        hit &= (ship >= lo_us) & (ship < hi_us)
+        lp = lp[hit]
+        ls = tbl.column("l_suppkey").to_numpy()[hit]
+        qty = tbl.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+        key = lp.astype(np.uint64) * np.uint64(1 << 32) + ls.astype(np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(s, inv, qty)
+        pk_out = (uniq >> np.uint64(32)).astype(np.int64)
+        sk_out = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pid = (avalanche64(pk_out.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "pk": pa.array(pk_out, pa.int64()),
+                "sk": pa.array(sk_out, pa.int64()),
+                "q": pa.array(s, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def share_fold(tbl: pa.Table) -> pa.Table:
+        g = (
+            tbl.group_by(["pk", "sk"])
+            .aggregate([("q", "sum")])
+            .rename_columns(["pk", "sk", "q"])
+        )
+        pk = g.column("pk").to_numpy()
+        q = g.column("q").to_numpy()
+        uniq, inv = np.unique(pk, return_inverse=True)
+        tq = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(tq, inv, q)
+        keep = q * np.int64(Q20_SHARE_DEN) > tq[inv]
+        sk = np.unique(g.column("sk").to_numpy()[keep])
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64())})
+
+    qual = gather_small_side(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: share_fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    qset = np.unique(qual.column("s_suppkey").to_numpy())
+    sks, sup, _nn = _region_suppliers(sf_dir, "AFRICA")
+    pos = np.searchsorted(sks, qset)
+    hit = pos < sks.size
+    hit[hit] = sks[pos[hit]] == qset[hit]
+    kept_sk = qset[hit]
+    names = np.asarray(sup.column("s_name").to_numpy(zero_copy_only=False))[
+        np.searchsorted(sks, kept_sk)
+    ]
+    df = (
+        pd.DataFrame({"s_suppkey": kept_sk, "s_name": names})
+        .sort_values(["s_name", "s_suppkey"])
+        .reset_index(drop=True)
+    )
+    return df
+
+
+Q20_SHARE_SQL = f"""
+WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PREFIX}%'),
+ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+       FROM lineitem JOIN fp ON l_partkey = p_partkey
+       WHERE year(l_shipdate) BETWEEN {Q20_YEARS[0]} AND {Q20_YEARS[1]}
+       GROUP BY 1, 2),
+pt AS (SELECT pk, sum(q) AS tq FROM ps GROUP BY 1),
+qual AS (SELECT DISTINCT sk FROM ps JOIN pt USING (pk)
+         WHERE q * {Q20_SHARE_DEN} > tq)
+SELECT s_suppkey, s_name FROM qual
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+ORDER BY s_name, s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analog (suppliers who kept orders waiting). No
+# commit/receipt dates, so a lineitem is "late" when l_shipdate lands more
+# than Q21_LATE_DAYS after o_orderdate. A finished ('F') order counts
+# against supplier S when S shipped late on it, at least one OTHER supplier
+# is on the order, and NO other supplier was late (the classic
+# EXISTS / NOT-EXISTS pair). Shape: lineitem co-partitions with filtered
+# orders on orderkey (the one big-big exchange); per-(order,supplier) late
+# counts take a second, partials-only exchange on orderkey so each order's
+# supplier set finalizes in one task; per-supplier numwait folds via
+# exchange_fold keyed on suppkey (bounded by #suppliers).
+
+Q21_LATE_DAYS = 60
+Q21_REGION = "EUROPE"
+
+
+def q21_waiting_suppliers(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+    from ..stages.join import copartitioned_equijoin
+
+    def li_slim(tbl: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": tbl.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": tbl.column("l_suppkey").cast(pa.int64()),
+                "ship_us": tbl.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    def ord_slim(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl.column("o_orderstatus"), "F"))
+        return pa.table(
+            {
+                "o_orderkey": tbl.column("o_orderkey").cast(pa.int64()),
+                "ord_us": tbl.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        li_slim, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+        ord_slim, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        li, orders,
+        fact_key="l_orderkey", dim_key="o_orderkey",
+        fact_cols=["l_suppkey", "ship_us"], dim_cols=["ord_us"],
+        num_partitions=num_partitions,
+        fact_col_types={"l_suppkey": pa.int64(), "ship_us": pa.int64()},
+        dim_col_types={"ord_us": pa.int64()},
+        key_type=pa.int64(),
+    )
+    late_us = np.int64(Q21_LATE_DAYS) * np.int64(86_400_000_000)
+
+    def late_partial(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("l_orderkey").to_numpy()
+        sk = tbl.column("l_suppkey").to_numpy()
+        late = (
+            tbl.column("ship_us").to_numpy() - tbl.column("ord_us").to_numpy() > late_us
+        ).astype(np.int64)
+        # lexsort-grouped (order, supplier) late counts: exact for any
+        # 64-bit key domain (no packed-key width assumption)
+        order = np.lexsort((sk, ok))
+        ok_s, sk_s, late_s = ok[order], sk[order], late[order]
+        head = np.ones(ok_s.size, dtype=bool)
+        head[1:] = (ok_s[1:] != ok_s[:-1]) | (sk_s[1:] != sk_s[:-1])
+        starts = np.flatnonzero(head)
+        nl = np.add.reduceat(late_s, starts) if starts.size else np.empty(0, np.int64)
+        ok_out = ok_s[starts]
+        sk_out = sk_s[starts]
+        pid = (avalanche64(ok_out.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "ok": pa.array(ok_out, pa.int64()),
+                "sk": pa.array(sk_out, pa.int64()),
+                "nl": pa.array(nl, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def wait_fold(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(["ok", "sk"]).aggregate([("nl", "sum")]).rename_columns(["ok", "sk", "nl"])
+        ok = g.column("ok").to_numpy()
+        nl = g.column("nl").to_numpy()
+        uniq, inv = np.unique(ok, return_inverse=True)
+        ns = np.zeros(uniq.size, dtype=np.int64)
+        nls = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(ns, inv, 1)
+        np.add.at(nls, inv, (nl > 0).astype(np.int64))
+        keep = (ns[inv] >= 2) & (nls[inv] == 1) & (nl > 0)
+        sk = g.column("sk").to_numpy()[keep]
+        nw = nl[keep]
+        su, sinv = np.unique(sk, return_inverse=True)
+        s = np.zeros(su.size, dtype=np.int64)
+        np.add.at(s, sinv, nw)
+        return pa.table({"s_suppkey": pa.array(su, pa.int64()), "numwait": pa.array(s, pa.int64())})
+
+    per_supp = exchange_fold(
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: wait_fold(g.drop_columns(["__pid"])), batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("s_suppkey")
+            .aggregate([("numwait", "sum")])
+            .rename_columns(["s_suppkey", "numwait"])
+        ),
+        pid_of=lambda t: (
+            t.column("s_suppkey").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    sks, sup, _nn = _region_suppliers(sf_dir, Q21_REGION)
+    if per_supp is None:
+        return pd.DataFrame(
+            {"s_name": pd.Series([], dtype=object),
+             "s_suppkey": pd.Series([], dtype=np.int64),
+             "numwait": pd.Series([], dtype=np.int64)}
+        )
+    wsk = per_supp.column("s_suppkey").to_numpy()
+    pos = np.searchsorted(sks, wsk)
+    hit = pos < sks.size
+    hit[hit] = sks[pos[hit]] == wsk[hit]
+    names = np.asarray(sup.column("s_name").to_numpy(zero_copy_only=False))[pos[hit]]
+    df = (
+        pd.DataFrame(
+            {
+                "s_name": names,
+                "s_suppkey": wsk[hit],
+                "numwait": per_supp.column("numwait").to_numpy()[hit],
+            }
+        )
+        .sort_values(["numwait", "s_name", "s_suppkey"], ascending=[False, True, True])
+        .head(100)
+        .reset_index(drop=True)
+    )
+    return df
+
+
+Q21_WAITING_SQL = f"""
+WITH j AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                       THEN 1 ELSE 0 END AS late
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+per AS (SELECT ok, sk, CAST(sum(late) AS BIGINT) AS nl FROM j GROUP BY 1, 2),
+o AS (SELECT ok, count(*) AS ns,
+             sum(CASE WHEN nl > 0 THEN 1 ELSE 0 END) AS nls
+      FROM per GROUP BY 1),
+w AS (SELECT sk, CAST(sum(nl) AS BIGINT) AS numwait
+      FROM per JOIN o USING (ok)
+      WHERE ns >= 2 AND nls = 1 AND nl > 0
+      GROUP BY sk)
+SELECT s_name, sk AS s_suppkey, numwait FROM w
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q21_REGION}'
+ORDER BY numwait DESC, s_name, s_suppkey
+LIMIT 100
+"""
