@@ -3814,3 +3814,157 @@ WITH toks AS (
 SELECT pair, count(*) AS n FROM pr GROUP BY pair
 ORDER BY n DESC, pair LIMIT {COOC_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance top-k: score every document against a small broadcast query
+# term set (Okapi BM25, Lucene idf form) and return the global top-K. The
+# retrieval/quality-filter step of a crawl pipeline ("keep docs most relevant
+# to a seed query"). Shape: corpus stats (sum_dl, per-term df) come from ONE
+# partials fold over the same pass that emits candidate (doc, tf-vector)
+# rows; candidates stay distributed and are scored with broadcast scalars;
+# the global top-K is a per-block partial top-K + one bounded fold (K x
+# parts rows). Exactness: per-term contributions round to integer 1e-9
+# units BEFORE summing, so float addition order cannot differ between the
+# engine and the SQL oracle; N comes from parquet metadata (no extra pass).
+
+BM25_TERMS = ("join", "scan", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def docs_bm25_topk(sf_dir: str, num_partitions: int = 16):
+    import pyarrow.parquet as _pq
+
+    from ..stages.fold import exchange_fold
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    terms = list(BM25_TERMS)
+    q = len(terms)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def cand_partial(tbl: pa.Table) -> pa.Table:
+        """candidate rows (doc_id, dl, tf_0..tf_{q-1}) for docs matching any
+        term, plus one __stats row (sum_dl, df per term) per block."""
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        tf = np.zeros((tbl.num_rows, q), dtype=np.int64)
+        for j, t in enumerate(terms):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            m = np.nan_to_num(m.astype(np.float64)).astype(np.int64)
+            np.add.at(tf[:, j], row_of, m)
+        anyhit = tf.sum(axis=1) > 0
+        cols = {
+            "doc_id": tbl.column("doc_id").filter(pa.array(anyhit)).cast(pa.int64()),
+            "dl": pa.array(ntok[anyhit], pa.int64()),
+        }
+        for j in range(q):
+            cols[f"tf_{j}"] = pa.array(tf[anyhit, j], pa.int64())
+        cand = pa.table(cols)
+        stats = pa.table(
+            {
+                "doc_id": pa.array([np.int64(-1)], pa.int64()),
+                "dl": pa.array([int(ntok.sum())], pa.int64()),
+                **{
+                    f"tf_{j}": pa.array([int((tf[:, j] > 0).sum())], pa.int64())
+                    for j in range(q)
+                },
+            }
+        )
+        return pa.concat_tables([cand, stats])
+
+    cands = docs.map_batches(cand_partial, batch_format="pyarrow").materialize()
+
+    def stats_fold(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.equal(tbl.column("doc_id"), np.int64(-1)))
+        agg = {f"tf_{j}": pa.array([int(pc.sum(tbl.column(f"tf_{j}")).as_py() or 0)], pa.int64()) for j in range(q)}
+        return pa.table(
+            {
+                "doc_id": pa.array([np.int64(-1)], pa.int64()),
+                "dl": pa.array([int(pc.sum(tbl.column("dl")).as_py() or 0)], pa.int64()),
+                **agg,
+            }
+        )
+
+    st = exchange_fold(
+        cands.map_batches(
+            lambda t: t.filter(pc.equal(t.column("doc_id"), np.int64(-1))),
+            batch_format="pyarrow",
+        ),
+        stats_fold,
+    )
+    st = stats_fold(st)
+    sum_dl = int(st.column("dl")[0].as_py())
+    df = np.array([int(st.column(f"tf_{j}")[0].as_py()) for j in range(q)], dtype=np.int64)
+    avgdl = float(sum_dl) / float(n_docs)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    k1, b = BM25_K1, BM25_B
+
+    def score_topk(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.greater_equal(tbl.column("doc_id"), np.int64(0)))
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "total": pa.array([], pa.int64())}
+            )
+        dl = tbl.column("dl").to_numpy().astype(np.float64)
+        total = np.zeros(tbl.num_rows, dtype=np.int64)
+        for j in range(q):
+            tfj = tbl.column(f"tf_{j}").to_numpy().astype(np.float64)
+            contrib = idf[j] * tfj / (tfj + k1 * (1.0 - b + b * (dl / avgdl)))
+            total += np.floor(contrib * 1e9 + 0.5).astype(np.int64)
+        did = tbl.column("doc_id").to_numpy()
+        order = np.lexsort((did, -total))[:BM25_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array(did[order], pa.int64()),
+                "total": pa.array(total[order], pa.int64()),
+            }
+        )
+
+    def merge_topk(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy()
+        tot = tbl.column("total").to_numpy()
+        order = np.lexsort((did, -tot))[:BM25_TOPK]
+        return pa.table(
+            {"doc_id": pa.array(did[order], pa.int64()), "total": pa.array(tot[order], pa.int64())}
+        )
+
+    folded = exchange_fold(cands.map_batches(score_topk, batch_format="pyarrow"), merge_topk)
+    out = merge_topk(folded) if folded is not None else pa.table(
+        {"doc_id": pa.array([], pa.int64()), "total": pa.array([], pa.int64())}
+    )
+    import pandas as pd
+
+    tot = out.column("total").to_numpy().astype(np.float64)
+    return pd.DataFrame(
+        {
+            "doc_id": out.column("doc_id").to_numpy(),
+            "score": np.floor(tot / 1e3 + 0.5) / 1e6,
+        }
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+DOCS_BM25_SQL = f"""
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       WHERE tok IN ({_BM25_IN}) GROUP BY 1, 2),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+              CAST(sum(CAST(floor(
+                ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                           + {BM25_B} * (dl.dl / st.avgdl))) * 1e9 + 0.5
+              ) AS BIGINT)) AS BIGINT) AS total
+       FROM tf JOIN dft USING (tok) JOIN dl ON tf.doc_id = dl.doc_id, st
+       GROUP BY 1)
+SELECT doc_id, floor(CAST(total AS DOUBLE) / 1e3 + 0.5) / 1e6 AS score
+FROM sc ORDER BY total DESC, doc_id LIMIT {BM25_TOPK}
+"""
