@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heaps_curve": text_analysis.token_heaps_curve,
         "token_cooc_window": text_analysis.token_cooc_window,
         "docs_bm25_topk": text_analysis.docs_bm25_topk,
+        "docs_boolean_search": text_analysis.docs_boolean_search,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "token_heaps_curve": text_analysis.TOKEN_HEAPS_CURVE_SQL,
         "token_cooc_window": text_analysis.TOKEN_COOC_WINDOW_SQL,
         "docs_bm25_topk": text_analysis.DOCS_BM25_SQL,
+        "docs_boolean_search": text_analysis.DOCS_BOOLEAN_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

@@ -3968,3 +3968,53 @@ sc AS (SELECT tf.doc_id,
 SELECT doc_id, floor(CAST(total AS DOUBLE) / 1e3 + 0.5) / 1e6 AS score
 FROM sc ORDER BY total DESC, doc_id LIMIT {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# conjunctive boolean search: documents containing EVERY term of a small
+# broadcast query (postings-intersection semantics, the AND counterpart of
+# docs_bm25_topk's any-match scoring). ONE batch-local pass — per-doc
+# membership tests against the broadcast term list, no shuffle — output is
+# the (bounded by selectivity) matching doc set with per-term tf columns.
+
+BOOL_TERMS = ("join", "scan", "merge")
+
+
+def docs_boolean_search(sf_dir: str):
+    terms = list(BOOL_TERMS)
+    q = len(terms)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def match(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        tf = np.zeros((tbl.num_rows, q), dtype=np.int64)
+        for j, t in enumerate(terms):
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(tf[:, j], row_of, m)
+        allhit = (tf > 0).all(axis=1)
+        cols = {"doc_id": tbl.column("doc_id").filter(pa.array(allhit)).cast(pa.int64())}
+        for j in range(q):
+            cols[f"tf_{j}"] = pa.array(tf[allhit, j], pa.int64())
+        return pa.table(cols)
+
+    return docs.map_batches(match, batch_format="pyarrow")
+
+
+_BOOL_TF_COLS = ",\n       ".join(
+    f"CAST(len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS BIGINT) AS tf_{j}"
+    for j, t in enumerate(BOOL_TERMS)
+)
+_BOOL_WHERE = " AND ".join(
+    f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) > 0" for t in BOOL_TERMS
+)
+DOCS_BOOLEAN_SQL = f"""
+SELECT doc_id,
+       {_BOOL_TF_COLS}
+FROM documents
+WHERE {_BOOL_WHERE}
+"""
