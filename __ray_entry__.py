@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooc_window": text_analysis.token_cooc_window,
         "docs_bm25_topk": text_analysis.docs_bm25_topk,
         "docs_boolean_search": text_analysis.docs_boolean_search,
+        "docs_pareto_front": text_analysis.docs_pareto_front,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -355,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooc_window": text_analysis.TOKEN_COOC_WINDOW_SQL,
         "docs_bm25_topk": text_analysis.DOCS_BM25_SQL,
         "docs_boolean_search": text_analysis.DOCS_BOOLEAN_SQL,
+        "docs_pareto_front": text_analysis.DOCS_PARETO_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

@@ -4018,3 +4018,110 @@ SELECT doc_id,
 FROM documents
 WHERE {_BOOL_WHERE}
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto-front (skyline) curation: keep documents NOT dominated on the
+# integer axes (n_chars, n_tokens, n_distinct_tokens) — the multi-criteria
+# "best docs" selection step (dominance filtering), a different operator
+# class from any single-key rank/top-k in this suite. Distributed shape:
+# skyline is an associative, idempotent reduction (skyline(A u B) ==
+# skyline(skyline(A) u skyline(B))), so each block reduces to its local
+# front (chunked vectorized O(n^2) dominance, no Python row loop) and ONE
+# bounded exchange_fold merges fronts — the driver only ever sees already-
+# reduced fronts (3-d fronts of integer-graded data stay tiny relative to
+# input). Ties (identical triples) dominate nothing and are all kept, so
+# the result is set-exact vs the NOT EXISTS oracle.
+
+_PARETO_CHUNK = 512
+
+
+def _pareto_mask(feats: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the non-dominated rows of an (n, d) int matrix.
+    Chunked n^2 vectorized dominance test."""
+    n = feats.shape[0]
+    keep = np.ones(n, dtype=bool)
+    for s in range(0, n, _PARETO_CHUNK):
+        e = min(s + _PARETO_CHUNK, n)
+        block = feats[s:e]  # (c, d)
+        ge = (feats[:, None, :] >= block[None, :, :]).all(axis=2)  # (n, c)
+        gt = (feats[:, None, :] > block[None, :, :]).any(axis=2)
+        keep[s:e] = ~np.any(ge & gt, axis=0)
+    return keep
+
+
+def docs_pareto_front(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def local_front(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct tokens per doc: flatten + per-row dictionary bincount
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        de = pc.dictionary_encode(flat)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = max(len(de.dictionary), 1)
+        pair = np.unique(row_of * nv + codes)
+        ndis = np.bincount((pair // nv).astype(np.int64), minlength=tbl.num_rows).astype(np.int64)
+        feats = np.stack(
+            [
+                tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64),
+                ntok,
+                ndis,
+            ],
+            axis=1,
+        )
+        keep = _pareto_mask(feats)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").filter(pa.array(keep)).cast(pa.int64()),
+                "n_chars": pa.array(feats[keep, 0], pa.int64()),
+                "n_tokens": pa.array(feats[keep, 1], pa.int64()),
+                "n_distinct": pa.array(feats[keep, 2], pa.int64()),
+            }
+        )
+
+    def merge_front(tbl: pa.Table) -> pa.Table:
+        feats = np.stack(
+            [
+                tbl.column("n_chars").to_numpy(),
+                tbl.column("n_tokens").to_numpy(),
+                tbl.column("n_distinct").to_numpy(),
+            ],
+            axis=1,
+        )
+        keep = _pareto_mask(feats)
+        return tbl.filter(pa.array(keep))
+
+    folded = exchange_fold(
+        docs.map_batches(local_front, batch_format="pyarrow"), merge_front
+    )
+    if folded is None:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ["doc_id", "n_chars", "n_tokens", "n_distinct"]}
+        )
+    out = merge_front(folded)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+DOCS_PARETO_SQL = """
+WITH f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+           FROM documents)
+SELECT a.doc_id, a.n_chars, a.n_tokens, a.n_distinct FROM f a
+WHERE NOT EXISTS (
+  SELECT 1 FROM f b
+  WHERE b.n_chars >= a.n_chars AND b.n_tokens >= a.n_tokens
+    AND b.n_distinct >= a.n_distinct
+    AND (b.n_chars > a.n_chars OR b.n_tokens > a.n_tokens
+         OR b.n_distinct > a.n_distinct))
+ORDER BY doc_id
+"""

@@ -895,3 +895,50 @@ def test_q13_zero_bucket(ray_session, tmp_path):
     assert dict(zip(df["c_count"], df["custdist"])) == exp
     assert int(df.loc[df["c_count"] == 0, "custdist"].iloc[0]) == int((counts == 0).sum())
     assert int(df["custdist"].sum()) == n_cust
+
+
+# ---------------------------------------------------------------------------
+# docs_pareto_front: the vectorized dominance mask against a naive O(n^2)
+# reference, and the skyline-merge associativity the distributed fold
+# relies on (skyline(A u B) == skyline(skyline(A) u skyline(B))).
+
+
+def _naive_pareto(feats):
+    n = len(feats)
+    keep = []
+    for i in range(n):
+        dominated = False
+        for j in range(n):
+            if (
+                all(feats[j][d] >= feats[i][d] for d in range(len(feats[i])))
+                and any(feats[j][d] > feats[i][d] for d in range(len(feats[i])))
+            ):
+                dominated = True
+                break
+        keep.append(not dominated)
+    return keep
+
+
+def test_pareto_mask_matches_naive_and_merge_is_associative():
+    from audio_feature_extraction_ray.pipelines.text_analysis import _pareto_mask
+
+    rng = np.random.default_rng(7)
+    feats = rng.integers(0, 12, size=(600, 3)).astype(np.int64)  # many ties
+    mask = _pareto_mask(feats)
+    assert mask.tolist() == _naive_pareto(feats.tolist())
+
+    # associativity: front of fronts == front of the union, any split point
+    for cut in (1, 137, 300, 599):
+        a, b = feats[:cut], feats[cut:]
+        fa, fb = a[_pareto_mask(a)], b[_pareto_mask(b)]
+        merged = np.concatenate([fa, fb])
+        front2 = merged[_pareto_mask(merged)]
+        front1 = feats[_pareto_mask(feats)]
+        assert sorted(map(tuple, front2)) == sorted(map(tuple, front1))
+
+
+def test_pareto_mask_keeps_all_identical_rows():
+    from audio_feature_extraction_ray.pipelines.text_analysis import _pareto_mask
+
+    feats = np.tile(np.array([[5, 5, 5]], dtype=np.int64), (40, 1))
+    assert _pareto_mask(feats).all()
