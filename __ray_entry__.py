@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_sketch": events.value_quantile_sketch,  # rows-only (sketch)
         "events_zscore": events.zscore,
         "events_robust_zscale": events.robust_zscale,
+        "events_target_encode": events.target_encode,
+        "events_value_bins": events.value_bins,
+        "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
         "token_countmin": text_analysis.token_countmin,
@@ -345,6 +348,9 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": events.VALUE_QUANTILES_SQL,
         "events_zscore": events.ZSCORE_SQL,
         "events_robust_zscale": events.ROBUST_ZSCALE_SQL,
+        "events_target_encode": events.TARGET_ENCODE_SQL,
+        "events_value_bins": events.VALUE_BINS_SQL,
+        "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,
         "token_countmin": text_analysis.TOKEN_COUNTMIN_SQL,

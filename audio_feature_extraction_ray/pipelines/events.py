@@ -2433,3 +2433,196 @@ SELECT max(n) AS n,
        max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90_lo
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# ML feature-engineering transforms over events. Shape for all three: ONE
+# bounded stats fold (per-category sums / global extremes — a handful of
+# rows) broadcast back into a second streaming pass that emits one feature
+# row per event; the stats never exceed #categories and the data pass never
+# shuffles. Exactness: cents + pure int64 floor division on BOTH sides (no
+# float division order to drift).
+
+TARGET_ENC_U = np.int64(1_000_000)  # micro-cents per unit
+
+
+def target_encode(sf_dir: str) -> ray.data.Dataset:
+    """Leave-one-out target encoding of event_type against value: for each
+    event, the mean value (micro-cents, floored) of all OTHER events of the
+    same category; singleton categories fall back to the global mean."""
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def stat_partial(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        de = pc.dictionary_encode(tbl.column("event_type").combine_chunks() if isinstance(tbl.column("event_type"), pa.ChunkedArray) else tbl.column("event_type"))
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(de.dictionary)
+        s = np.zeros(k, dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        np.add.at(s, codes, vc)
+        np.add.at(n, codes, 1)
+        return pa.table(
+            {
+                "event_type": de.dictionary,
+                "s": pa.array(s, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    st = exchange_fold(
+        ev.map_batches(stat_partial, batch_format="pyarrow"),
+        lambda t: t.group_by("event_type")
+        .aggregate([("s", "sum"), ("n", "sum")])
+        .rename_columns(["event_type", "s", "n"]),
+        pid_of=lambda t: (
+            np.arange(t.num_rows, dtype=np.int64) % 8
+        ).astype(np.int32),
+    )
+    st = (
+        st.group_by("event_type")
+        .aggregate([("s", "sum"), ("n", "sum")])
+        .rename_columns(["event_type", "s", "n"])
+    )
+    types = st.column("event_type").combine_chunks()
+    s_arr = st.column("s").to_numpy()
+    n_arr = st.column("n").to_numpy()
+    g_mean_u = (int(s_arr.sum()) * TARGET_ENC_U) // max(int(n_arr.sum()), 1)
+    ref = ray.put((types, s_arr, n_arr, np.int64(g_mean_u)))
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        ty, s, n, gm = ray.get(ref)
+        idx = pc.index_in(tbl.column("event_type"), value_set=ty).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        sc, nc = s[idx], n[idx]
+        loo = np.where(
+            nc > 1,
+            ((sc - vc) * TARGET_ENC_U) // np.maximum(nc - 1, 1),
+            gm,
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "event_type": tbl.column("event_type"),
+                "loo_enc_u": pa.array(loo, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(encode, batch_format="pyarrow")
+
+
+TARGET_ENCODE_SQL = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+g AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS s, count(*) AS n
+      FROM v GROUP BY 1),
+t AS (SELECT CAST(sum(vc) AS BIGINT) AS ts, count(*) AS tn FROM v)
+SELECT event_id, v.event_type,
+       CASE WHEN g.n > 1 THEN ((g.s - v.vc) * 1000000) // (g.n - 1)
+            ELSE (t.ts * 1000000) // t.tn END AS loo_enc_u
+FROM v JOIN g USING (event_type), t
+"""
+
+
+VALUE_BINS = 16
+
+
+def value_bins(sf_dir: str) -> ray.data.Dataset:
+    """Equal-width binning of value into VALUE_BINS buckets over the exact
+    global [min, max] cent range (the classic numeric-feature discretizer).
+    Stats pass folds two ints; the data pass is shuffle-free."""
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["event_id", "value"])
+
+    def mm_partial(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        if vc.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {"lo": pa.array([int(vc.min())], pa.int64()), "hi": pa.array([int(vc.max())], pa.int64())}
+        )
+
+    st = exchange_fold(
+        ev.map_batches(mm_partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "lo": pa.array([int(pc.min(t.column("lo")).as_py())], pa.int64()),
+                "hi": pa.array([int(pc.max(t.column("hi")).as_py())], pa.int64()),
+            }
+        ),
+    )
+    lo = int(pc.min(st.column("lo")).as_py())
+    hi = int(pc.max(st.column("hi")).as_py())
+    span = np.int64(hi - lo + 1)
+    nb = np.int64(VALUE_BINS)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = (vc - np.int64(lo)) * nb // span
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "bin": pa.array(np.minimum(b, nb - 1), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(assign, batch_format="pyarrow")
+
+
+VALUE_BINS_SQL = f"""
+WITH v AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+mm AS (SELECT min(vc) AS lo, max(vc) AS hi FROM v)
+SELECT event_id,
+       least((vc - lo) * {VALUE_BINS} // (hi - lo + 1), {VALUE_BINS} - 1) AS bin
+FROM v, mm
+"""
+
+
+def time_features(sf_dir: str) -> ray.data.Dataset:
+    """Integer calendar features per event (hour-of-day, day-of-week with
+    Sunday=0, weekend flag, days since epoch) — the date-part expansion of
+    feature pipelines, batch-local and shuffle-free, int64-exact."""
+    ev = read_events(sf_dir, ["event_id", "ts"])
+    day_us = np.int64(86_400_000_000)
+    hour_us = np.int64(3_600_000_000)
+
+    def feats(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        days = us // day_us
+        hour = (us // hour_us) % np.int64(24)
+        dow = (days + np.int64(4)) % np.int64(7)  # 1970-01-01 is a Thursday
+        wk = ((dow == 0) | (dow == 6)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "dow": pa.array(dow, pa.int64()),
+                "is_weekend": pa.array(wk, pa.int64()),
+                "epoch_day": pa.array(days, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(feats, batch_format="pyarrow")
+
+
+TIME_FEATURES_SQL = """
+SELECT event_id,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS BIGINT)
+         AS is_weekend,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day
+FROM events
+"""
