@@ -2626,3 +2626,57 @@ SELECT event_id,
        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day
 FROM events
 """
+
+
+QBIN_QS = (0.25, 0.5, 0.75)
+
+
+def quantile_bins(sf_dir: str) -> ray.data.Dataset:
+    """Equal-frequency (quartile) binning: exact global quartile boundaries
+    via the distributed histogram-narrowing selection (same machinery as
+    median_2pass — counter-only exchanges, no value shuffle), then a
+    shuffle-free assignment pass. Boundary convention: k-th smallest at
+    rank ceil(q*n); bin = #boundaries strictly below the value (raw-double
+    comparisons, no arithmetic to drift)."""
+    import math
+
+    from ..stages.selection import multi_kth_smallest
+
+    make = lambda: read_events(sf_dir, ["value"])  # noqa: E731
+    _n, bounds = multi_kth_smallest(
+        make, "value", lambda n: [int(math.ceil(q * n)) for q in QBIN_QS]
+    )
+    b = np.asarray(bounds, dtype=np.float64)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value").to_numpy(zero_copy_only=False)
+        qbin = (v[:, None] > b[None, :]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "qbin": pa.array(qbin, pa.int64()),
+            }
+        )
+
+    return read_events(sf_dir, ["event_id", "value"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+QUANTILE_BINS_SQL = f"""
+WITH s AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn,
+         count(*) OVER () AS n
+  FROM events
+),
+b AS (SELECT
+  max(CASE WHEN rn = CAST(ceil({QBIN_QS[0]} * n) AS BIGINT) THEN value END) AS q1,
+  max(CASE WHEN rn = CAST(ceil({QBIN_QS[1]} * n) AS BIGINT) THEN value END) AS q2,
+  max(CASE WHEN rn = CAST(ceil({QBIN_QS[2]} * n) AS BIGINT) THEN value END) AS q3
+  FROM s)
+SELECT event_id,
+       CAST(CASE WHEN value > q1 THEN 1 ELSE 0 END
+          + CASE WHEN value > q2 THEN 1 ELSE 0 END
+          + CASE WHEN value > q3 THEN 1 ELSE 0 END AS BIGINT) AS qbin
+FROM events, b
+"""
