@@ -1,0 +1,125 @@
+"""Edge-path hardening for the round-5 feature-engineering transforms:
+paths the sf fixtures never exercise (singleton categories, degenerate
+value spans, tie-heavy quantiles, all-terms-missing docs)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from audio_feature_extraction_ray.pipelines.events import (
+    TARGET_ENC_U,
+    VALUE_BINS,
+    quantile_bins,
+    target_encode,
+    value_bins,
+)
+from audio_feature_extraction_ray.pipelines.text_analysis import (
+    BM25_TERMS,
+    BOOL_TERMS,
+    docs_bm25_topk,
+    docs_boolean_search,
+)
+
+
+def _events_fixture(tmp_path, types, values):
+    n = len(types)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                np.arange(n, dtype=np.int64) * 1_000_000, pa.timestamp("us")
+            ),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=2)  # several blocks
+    return str(sf)
+
+
+def test_target_encode_singleton_category_falls_back_to_global_mean(tmp_path):
+    # 'solo' occurs once -> LOO undefined -> global mean (micro-cents, floored)
+    sf = _events_fixture(
+        tmp_path,
+        ["a", "a", "a", "solo", "b", "b"],
+        [1.00, 2.00, 3.00, 10.00, 4.00, 6.00],
+    )
+    df = target_encode(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    cents = np.array([100, 200, 300, 1000, 400, 600], dtype=np.int64)
+    gm = (cents.sum() * int(TARGET_ENC_U)) // len(cents)
+    assert int(df.loc[3, "loo_enc_u"]) == gm
+    # LOO for first 'a' = mean(200, 300)
+    assert int(df.loc[0, "loo_enc_u"]) == ((200 + 300) * int(TARGET_ENC_U)) // 2
+    # LOO for first 'b' = 600
+    assert int(df.loc[4, "loo_enc_u"]) == 600 * int(TARGET_ENC_U)
+
+
+def test_value_bins_degenerate_span_puts_everything_in_bin_zero(tmp_path):
+    sf = _events_fixture(tmp_path, ["a"] * 5, [7.25] * 5)
+    df = value_bins(sf).to_pandas()
+    assert (df["bin"] == 0).all()
+
+
+def test_value_bins_extremes_land_in_first_and_last_bin(tmp_path):
+    sf = _events_fixture(tmp_path, ["a"] * 4, [0.00, 1.00, 2.00, 3.00])
+    df = value_bins(sf).to_pandas().sort_values("event_id")
+    assert int(df["bin"].iloc[0]) == 0
+    assert int(df["bin"].iloc[-1]) == VALUE_BINS - 1
+
+
+def test_quantile_bins_tie_heavy_matches_naive(tmp_path):
+    import math
+
+    vals = [1.0] * 10 + [2.0] * 10 + [3.0] * 2
+    sf = _events_fixture(tmp_path, ["a"] * len(vals), vals)
+    df = quantile_bins(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    s = sorted(vals)
+    n = len(s)
+    bounds = [s[int(math.ceil(q * n)) - 1] for q in (0.25, 0.5, 0.75)]
+    expect = [sum(v > b for b in bounds) for v in vals]
+    assert df["qbin"].tolist() == expect
+
+
+def _docs_fixture(tmp_path, texts):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfd"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    return str(sf)
+
+
+def test_boolean_search_requires_every_term(tmp_path):
+    hit = " ".join(BOOL_TERMS)               # all terms once
+    partial = " ".join(BOOL_TERMS[:-1])      # one term missing
+    sf = _docs_fixture(tmp_path, [hit, partial, "nothing here", hit + " " + hit])
+    df = docs_boolean_search(sf).to_pandas().sort_values("doc_id")
+    assert df["doc_id"].tolist() == [0, 3]
+    assert df["tf_0"].tolist() == [1, 2]
+
+
+def test_bm25_scores_rank_matching_docs_and_skip_nonmatching(tmp_path):
+    t = BM25_TERMS[0]
+    texts = [
+        f"{t} {t} {t}",                    # high tf, short
+        t + " filler" * 60,                # tf=1, long doc -> normalized down
+        "no query terms at all",
+    ]
+    sf = _docs_fixture(tmp_path, texts)
+    df = docs_bm25_topk(sf)
+    assert df["doc_id"].tolist()[:2] == [0, 1]
+    assert 2 not in set(df["doc_id"])
+    assert df["score"].iloc[0] > df["score"].iloc[1] > 0
