@@ -2680,3 +2680,102 @@ SELECT event_id,
           + CASE WHEN value > q3 THEN 1 ELSE 0 END AS BIGINT) AS qbin
 FROM events, b
 """
+
+
+def user_rfm(sf_dir: str) -> ray.data.Dataset:
+    """Per-user RFM feature table (recency in days vs the corpus max event
+    day, frequency, monetary in cents). ONE user-keyed exchange finalizes
+    per-user rows; the corpus max folds from 1-row-per-block partials of the
+    bounded per-user intermediate, never from raw events."""
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["user_id", "ts", "value"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        last = np.full(uniq.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, us)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(n, inv, 1)
+        np.add.at(s, inv, vc)
+        pid = (avalanche64(uniq.astype(np.uint64)) % np.uint64(NUM_PARTITIONS)).astype(np.int32)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "last_us": pa.array(last, pa.int64()),
+                "frequency": pa.array(n, pa.int64()),
+                "monetary_c": pa.array(s, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        uniq, inv = np.unique(uid, return_inverse=True)
+        last = np.full(uniq.size, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, tbl.column("last_us").to_numpy())
+        n = np.zeros(uniq.size, dtype=np.int64)
+        s = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(n, inv, tbl.column("frequency").to_numpy())
+        np.add.at(s, inv, tbl.column("monetary_c").to_numpy())
+        return pa.table(
+            {
+                "user_id": pa.array(uniq, pa.int64()),
+                "last_us": pa.array(last, pa.int64()),
+                "frequency": pa.array(n, pa.int64()),
+                "monetary_c": pa.array(s, pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .materialize()  # bounded: one row per user
+    )
+    mx_tbl = exchange_fold(
+        per_user.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(pc.max(t.column("last_us")).as_py())], pa.int64())}
+            )
+            if t.num_rows
+            else pa.table({"m": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table({"m": pa.array([int(pc.max(t.column("m")).as_py())], pa.int64())}),
+    )
+    max_day = int(pc.max(mx_tbl.column("m")).as_py()) // int(day_us) if mx_tbl is not None else 0
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        rec = np.int64(max_day) - tbl.column("last_us").to_numpy() // day_us
+        return pa.table(
+            {
+                "user_id": tbl.column("user_id"),
+                "recency_days": pa.array(rec, pa.int64()),
+                "frequency": tbl.column("frequency"),
+                "monetary_c": tbl.column("monetary_c"),
+            }
+        )
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+USER_RFM_SQL = """
+WITH u AS (SELECT user_id,
+                  CAST(floor(epoch(max(ts)) / 86400) AS BIGINT) AS last_day,
+                  count(*) AS frequency,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS monetary_c
+           FROM events GROUP BY 1),
+m AS (SELECT max(last_day) AS max_day FROM u)
+SELECT user_id, max_day - last_day AS recency_days, frequency, monetary_c
+FROM u, m
+"""
