@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": relational.q11_important_parts,
         "q20_share_suppliers": relational.q20_share_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "cust_orders_full": relational.cust_orders_full,
     }
     return q
 
@@ -416,4 +417,5 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": relational.Q11_IMPORTANT_SQL,
         "q20_share_suppliers": relational.Q20_SHARE_SQL,
         "q21_waiting_suppliers": relational.Q21_WAITING_SQL,
+        "cust_orders_full": relational.CUST_ORDERS_FULL_SQL,
     }

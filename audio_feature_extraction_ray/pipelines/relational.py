@@ -3159,3 +3159,102 @@ WHERE r_name = '{Q21_REGION}'
 ORDER BY numwait DESC, s_name, s_suppkey
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# full-outer join coverage query: per custkey present in EITHER table, an
+# existence flag and order count. Exercises copartitioned_equijoin's
+# how="full" path (unmatched fact rows keep null dim cols, unmatched dim
+# rows emit with the key from the dim side) in a registered, SQL-oracled
+# query; the post-join aggregate folds integer partials through one keyed
+# exchange.
+
+
+def cust_orders_full(sf_dir: str, num_partitions: int = 16):
+    from ..stages.fold import exchange_fold
+    from ..stages.join import copartitioned_equijoin
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_flag": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = copartitioned_equijoin(
+        orders, cust,
+        fact_key="o_custkey", dim_key="c_custkey",
+        fact_cols=["o_orderkey"], dim_cols=["c_flag"],
+        num_partitions=num_partitions,
+        fact_col_types={"o_orderkey": pa.int64()},
+        dim_col_types={"c_flag": pa.int64()},
+        key_type=pa.int64(),
+        how="full",
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        flag = (
+            pc.is_valid(tbl.column("c_flag"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        has_ord = (
+            pc.is_valid(tbl.column("o_orderkey"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uniq, inv = np.unique(k, return_inverse=True)
+        f = np.zeros(uniq.size, dtype=np.int64)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        np.maximum.at(f, inv, flag)
+        np.add.at(n, inv, has_ord)
+        return pa.table(
+            {
+                "custkey": pa.array(uniq, pa.int64()),
+                "has_cust": pa.array(f, pa.int64()),
+                "n_orders": pa.array(n, pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("custkey")
+            .aggregate([("has_cust", "max"), ("n_orders", "sum")])
+            .rename_columns(["custkey", "has_cust", "n_orders"])
+        ),
+        pid_of=lambda t: (
+            t.column("custkey").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ["custkey", "has_cust", "n_orders"]}
+        )
+    return (
+        folded.to_pandas()
+        .sort_values("custkey")
+        .reset_index(drop=True)
+    )
+
+
+CUST_ORDERS_FULL_SQL = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       CAST(max(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS has_cust,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
