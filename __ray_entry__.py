@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25_topk": text_analysis.docs_bm25_topk,
         "docs_boolean_search": text_analysis.docs_boolean_search,
         "docs_pareto_front": text_analysis.docs_pareto_front,
+        "docs_phrase_search": text_analysis.docs_phrase_search,
         "events_winsorized": events.winsorized_stats,
         "events_decayed_sum": events.decayed_sum,
         "events_cumulative": events.cumulative,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bm25_topk": text_analysis.DOCS_BM25_SQL,
         "docs_boolean_search": text_analysis.DOCS_BOOLEAN_SQL,
         "docs_pareto_front": text_analysis.DOCS_PARETO_SQL,
+        "docs_phrase_search": text_analysis.DOCS_PHRASE_SQL,
         "events_winsorized": events.WINSORIZED_STATS_SQL,
         "events_decayed_sum": events.DECAYED_SUM_SQL,
         "events_cumulative": events.CUMULATIVE_SQL,

@@ -4125,3 +4125,53 @@ WHERE NOT EXISTS (
          OR b.n_distinct > a.n_distinct))
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# phrase search: per-doc count of a fixed adjacent-token phrase (positional-
+# postings semantics — token-level adjacency, not substring matching, so
+# boundary-space overlap ambiguity cannot arise). Batch-local: one shifted
+# comparison over the flattened token buffer with doc-boundary masking.
+
+PHRASE = ("join", "scan")
+
+
+def docs_phrase_search(sf_dir: str) -> ray.data.Dataset:
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    w0, w1 = PHRASE
+
+    def hits(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m0 = pc.equal(flat, w0).to_numpy(zero_copy_only=False).astype(bool)
+        m1 = pc.equal(flat, w1).to_numpy(zero_copy_only=False).astype(bool)
+        row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        adj = np.zeros(len(flat), dtype=bool)
+        if len(flat) > 1:
+            # position i matches when tok[i]==w0, tok[i+1]==w1, same doc
+            adj[:-1] = m0[:-1] & m1[1:] & (row_of[:-1] == row_of[1:])
+        n = np.zeros(tbl.num_rows, dtype=np.int64)
+        np.add.at(n, row_of[adj], 1)
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").filter(pa.array(keep)).cast(pa.int64()),
+                "n_hits": pa.array(n[keep], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(hits, batch_format="pyarrow")
+
+
+DOCS_PHRASE_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+h AS (SELECT doc_id,
+             CAST(len(list_filter(range(1, len(tk)),
+                  i -> tk[i] = '{PHRASE[0]}' AND tk[i + 1] = '{PHRASE[1]}'))
+                  AS BIGINT) AS n_hits
+      FROM t)
+SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+"""
