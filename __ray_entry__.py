@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bins": events.value_bins,
         "events_quantile_bins": events.quantile_bins,
         "events_user_rfm": events.user_rfm,
+        "events_psi_drift": events.psi_drift,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_bins": events.VALUE_BINS_SQL,
         "events_quantile_bins": events.QUANTILE_BINS_SQL,
         "events_user_rfm": events.USER_RFM_SQL,
+        "events_psi_drift": events.PSI_DRIFT_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

@@ -2779,3 +2779,119 @@ m AS (SELECT max(last_day) AS max_day FROM u)
 SELECT user_id, max_day - last_day AS recency_days, frequency, monetary_c
 FROM u, m
 """
+
+
+def psi_drift(sf_dir: str):
+    """Population Stability Index scan between the two deterministic halves
+    of the stream (event_id parity): equal-width cent bins over the exact
+    global range, per-(bin, half) counts folded through ONE bounded
+    exchange (VALUE_BINS x 2 ints), PSI terms computed from the bounded
+    counts. Exactness: each term (p1-p2)*ln(p1/p2) rounds to integer 1e-9
+    units before any summation (zero-count bins contribute 0 by the
+    standard convention), so the engine and the SQL oracle cannot drift on
+    float addition order."""
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["event_id", "value"])
+
+    def mm_partial(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        if vc.size == 0:
+            return pa.table({"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())})
+        return pa.table(
+            {"lo": pa.array([int(vc.min())], pa.int64()), "hi": pa.array([int(vc.max())], pa.int64())}
+        )
+
+    st = exchange_fold(
+        ev.map_batches(mm_partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "lo": pa.array([int(pc.min(t.column("lo")).as_py())], pa.int64()),
+                "hi": pa.array([int(pc.max(t.column("hi")).as_py())], pa.int64()),
+            }
+        ),
+    )
+    lo = int(pc.min(st.column("lo")).as_py())
+    hi = int(pc.max(st.column("hi")).as_py())
+    span = np.int64(hi - lo + 1)
+    nb = np.int64(VALUE_BINS)
+
+    def cnt_partial(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        b = np.minimum((vc - np.int64(lo)) * nb // span, nb - 1)
+        half = tbl.column("event_id").to_numpy() % 2
+        c0 = np.bincount(b[half == 0], minlength=int(nb)).astype(np.int64)
+        c1 = np.bincount(b[half == 1], minlength=int(nb)).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(int(nb), dtype=np.int64), pa.int64()),
+                "n_first": pa.array(c0, pa.int64()),
+                "n_second": pa.array(c1, pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        ev.map_batches(cnt_partial, batch_format="pyarrow"),
+        lambda t: t.group_by("bin")
+        .aggregate([("n_first", "sum"), ("n_second", "sum")])
+        .rename_columns(["bin", "n_first", "n_second"]),
+        pid_of=lambda t: (t.column("bin").to_numpy().astype(np.uint64) % np.uint64(8)).astype(
+            np.int32
+        ),
+    )
+    tbl = (
+        folded.group_by("bin")
+        .aggregate([("n_first", "sum"), ("n_second", "sum")])
+        .rename_columns(["bin", "n_first", "n_second"])
+    )
+    c0 = np.zeros(int(nb), dtype=np.int64)
+    c1 = np.zeros(int(nb), dtype=np.int64)
+    bi = tbl.column("bin").to_numpy()
+    c0[bi] = tbl.column("n_first").to_numpy()
+    c1[bi] = tbl.column("n_second").to_numpy()
+    t0, t1 = int(c0.sum()), int(c1.sum())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p0 = c0 / max(t0, 1)
+        p1 = c1 / max(t1, 1)
+        term = (p0 - p1) * np.log(p0 / p1)
+    term_n = np.where(
+        (c0 > 0) & (c1 > 0), np.floor(term * 1e9 + 0.5), 0.0
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(int(nb), dtype=np.int64),
+            "n_first": c0,
+            "n_second": c1,
+            "psi_term_n": term_n,
+        }
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH v AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+mm AS (SELECT min(vc) AS lo, max(vc) AS hi FROM v),
+bnd AS (SELECT event_id % 2 AS half,
+               least((vc - lo) * {VALUE_BINS} // (hi - lo + 1), {VALUE_BINS} - 1)
+                 AS bin
+        FROM v, mm),
+c AS (SELECT b.bin,
+             CAST(coalesce(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_first,
+             CAST(coalesce(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_second
+      FROM (SELECT unnest(range(0, {VALUE_BINS})) AS bin) b
+      LEFT JOIN bnd ON bnd.bin = b.bin
+      GROUP BY 1),
+t AS (SELECT sum(n_first) AS t0, sum(n_second) AS t1 FROM c)
+SELECT bin, n_first, n_second,
+       CASE WHEN n_first > 0 AND n_second > 0 THEN
+         CAST(floor((CAST(n_first AS DOUBLE) / t0 - CAST(n_second AS DOUBLE) / t1)
+              * ln((CAST(n_first AS DOUBLE) / t0) / (CAST(n_second AS DOUBLE) / t1))
+              * 1e9 + 0.5) AS BIGINT)
+       ELSE 0 END AS psi_term_n
+FROM c, t ORDER BY bin
+"""
