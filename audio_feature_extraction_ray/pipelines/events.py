@@ -2482,6 +2482,14 @@ def target_encode(sf_dir: str) -> ray.data.Dataset:
             np.arange(t.num_rows, dtype=np.int64) % 8
         ).astype(np.int32),
     )
+    if st is None:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "loo_enc_u": pd.Series([], dtype=np.int64),
+            }
+        )
     st = (
         st.group_by("event_type")
         .aggregate([("s", "sum"), ("n", "sum")])
@@ -2561,6 +2569,10 @@ def value_bins(sf_dir: str) -> ray.data.Dataset:
             }
         ),
     )
+    if st is None:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64), "bin": pd.Series([], dtype=np.int64)}
+        )
     lo = int(pc.min(st.column("lo")).as_py())
     hi = int(pc.max(st.column("hi")).as_py())
     span = np.int64(hi - lo + 1)
@@ -2640,8 +2652,14 @@ def quantile_bins(sf_dir: str) -> ray.data.Dataset:
     comparisons, no arithmetic to drift)."""
     import math
 
+    import pyarrow.parquet as _pq
+
     from ..stages.selection import multi_kth_smallest
 
+    if _pq.read_metadata(f"{sf_dir}/events.parquet").num_rows == 0:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64), "qbin": pd.Series([], dtype=np.int64)}
+        )
     make = lambda: read_events(sf_dir, ["value"])  # noqa: E731
     _n, bounds = multi_kth_smallest(
         make, "value", lambda n: [int(math.ceil(q * n)) for q in QBIN_QS]
@@ -2813,6 +2831,12 @@ def psi_drift(sf_dir: str):
             }
         ),
     )
+    if st is None:
+        z = np.zeros(VALUE_BINS, dtype=np.int64)
+        return pd.DataFrame(
+            {"bin": np.arange(VALUE_BINS, dtype=np.int64), "n_first": z,
+             "n_second": z, "psi_term_n": z}
+        )
     lo = int(pc.min(st.column("lo")).as_py())
     hi = int(pc.max(st.column("hi")).as_py())
     span = np.int64(hi - lo + 1)
@@ -2843,6 +2867,12 @@ def psi_drift(sf_dir: str):
             np.int32
         ),
     )
+    if folded is None:
+        z = np.zeros(VALUE_BINS, dtype=np.int64)
+        return pd.DataFrame(
+            {"bin": np.arange(VALUE_BINS, dtype=np.int64), "n_first": z,
+             "n_second": z, "psi_term_n": z}
+        )
     tbl = (
         folded.group_by("bin")
         .aggregate([("n_first", "sum"), ("n_second", "sum")])

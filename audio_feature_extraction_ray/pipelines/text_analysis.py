@@ -3898,6 +3898,12 @@ def docs_bm25_topk(sf_dir: str, num_partitions: int = 16):
         ),
         stats_fold,
     )
+    if st is None or n_docs == 0:
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype=np.float64)}
+        )
     st = stats_fold(st)
     sum_dl = int(st.column("dl")[0].as_py())
     df = np.array([int(st.column(f"tf_{j}")[0].as_py()) for j in range(q)], dtype=np.int64)

@@ -268,6 +268,21 @@ def run_bench() -> dict:
         ("token_zipf_hist", text_analysis.token_zipf_hist),
         ("token_heaps_curve", text_analysis.token_heaps_curve),
         ("token_cooc_window", text_analysis.token_cooc_window),
+        ("q2_min_cost_supplier", relational.q2_min_cost_supplier),
+        ("q11_important_parts", relational.q11_important_parts),
+        ("q20_share_suppliers", relational.q20_share_suppliers),
+        ("q21_waiting_suppliers", relational.q21_waiting_suppliers),
+        ("cust_orders_full", relational.cust_orders_full),
+        ("docs_bm25_topk", text_analysis.docs_bm25_topk),
+        ("docs_boolean_search", text_analysis.docs_boolean_search),
+        ("docs_pareto_front", text_analysis.docs_pareto_front),
+        ("docs_phrase_search", text_analysis.docs_phrase_search),
+        ("events_target_encode", events.target_encode),
+        ("events_value_bins", events.value_bins),
+        ("events_quantile_bins", events.quantile_bins),
+        ("events_time_features", events.time_features),
+        ("events_user_rfm", events.user_rfm),
+        ("events_psi_drift", events.psi_drift),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

@@ -123,3 +123,33 @@ def test_bm25_scores_rank_matching_docs_and_skip_nonmatching(tmp_path):
     assert df["doc_id"].tolist()[:2] == [0, 1]
     assert 2 not in set(df["doc_id"])
     assert df["score"].iloc[0] > df["score"].iloc[1] > 0
+
+
+def test_round5_ops_empty_and_single_row_inputs(ray_session, tmp_path):
+    """0-row and 1-row inputs flow through every round-5 operator without
+    crashing (empty stats folds return None — each op must guard)."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        psi_drift,
+        time_features,
+        user_rfm,
+    )
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        docs_pareto_front,
+        docs_phrase_search,
+    )
+
+    for label, n in [("empty", 0), ("one", 1)]:
+        sfe = _events_fixture(
+            tmp_path / label if False else tmp_path, ["a"] * n, [1.5] * n
+        )
+        for fn in (target_encode, value_bins, quantile_bins, time_features,
+                   user_rfm, psi_drift):
+            res = fn(sfe)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) <= max(n, 16)  # psi emits its bin table
+        sfd = _docs_fixture(tmp_path, ["solo text"] * n)
+        for fn in (docs_bm25_topk, docs_boolean_search, docs_pareto_front,
+                   docs_phrase_search):
+            res = fn(sfd)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) <= max(n, 1)
