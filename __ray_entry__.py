@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from audio_feature_extraction_ray.pipelines import (
         bpe,
         events,
+        hive,
         relational,
         search_dedup,
         spans,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantile_bins": events.quantile_bins,
         "events_user_rfm": events.user_rfm,
         "events_psi_drift": events.psi_drift,
+        "events_hive_pruned": hive.hive_pruned_agg,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -258,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from audio_feature_extraction_ray.pipelines import (
         events,
+        hive,
         relational,
         search_dedup,
         spans,
@@ -358,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "events_quantile_bins": events.QUANTILE_BINS_SQL,
         "events_user_rfm": events.USER_RFM_SQL,
         "events_psi_drift": events.PSI_DRIFT_SQL,
+        "events_hive_pruned": hive.HIVE_PRUNED_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

@@ -153,3 +153,39 @@ def test_round5_ops_empty_and_single_row_inputs(ray_session, tmp_path):
             res = fn(sfd)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(df) <= max(n, 1)
+
+
+def test_hive_partitioned_read_prunes_directories(ray_session, tmp_path):
+    """The pruning contract: key=value directories outside the allowed set
+    never contribute files to the plan (checked via input_files), and the
+    partition value is re-attached correctly."""
+    from audio_feature_extraction_ray.pipelines.hive import (
+        build_hive_fixture,
+        prune_hive_dirs,
+        read_hive_partitioned,
+    )
+
+    sf = _events_fixture(
+        tmp_path, ["click", "view", "error", "click", "view", "click"],
+        [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    )
+    root = build_hive_fixture(sf)
+    names = sorted(e for e in __import__("os").listdir(root) if e.startswith("event_type="))
+    assert names == ["event_type=click", "event_type=error", "event_type=view"]
+
+    kept = prune_hive_dirs(root, "event_type", ("click",))
+    assert [v for v, _ in kept] == ["click"]
+    # the plan only ever sees files under the surviving directory
+    import ray.data as rd
+
+    files = rd.read_parquet([p for _, p in kept]).input_files()
+    assert files and all("event_type=click" in f for f in files)
+
+    ds = read_hive_partitioned(root, "event_type", ("click",), columns=["value"])
+    df = ds.to_pandas()
+    assert sorted(df["value"]) == [1.0, 4.0, 6.0]
+    assert (df["event_type"] == "click").all()
+
+    # empty allowed set -> empty dataset, still no crash
+    ds0 = read_hive_partitioned(root, "event_type", (), columns=["value"])
+    assert ds0.count() == 0
