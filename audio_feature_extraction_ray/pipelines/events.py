@@ -2925,3 +2925,116 @@ SELECT bin, n_first, n_second,
        ELSE 0 END AS psi_term_n
 FROM c, t ORDER BY bin
 """
+
+
+def value_ecdf(sf_dir: str) -> ray.data.Dataset:
+    """Exact grouped ECDF feature: for every event, the count of same-type
+    events with STRICTLY smaller value (= rank()-1 under min-rank ties) and
+    the type's total count — the integer form of a percentile feature, no
+    division to drift. Scale shape: values are 2-decimal cents, so the
+    distinct (type, cent) domain is bounded (types x cent-span); ONE keyed
+    exchange folds per-(type,cent) counts, the bounded count table cumsums
+    driver-side and broadcasts, and the assignment pass is shuffle-free.
+    Unlike a per-type sort, no data-sized exchange ever happens."""
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def cnt_partial(tbl: pa.Table) -> pa.Table:
+        ty = tbl.column("event_type")
+        de = pc.dictionary_encode(ty.combine_chunks() if isinstance(ty, pa.ChunkedArray) else ty)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        k = max(len(de.dictionary), 1)
+        key = codes * np.int64(1 << 32) + vc  # vc >= 0 (guarded by domain)
+        uniq, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(n, inv, 1)
+        tcode = (uniq >> np.int64(32)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": de.dictionary.take(pa.array(tcode)),
+                "vc": pa.array(uniq & np.int64((1 << 32) - 1), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        ev.map_batches(cnt_partial, batch_format="pyarrow"),
+        lambda t: t.group_by(["event_type", "vc"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "vc", "n"]),
+        pid_of=lambda t: (
+            string_hash_strong(t.column("event_type")) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype=np.int64),
+                "lt_count": pd.Series([], dtype=np.int64),
+                "n_type": pd.Series([], dtype=np.int64),
+            }
+        )
+    cnt = (
+        folded.group_by(["event_type", "vc"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "vc", "n"])
+    )
+    # bounded: types x distinct cent values; cumsum per type driver-side
+    ty = np.asarray(cnt.column("event_type").to_numpy(zero_copy_only=False)).astype(str)
+    vc = cnt.column("vc").to_numpy()
+    n = cnt.column("n").to_numpy()
+    order = np.lexsort((vc, ty))
+    ty, vc, n = ty[order], vc[order], n[order]
+    head = np.ones(ty.size, dtype=bool)
+    head[1:] = ty[1:] != ty[:-1]
+    csum = np.cumsum(n) - n  # strictly-less counts within the running group
+    grp_start = np.maximum.accumulate(np.where(head, np.arange(ty.size), 0))
+    base = (np.cumsum(n) - n)[grp_start]
+    lt = csum - base
+    gid = np.cumsum(head) - 1
+    tsum = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+    np.add.at(tsum, gid, n)
+    tot = tsum[gid]
+    ref = ray.put((ty, vc, lt, tot, head))
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        ty_s, vc_s, lt_s, tot_s, head_s = ray.get(ref)
+        t = tbl.column("event_type")
+        tarr = np.asarray(t.to_numpy(zero_copy_only=False)).astype(str)
+        v = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        # locate each (type, vc) row in the bounded sorted table
+        starts = np.flatnonzero(head_s)
+        ends = np.append(starts[1:], ty_s.size)
+        gi = np.searchsorted(ty_s[starts], tarr)
+        idx = np.empty(tarr.size, dtype=np.int64)
+        for g in np.unique(gi):  # bounded: one iteration per event TYPE
+            m = gi == g
+            s, e = int(starts[g]), int(ends[g])
+            idx[m] = s + np.searchsorted(vc_s[s:e], v[m])
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "lt_count": pa.array(lt_s[idx], pa.int64()),
+                "n_type": pa.array(tot_s[idx], pa.int64()),
+            }
+        )
+
+    return ev.map_batches(assign, batch_format="pyarrow")
+
+
+VALUE_ECDF_SQL = """
+WITH v AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY vc) - 1 AS BIGINT)
+         AS lt_count,
+       CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+FROM v
+"""
