@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_psi_drift": events.psi_drift,
         "events_hive_pruned": hive.hive_pruned_agg,
         "events_value_ecdf": events.value_ecdf,
+        "events_cusum": events.cusum_stats,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "events_psi_drift": events.PSI_DRIFT_SQL,
         "events_hive_pruned": hive.HIVE_PRUNED_SQL,
         "events_value_ecdf": events.VALUE_ECDF_SQL,
+        "events_cusum": events.CUSUM_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

@@ -3038,3 +3038,76 @@ SELECT event_id,
        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
 FROM v
 """
+
+
+def cusum_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-user CUSUM change-point statistic in the scaled-integer domain:
+    with per-user count n and cent-sum s, S_i = n*cumsum(vc)_i - i*s (the
+    mean-centered cumulative sum scaled by n so everything stays int64),
+    and cusum_scaled = max_i (S_i - min_{j<=i} S_j) — the maximum upward
+    drift vs the running minimum, 0 for a drift-free stream. One
+    user-keyed exchange (the sessionize contract: every user's rows arrive
+    ordered in one kernel call); the segmented running min uses log2(n)
+    prefix-doubling passes — vectorized, exact, no per-user Python loop."""
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n_rows = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        head = _seg_head(uid)
+        gid = np.cumsum(head) - 1
+        n_u = np.bincount(gid).astype(np.int64)  # rows per user segment
+        s_u = np.zeros(n_u.size, dtype=np.int64)
+        np.add.at(s_u, gid, vc)
+        ar = np.arange(n_rows, dtype=np.int64)
+        seg_start = np.repeat(np.flatnonzero(head), n_u)
+        i_in = ar - seg_start + 1  # 1-indexed position within the segment
+        cs = np.cumsum(vc)
+        base = np.repeat(cs[np.flatnonzero(head)] - vc[np.flatnonzero(head)], n_u)
+        seg_cs = cs - base  # segmented cumsum of vc
+        S = n_u[gid] * seg_cs - i_in * s_u[gid]
+        # segmented running min by prefix doubling
+        m = S.copy()
+        dist = i_in - 1
+        shift = 1
+        while shift < n_rows:
+            can = dist >= shift
+            if not can.any():
+                break
+            src = np.flatnonzero(can)
+            m[src] = np.minimum(m[src], m[src - shift])
+            shift *= 2
+        dd = S - m
+        out_max = np.zeros(n_u.size, dtype=np.int64)
+        np.maximum.at(out_max, gid, dd)
+        users = uid[head]
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "n": pa.array(n_u, pa.int64()),
+                "cusum_scaled": pa.array(out_max, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+CUSUM_SQL = """
+WITH v AS (SELECT user_id, event_id, ts,
+                  CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+u AS (SELECT user_id, count(*) AS n, CAST(sum(vc) AS BIGINT) AS s
+      FROM v GROUP BY 1),
+c AS (SELECT v.user_id, v.ts, v.event_id, u.n,
+             u.n * sum(vc) OVER w - row_number() OVER w * u.s AS S
+      FROM v JOIN u USING (user_id)
+      WINDOW w AS (PARTITION BY v.user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)),
+d AS (SELECT user_id, n,
+             S - min(S) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS dd
+      FROM c)
+SELECT user_id, max(n) AS n, CAST(max(dd) AS BIGINT) AS cusum_scaled
+FROM d GROUP BY user_id
+"""
