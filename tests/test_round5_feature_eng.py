@@ -189,3 +189,51 @@ def test_hive_partitioned_read_prunes_directories(ray_session, tmp_path):
     # empty allowed set -> empty dataset, still no crash
     ds0 = read_hive_partitioned(root, "event_type", (), columns=["value"])
     assert ds0.count() == 0
+
+
+def test_cusum_matches_naive_per_user(ray_session, tmp_path):
+    """The prefix-doubling segmented running min (and the scaled-integer
+    CUSUM built on it) against a naive per-user Python loop, on a fixture
+    with interleaved users, duplicates, and a planted level shift."""
+    from audio_feature_extraction_ray.pipelines.events import cusum_stats
+
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(0, 7, size=n)
+    vals = np.round(rng.uniform(0.01, 50.0, size=n), 2)
+    vals[(users == 3) & (np.arange(n) > 200)] += 40.0  # level shift for user 3
+    vals = np.round(vals, 2)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(
+                rng.integers(0, 10**9, size=n).astype(np.int64), pa.timestamp("us")
+            ),
+            "user_id": pa.array(users.astype(np.int64)),
+            "event_type": pa.array(["a"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / "sfc"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=37)
+
+    got = cusum_stats(str(sf)).to_pandas().set_index("user_id").sort_index()
+
+    vc = np.round(vals * 100).astype(np.int64)
+    for u in np.unique(users):
+        m = users == u
+        order = np.lexsort((np.arange(n)[m], tbl.column("ts").cast(pa.int64()).to_numpy()[m]))
+        x = vc[m][order]
+        nn, s = len(x), int(x.sum())
+        S, run_min, best = 0, 0, 0
+        run_min = None
+        cs = 0
+        for i, v in enumerate(x, 1):
+            cs += int(v)
+            S = nn * cs - i * s
+            run_min = S if run_min is None else min(run_min, S)
+            best = max(best, S - run_min)
+        assert int(got.loc[u, "cusum_scaled"]) == best, u
+        assert int(got.loc[u, "n"]) == nn
