@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hive_pruned": hive.hive_pruned_agg,
         "events_value_ecdf": events.value_ecdf,
         "events_cusum": events.cusum_stats,
+        "events_benford_digits": events.benford_digits,
+        "events_daily_last": events.daily_last,
+        "events_feature_cross": events.feature_cross,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -366,6 +369,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hive_pruned": hive.HIVE_PRUNED_SQL,
         "events_value_ecdf": events.VALUE_ECDF_SQL,
         "events_cusum": events.CUSUM_SQL,
+        "events_benford_digits": events.BENFORD_SQL,
+        "events_daily_last": events.DAILY_LAST_SQL,
+        "events_feature_cross": events.FEATURE_CROSS_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

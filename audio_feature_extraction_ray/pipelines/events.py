@@ -3111,3 +3111,155 @@ d AS (SELECT user_id, n,
 SELECT user_id, max(n) AS n, CAST(max(dd) AS BIGINT) AS cusum_scaled
 FROM d GROUP BY user_id
 """
+
+
+def benford_digits(sf_dir: str):
+    """First-significant-digit histogram of value cents (Benford's-law data
+    quality audit). Digit extraction is pure integer repeated division (<= 6
+    vectorized passes for cent magnitudes), counts fold through one bounded
+    exchange (9 rows)."""
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vc = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = vc[vc > 0].copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        cnt = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda t: t.group_by("digit").aggregate([("n", "sum")]).rename_columns(["digit", "n"]),
+        pid_of=lambda t: (t.column("digit").to_numpy().astype(np.uint64) % np.uint64(8)).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"digit": np.arange(1, 10, dtype=np.int64), "n": np.zeros(9, dtype=np.int64)}
+        )
+    df = (
+        folded.to_pandas().groupby("digit", as_index=False)["n"].sum().sort_values("digit")
+    )
+    return df.reset_index(drop=True)
+
+
+BENFORD_SQL = """
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+d AS (SELECT CAST(left(CAST(vc AS VARCHAR), 1) AS BIGINT) AS digit
+      FROM v WHERE vc > 0)
+SELECT g.digit, CAST(coalesce(count(d.digit), 0) AS BIGINT) AS n
+FROM (SELECT unnest(range(1, 10)) AS digit) g
+LEFT JOIN d ON d.digit = g.digit
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def daily_last(sf_dir: str) -> ray.data.Dataset:
+    """Temporal downsampling: keep each user's LAST event per calendar day
+    (ties on ts broken by max event_id) — the resample-to-daily step of a
+    user-feature pipeline. Same one-exchange ordered-kernel contract as
+    sessionize."""
+    day_us = np.int64(86_400_000_000)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // day_us
+        n = tbl.num_rows
+        last = np.ones(n, dtype=bool)
+        if n > 1:
+            # rows arrive sorted (user, ts, event_id): a row is the day's
+            # last iff the next row starts a new (user, day)
+            last[:-1] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        out = tbl.take(pa.array(np.flatnonzero(last)))
+        return pa.table(
+            {
+                "event_id": out.column("event_id").cast(pa.int64()),
+                "user_id": out.column("user_id").cast(pa.int64()),
+                "epoch_day": pa.array(day[last], pa.int64()),
+                "value": out.column("value"),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+DAILY_LAST_SQL = """
+WITH v AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
+                  value, ts,
+                  row_number() OVER (PARTITION BY user_id,
+                                     CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT event_id, user_id, epoch_day, value FROM v WHERE rn = 1
+"""
+
+
+FEATURE_CROSS_D = 64
+
+
+def feature_cross(sf_dir: str) -> ray.data.Dataset:
+    """Crossed categorical feature: (event_type rank x 24 + hour) mod D —
+    the hashed-cross-column trick with a transparent modular formula so the
+    SQL oracle reproduces it exactly. The type->rank map is the broadcast
+    sorted distinct-type list (bounded)."""
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["event_id", "event_type", "ts"])
+
+    def types_partial(tbl: pa.Table) -> pa.Table:
+        ty = tbl.column("event_type")
+        u = pc.unique(ty.combine_chunks() if isinstance(ty, pa.ChunkedArray) else ty)
+        return pa.table({"event_type": u})
+
+    st = exchange_fold(
+        ev.map_batches(types_partial, batch_format="pyarrow"),
+        lambda t: pa.table({"event_type": pc.unique(t.column("event_type").combine_chunks())}),
+    )
+    if st is None:
+        return pd.DataFrame(
+            {"event_id": pd.Series([], dtype=np.int64), "cross_id": pd.Series([], dtype=np.int64)}
+        )
+    types = np.sort(
+        np.asarray(pc.unique(st.column("event_type").combine_chunks()).to_numpy(zero_copy_only=False)).astype(str)
+    )
+    ref = ray.put(types)
+    hour_us = np.int64(3_600_000_000)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        ty_sorted = ray.get(ref)
+        tarr = np.asarray(
+            tbl.column("event_type").to_numpy(zero_copy_only=False)
+        ).astype(str)
+        rank = np.searchsorted(ty_sorted, tarr)
+        hour = (tbl.column("ts").cast(pa.int64()).to_numpy() // hour_us) % np.int64(24)
+        cross = (rank.astype(np.int64) * 24 + hour) % np.int64(FEATURE_CROSS_D)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").cast(pa.int64()),
+                "cross_id": pa.array(cross, pa.int64()),
+            }
+        )
+
+    return ev.map_batches(assign, batch_format="pyarrow")
+
+
+FEATURE_CROSS_SQL = f"""
+WITH r AS (SELECT event_type,
+                  CAST(rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS trank
+           FROM (SELECT DISTINCT event_type FROM events))
+SELECT event_id,
+       (r.trank * 24 + CAST(hour(ts) AS BIGINT)) % {FEATURE_CROSS_D} AS cross_id
+FROM events JOIN r USING (event_type)
+"""
