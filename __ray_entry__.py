@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _embedding_pca,  # rows-only (eigendecomposition)
         "embedding_pca_moments": _embedding_pca_moments,  # exact-integer twin
         "embedding_normalize": search_dedup.embedding_normalize,
+        "embedding_dist_hist": search_dedup.embedding_dist_hist,
         "embedding_quantize": search_dedup.embedding_quantize,
         "embedding_centroids": search_dedup.embedding_centroids,
         # point-in-time feature family (SURVEY §2.3/2.5/2.9) over `events`
@@ -339,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_fullprobe": search_dedup.ANN_BRUTEFORCE_SQL,  # full probe == exact
         "knn_join_exact": search_dedup.KNN_JOIN_EXACT_SQL,
         "embedding_normalize": search_dedup.EMBEDDING_NORMALIZE_SQL,
+        "embedding_dist_hist": search_dedup.EMBEDDING_DIST_HIST_SQL,
         "embedding_quantize": search_dedup.EMBEDDING_QUANTIZE_SQL,
         "embedding_centroids": search_dedup.EMBEDDING_CENTROIDS_SQL,
         "embedding_dups": search_dedup.EMBEDDING_DUPS_SQL,

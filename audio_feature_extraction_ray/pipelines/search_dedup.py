@@ -1298,3 +1298,90 @@ SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
          AS centroid
 FROM u GROUP BY label, dim
 """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space QA: squared-L2 distance histogram over the deterministic
+# adjacent pairing (vec_id 2k vs 2k+1) — the quick "does this embedding
+# space look sane" scan (collapsed spaces pile into the low bins, scale
+# drift shifts the mass). Pairs co-locate via ONE exchange on vec_id // 2;
+# the per-pair distance uses a sequential left-to-right sum of squares in
+# float64 so it matches the SQL list_sum order bit-for-bit; bin counts fold
+# bounded.
+
+DIST_HIST_WIDTH = 8  # bins of width 1/8 in squared-L2 units
+DIST_HIST_PARTS = 16
+
+
+def embedding_dist_hist(sf_dir: str):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def route(tbl: pa.Table) -> pa.Table:
+        vid = tbl.column("vec_id").to_numpy()
+        pid = (
+            avalanche64((vid // 2).astype(np.uint64)) % np.uint64(DIST_HIST_PARTS)
+        ).astype(np.int32)
+        return tbl.append_column("__pid", pa.array(pid))
+
+    def pair_hist(tbl: pa.Table) -> pa.Table:
+        vid = tbl.column("vec_id").to_numpy()
+        order = np.argsort(vid, kind="stable")
+        vid = vid[order]
+        arr = tbl.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(tbl.num_rows, -1)[order]
+        pid2 = vid // 2
+        # adjacent rows with the same pid2 and consecutive ids form a pair
+        is_pair = np.zeros(vid.size, dtype=bool)
+        if vid.size > 1:
+            is_pair[:-1] = (pid2[:-1] == pid2[1:]) & (vid[:-1] + 1 == vid[1:])
+        a = m[np.flatnonzero(is_pair)]
+        b = m[np.flatnonzero(is_pair) + 1]
+        if a.shape[0] == 0:
+            return pa.table({"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        diff = a - b
+        d2 = np.cumsum(diff * diff, axis=1)[:, -1]  # sequential == SQL list_sum
+        bins = np.floor(d2 * DIST_HIST_WIDTH).astype(np.int64)
+        uniq, cnt = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(uniq, pa.int64()), "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        ds.map_batches(route, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: pair_hist(g.drop_columns(["__pid"])), batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        hist,
+        lambda t: t.group_by("bin").aggregate([("n", "sum")]).rename_columns(["bin", "n"]),
+        pid_of=lambda t: (t.column("bin").to_numpy().astype(np.uint64) % np.uint64(8)).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"bin": pd.Series([], dtype=np.int64), "n": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        folded.to_pandas().groupby("bin", as_index=False)["n"].sum().sort_values("bin")
+        .reset_index(drop=True)
+    )
+
+
+EMBEDDING_DIST_HIST_SQL = f"""
+WITH p AS (
+  SELECT a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE a.vec_id % 2 = 0),
+d AS (
+  SELECT list_sum(list_transform(range(1, len(ea) + 1),
+           i -> (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE))
+              * (CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)))) AS d2
+  FROM p)
+SELECT CAST(floor(d2 * {DIST_HIST_WIDTH}) AS BIGINT) AS bin, count(*) AS n
+FROM d GROUP BY 1 ORDER BY 1
+"""
