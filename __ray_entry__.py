@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_windows": text_analysis.chunk_documents,
         "docs_pack_greedy": text_analysis.pack_greedy_nosplit,  # rows-only (partition-local greedy)
         "doc_langid": text_analysis.langid_docs,
+        "docs_langid_confusion": text_analysis.langid_confusion,
         "doc_bpe_tokens": text_analysis.bpe_token_count,
         "docs_quarantine_stats": text_analysis.quarantine_stats,
         "docs_distinct_tokens": text_analysis.distinct_tokens,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_pack_greedy_single": text_analysis.PACK_GREEDY_SINGLE_SQL,
         "docs_chunk_windows": text_analysis.CHUNK_DOCUMENTS_SQL,
         "doc_langid": text_analysis.LANGID_SQL,
+        "docs_langid_confusion": text_analysis.LANGID_CONFUSION_SQL,
         "doc_bpe_tokens": text_analysis.BPE_TOKEN_COUNT_SQL,
         "docs_quarantine_stats": text_analysis.QUARANTINE_STATS_SQL,
         "docs_distinct_tokens": text_analysis.DISTINCT_TOKENS_SQL,

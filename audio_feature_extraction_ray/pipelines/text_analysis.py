@@ -288,31 +288,37 @@ FROM r
 _CJK_STRIP = "[^\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"
 
 
-def langid_docs(sf_dir: str) -> ray.data.Dataset:
+def _langid_batch(text: pa.Array) -> np.ndarray:
+    """Predicted lang per row (the stopword-vote + CJK-ratio heuristic);
+    object ndarray of lang codes. Shared by langid_docs and the confusion
+    matrix."""
     stop_sets = {lang: pa.array(sorted(_STOPWORDS[lang]), pa.string()) for lang in _LANG_ORDER}
+    n = len(text)
+    charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
+    cjk = charc - pc.utf8_length(
+        pc.replace_substring_regex(text, pattern=_CJK_STRIP, replacement="")
+    ).cast(pa.int64()).to_numpy().astype(np.float64)
+    _, flat, offs = _token_lists(text)
+    votes = np.zeros((len(_LANG_ORDER), n), dtype=np.int64)
+    for i, lang in enumerate(_LANG_ORDER):
+        mask = pc.is_in(flat, value_set=stop_sets[lang]).to_numpy(zero_copy_only=False)
+        votes[i] = _segment_sums(mask, offs)
+    best = np.full(n, "und", dtype=object)
+    m = votes.max(axis=0)
+    # first lang in order achieving the max (strict-greater update rule)
+    winner = votes.argmax(axis=0)  # argmax returns FIRST max index == order rule
+    has_vote = m > 0
+    best[has_vote] = np.asarray(_LANG_ORDER, dtype=object)[winner[has_vote]]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        is_cjk = (charc > 0) & (cjk / charc > 0.30)
+    best[is_cjk] = "zh"
+    best[charc == 0] = "und"
+    return best
 
+
+def langid_docs(sf_dir: str) -> ray.data.Dataset:
     def fn(tbl: pa.Table) -> pa.Table:
-        text = tbl.column("text").combine_chunks()
-        n = len(text)
-        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy().astype(np.float64)
-        cjk = charc - pc.utf8_length(
-            pc.replace_substring_regex(text, pattern=_CJK_STRIP, replacement="")
-        ).cast(pa.int64()).to_numpy().astype(np.float64)
-        _, flat, offs = _token_lists(text)
-        votes = np.zeros((len(_LANG_ORDER), n), dtype=np.int64)
-        for i, lang in enumerate(_LANG_ORDER):
-            mask = pc.is_in(flat, value_set=stop_sets[lang]).to_numpy(zero_copy_only=False)
-            votes[i] = _segment_sums(mask, offs)
-        best = np.full(n, "und", dtype=object)
-        m = votes.max(axis=0)
-        # first lang in order achieving the max (strict-greater update rule)
-        winner = votes.argmax(axis=0)  # argmax returns FIRST max index == order rule
-        has_vote = m > 0
-        best[has_vote] = np.asarray(_LANG_ORDER, dtype=object)[winner[has_vote]]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            is_cjk = (charc > 0) & (cjk / charc > 0.30)
-        best[is_cjk] = "zh"
-        best[charc == 0] = "und"
+        best = _langid_batch(tbl.column("text").combine_chunks())
         return pa.table(
             {"doc_id": tbl.column("doc_id"), "pred_lang": pa.array(best.tolist(), pa.string())}
         )
@@ -4180,4 +4186,64 @@ h AS (SELECT doc_id,
                   AS BIGINT) AS n_hits
       FROM t)
 SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# language-ID confusion matrix: labeled lang x predicted lang counts — the
+# standard classifier-audit crosstab over the same heuristic langid kernel.
+# Batch-local prediction + a bounded keyed fold (|langs|^2 cells).
+
+
+def langid_confusion(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        pred = _langid_batch(tbl.column("text").combine_chunks())
+        lab = np.asarray(
+            tbl.column("lang").to_numpy(zero_copy_only=False)
+        ).astype(str)
+        key = np.char.add(np.char.add(lab, "\x1f"), pred.astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        parts = np.char.partition(uniq, "\x1f")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].tolist(), pa.string()),
+                "pred_lang": pa.array(parts[:, 2].tolist(), pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda t: t.group_by(["lang", "pred_lang"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["lang", "pred_lang", "n"]),
+        pid_of=lambda t: (
+            string_hash_strong(t.column("lang").combine_chunks()) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"lang": pd.Series([], dtype=object), "pred_lang": pd.Series([], dtype=object),
+             "n": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        folded.to_pandas()
+        .groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({LANGID_SQL})
+SELECT d.lang, p.pred_lang, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
 """
