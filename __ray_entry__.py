@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_share_suppliers": relational.q20_share_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "cust_orders_full": relational.cust_orders_full,
+        "orders_bloom_semi": relational.orders_bloom_semi,
     }
     return q
 
@@ -440,4 +441,5 @@ def oracle_sql() -> dict[str, str]:
         "q20_share_suppliers": relational.Q20_SHARE_SQL,
         "q21_waiting_suppliers": relational.Q21_WAITING_SQL,
         "cust_orders_full": relational.CUST_ORDERS_FULL_SQL,
+        "orders_bloom_semi": relational.ORDERS_BLOOM_SEMI_SQL,
     }

@@ -3258,3 +3258,86 @@ SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
 FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-join proof query: order count + integer-cents revenue for one
+# customer segment, joined through stages/join.bloom_filtered_equijoin —
+# the dim side's key bitmap OR-folds through one counters-only exchange and
+# prefilters the fact side BEFORE the join exchange. Results are identical
+# to the plain join (FPs die in the exact join); the oracle is the plain
+# SQL join. The segment dim here WOULD fit a broadcast — the query exists
+# to pin the bloom path's exactness end-to-end (the FPR/volume contract is
+# pinned separately in pytest).
+
+BLOOM_SEMI_SEGMENT = "BUILDING"
+
+
+def orders_bloom_semi(sf_dir: str, num_partitions: int = 16):
+    from ..stages.fold import exchange_fold
+    from ..stages.join import bloom_filtered_equijoin
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_mktsegment"), BLOOM_SEMI_SEGMENT))
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_flag": pa.array(np.ones(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_slim, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "price_c": pa.array(
+                    _cents(t.column("o_totalprice").to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bloom_filtered_equijoin(
+        orders, cust,
+        fact_key="o_custkey", dim_key="c_custkey",
+        fact_cols=["price_c"], dim_cols=["c_flag"],
+        num_partitions=num_partitions,
+        fact_col_types={"price_c": pa.int64()},
+        dim_col_types={"c_flag": pa.int64()},
+        key_type=pa.int64(),
+    )
+    folded = exchange_fold(
+        joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "n_orders": pa.array([t.num_rows], pa.int64()),
+                    "revenue_c": pa.array(
+                        [int(pc.sum(t.column("price_c")).as_py() or 0)], pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table(
+            {
+                "n_orders": pa.array([int(pc.sum(t.column("n_orders")).as_py() or 0)], pa.int64()),
+                "revenue_c": pa.array([int(pc.sum(t.column("revenue_c")).as_py() or 0)], pa.int64()),
+            }
+        ),
+    )
+    n = int(pc.sum(folded.column("n_orders")).as_py() or 0) if folded is not None else 0
+    rev = int(pc.sum(folded.column("revenue_c")).as_py() or 0) if folded is not None else 0
+    return pd.DataFrame({"n_orders": [np.int64(n)], "revenue_c": [np.int64(rev)]})
+
+
+ORDERS_BLOOM_SEMI_SQL = f"""
+SELECT count(*) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{BLOOM_SEMI_SEGMENT}'
+"""

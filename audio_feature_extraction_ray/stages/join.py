@@ -308,3 +308,105 @@ def copartitioned_semi_anti(
     return unioned.groupby("__pid").map_groups(
         lambda g: kernel(g.drop_columns(["__pid"])), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered co-partitioned join: the classic distributed join
+# optimization for a dim side too large to broadcast raw but whose Bloom
+# bitmap fits. Build: per-block partial bitmaps OR-fold through ONE
+# counters-only exchange (the bitmap IS the partial — bounded by 2^bits
+# regardless of dim size). Probe: the broadcast bitmap prefilters fact rows
+# BEFORE the join exchange (zero false negatives, bounded false-positive
+# rate), and the exact co-partitioned join removes the FPs — final
+# semantics identical to the plain equi-join, exchange volume cut to
+# matching-rows + FPR.
+
+BLOOM_JOIN_BITS_LOG2 = 20
+_BJ_K = 6
+
+
+def _bloom_join_positions(keys: np.ndarray, bits_log2: int) -> np.ndarray:
+    from ..functions.hashing import avalanche64
+
+    h = avalanche64(keys.astype(np.uint64))
+    m = np.uint64(1 << bits_log2)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    with np.errstate(over="ignore"):
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) % m).astype(np.int64) for i in range(_BJ_K)]
+        )
+
+
+def build_key_bloom(
+    dim: ray.data.Dataset, dim_key: str, bits_log2: int = BLOOM_JOIN_BITS_LOG2
+):
+    """OR-fold a Bloom bitmap of dim's join keys; returns (ray ObjectRef to
+    the packed uint8 bitmap, bits_log2)."""
+    from ..stages.fold import exchange_fold
+
+    nbytes = (1 << bits_log2) // 8
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        bits = np.zeros(1 << bits_log2, dtype=bool)
+        if tbl.num_rows:
+            keys = tbl.column(dim_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = _bloom_join_positions(keys, bits_log2)
+            bits[pos.ravel()] = True
+        return pa.table({"bm": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for v in tbl.column("bm").to_pylist():
+            acc |= np.frombuffer(v, dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    folded = exchange_fold(dim.map_batches(partial, batch_format="pyarrow"), fold)
+    if folded is None:
+        packed = np.zeros(nbytes, dtype=np.uint8)
+    else:
+        packed = np.frombuffer(fold(folded).column("bm")[0].as_py(), dtype=np.uint8)
+    return ray.put(packed), bits_log2
+
+
+def bloom_prefilter(
+    fact: ray.data.Dataset, fact_key: str, bloom_ref, bits_log2: int
+) -> ray.data.Dataset:
+    """Drop fact rows whose key cannot be in the dim side (bloom miss).
+    Never drops a true match; survivors still carry bloom FPs."""
+
+    def probe(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
+        keys = tbl.column(fact_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = _bloom_join_positions(keys, bits_log2)
+        hit = bits[pos].all(axis=0)
+        return tbl.filter(pa.array(hit))
+
+    return fact.map_batches(probe, batch_format="pyarrow")
+
+
+def bloom_filtered_equijoin(
+    fact: ray.data.Dataset,
+    dim: ray.data.Dataset,
+    fact_key: str,
+    dim_key: str,
+    fact_cols: list,
+    dim_cols: list,
+    num_partitions: int = 32,
+    bits_log2: int = BLOOM_JOIN_BITS_LOG2,
+    **kwargs,
+) -> ray.data.Dataset:
+    """copartitioned_equijoin with a Bloom prefilter on the fact side.
+    Exact inner-join semantics (FPs die in the join); the exchange only
+    carries bloom survivors."""
+    bloom_ref, bl = build_key_bloom(dim, dim_key, bits_log2)
+    slim_fact = bloom_prefilter(fact, fact_key, bloom_ref, bl)
+    return copartitioned_equijoin(
+        slim_fact, dim,
+        fact_key=fact_key, dim_key=dim_key,
+        fact_cols=fact_cols, dim_cols=dim_cols,
+        num_partitions=num_partitions,
+        **kwargs,
+    )

@@ -237,3 +237,50 @@ def test_cusum_matches_naive_per_user(ray_session, tmp_path):
             best = max(best, S - run_min)
         assert int(got.loc[u, "cusum_scaled"]) == best, u
         assert int(got.loc[u, "n"]) == nn
+
+
+def test_bloom_join_contract(ray_session, tmp_path):
+    """Bloom prefilter: never drops a true match (zero false negatives),
+    drops most non-matching fact rows, and the composed join's result set
+    equals the plain co-partitioned join's."""
+    import ray.data as rd
+
+    from audio_feature_extraction_ray.stages.join import (
+        bloom_filtered_equijoin,
+        bloom_prefilter,
+        build_key_bloom,
+        copartitioned_equijoin,
+    )
+
+    rng = np.random.default_rng(3)
+    dim_keys = np.unique(rng.integers(0, 10_000, size=300)).astype(np.int64)
+    fact_keys = rng.integers(0, 100_000, size=20_000).astype(np.int64)
+    dim = rd.from_arrow(
+        pa.table({"k": pa.array(dim_keys), "flag": pa.array(np.ones(dim_keys.size, np.int64))})
+    )
+    fact = rd.from_arrow(
+        pa.table({"fk": pa.array(fact_keys), "v": pa.array(np.arange(fact_keys.size, dtype=np.int64))})
+    )
+
+    ref, bl = build_key_bloom(dim, "k")
+    surv = bloom_prefilter(fact, "fk", ref, bl).to_pandas()
+    in_dim = np.isin(fact_keys, dim_keys)
+    # zero false negatives: every true match survives
+    assert in_dim.sum() == np.isin(surv["fk"].to_numpy(), dim_keys).sum()
+    # the filter actually prunes (FPR at 1M bits / ~300 keys is tiny)
+    assert len(surv) < fact_keys.size * 0.1
+
+    got = bloom_filtered_equijoin(
+        fact, dim, fact_key="fk", dim_key="k",
+        fact_cols=["v"], dim_cols=["flag"], num_partitions=4,
+        fact_col_types={"v": pa.int64()}, dim_col_types={"flag": pa.int64()},
+        key_type=pa.int64(),
+    ).to_pandas()
+    want = copartitioned_equijoin(
+        fact, dim, fact_key="fk", dim_key="k",
+        fact_cols=["v"], dim_cols=["flag"], num_partitions=4,
+        fact_col_types={"v": pa.int64()}, dim_col_types={"flag": pa.int64()},
+        key_type=pa.int64(),
+    ).to_pandas()
+    key = ["fk", "v"]
+    assert sorted(map(tuple, got[key].to_numpy())) == sorted(map(tuple, want[key].to_numpy()))
