@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "cust_orders_full": relational.cust_orders_full,
         "orders_bloom_semi": relational.orders_bloom_semi,
+        "part_affinity_pairs": relational.part_affinity_pairs,
     }
     return q
 
@@ -442,4 +443,5 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": relational.Q21_WAITING_SQL,
         "cust_orders_full": relational.CUST_ORDERS_FULL_SQL,
         "orders_bloom_semi": relational.ORDERS_BLOOM_SEMI_SQL,
+        "part_affinity_pairs": relational.PART_AFFINITY_SQL,
     }

@@ -3341,3 +3341,170 @@ SELECT count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = '{BLOOM_SEMI_SEGMENT}'
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity: top-K co-ordered part pairs with lift — the
+# association-rule mining step (baskets = orders, items = parts). Shape:
+# distinct (order, part) pairs co-locate by ONE orderkey exchange; pair
+# expansion is vectorized per partition (per-order segment offsets — no
+# Python loop over orders); pair counts finalize through a pair-keyed
+# exchange; the global top-K is per-partition top-K + a bounded fold; lift
+# denominators gather ONLY the <= 2K part ids the winners touch. All
+# integer: lift_e6 = floor(n_ab * N * 1e6 / (n_a * n_b)).
+
+AFFINITY_TOPK = 20
+
+
+def part_affinity_pairs(sf_dir: str, num_partitions: int = 32):
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_partial(tbl: pa.Table) -> pa.Table:
+        ok = tbl.column("l_orderkey").to_numpy()
+        pk = tbl.column("l_partkey").to_numpy()
+        key = ok.astype(np.uint64) * np.uint64(1 << 32) + pk.astype(np.uint64)
+        uniq = np.unique(key)
+        ok_u = (uniq >> np.uint64(32)).astype(np.int64)
+        pk_u = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        pid = (avalanche64(ok_u.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "ok": pa.array(ok_u, pa.int64()),
+                "pk": pa.array(pk_u, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def pair_fold(tbl: pa.Table) -> pa.Table:
+        """distinct (order, part) -> all within-order part pairs (a < b),
+        plus per-part and per-order partials for the lift denominators."""
+        ok = tbl.column("ok").to_numpy()
+        pk = tbl.column("pk").to_numpy()
+        key = ok.astype(np.uint64) * np.uint64(1 << 32) + pk.astype(np.uint64)
+        uniq = np.unique(key)  # globally distinct: orders are partition-local
+        ok_s = (uniq >> np.uint64(32)).astype(np.int64)
+        pk_s = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        head = np.ones(ok_s.size, dtype=bool)
+        head[1:] = ok_s[1:] != ok_s[:-1]
+        seg = np.cumsum(head) - 1
+        seg_n = np.bincount(seg).astype(np.int64)
+        starts = np.flatnonzero(head)
+        # pair expansion: for each row i (position j in its segment of size
+        # k), pair with the j2 > j rows of the same segment
+        k = seg_n[seg]
+        pos_in = np.arange(ok_s.size) - starts[seg]
+        n_right = k - pos_in - 1
+        a_idx = np.repeat(np.arange(ok_s.size), n_right)
+        within = np.arange(n_right.sum()) - np.repeat(
+            np.cumsum(n_right) - n_right, n_right
+        )
+        b_idx = a_idx + 1 + within
+        pa_, pb_ = pk_s[a_idx], pk_s[b_idx]
+        lo = np.minimum(pa_, pb_)
+        hi = np.maximum(pa_, pb_)
+        pkey = lo.astype(np.uint64) * np.uint64(1 << 32) + hi.astype(np.uint64)
+        up, cnt = np.unique(pkey, return_counts=True)
+        ppid = (avalanche64(up) % np.uint64(num_partitions)).astype(np.int32)
+        pairs = pa.table(
+            {
+                "a": pa.array((up >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "b": pa.array((up & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()),
+                "n_ab": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__pid2": pa.array(ppid),
+            }
+        )
+        # per-part order counts + this partition's distinct-order count ride
+        # along as sentinel rows (a = -1 marks part counts, a = -2 the order
+        # count), so ONE output table carries all three partials
+        pu, pcnt = np.unique(pk_s, return_counts=True)
+        sent = pa.table(
+            {
+                "a": pa.array(
+                    np.concatenate([np.full(pu.size, -1, np.int64), [-2]]), pa.int64()
+                ),
+                "b": pa.array(np.concatenate([pu, [0]]), pa.int64()),
+                "n_ab": pa.array(
+                    np.concatenate([pcnt.astype(np.int64), [int(head.sum())]]), pa.int64()
+                ),
+                "__pid2": pa.array(
+                    np.concatenate(
+                        [
+                            (avalanche64(pu.astype(np.uint64)) % np.uint64(num_partitions)).astype(np.int32),
+                            np.array([0], np.int32),
+                        ]
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+        return pa.concat_tables([pairs, sent])
+
+    def final_fold(tbl: pa.Table) -> pa.Table:
+        g = (
+            tbl.group_by(["a", "b"])
+            .aggregate([("n_ab", "sum")])
+            .rename_columns(["a", "b", "n_ab"])
+        )
+        a = g.column("a").to_numpy()
+        is_pair = a >= 0
+        pairs = g.filter(pa.array(is_pair))
+        # local top-K among finalized pairs; sentinels pass through whole
+        n_ab = pairs.column("n_ab").to_numpy()
+        pa_ = pairs.column("a").to_numpy()
+        pb_ = pairs.column("b").to_numpy()
+        order = np.lexsort((pb_, pa_, -n_ab))[:AFFINITY_TOPK]
+        return pa.concat_tables(
+            [pairs.take(pa.array(order)), g.filter(pa.array(~is_pair))]
+        )
+
+    staged = (
+        li.map_batches(op_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(lambda g: pair_fold(g.drop_columns(["__pid"])), batch_format="pyarrow")
+        .groupby("__pid2")
+        .map_groups(lambda g: final_fold(g.drop_columns(["__pid2"])), batch_format="pyarrow")
+    )
+    from ..stages.join import gather_small_side
+
+    tbl = gather_small_side(staged)  # bounded: K per partition + part/order partials
+    a = tbl.column("a").to_numpy()
+    b = tbl.column("b").to_numpy()
+    n_ab = tbl.column("n_ab").to_numpy()
+    n_orders = int(n_ab[a == -2].sum())
+    part_ids = b[a == -1]
+    part_cnt = n_ab[a == -1]
+    porder = np.argsort(part_ids, kind="stable")
+    part_ids, part_cnt = part_ids[porder], part_cnt[porder]
+    is_pair = a >= 0
+    pa_, pb_, nab = a[is_pair], b[is_pair], n_ab[is_pair]
+    order = np.lexsort((pb_, pa_, -nab))[:AFFINITY_TOPK]
+    pa_, pb_, nab = pa_[order], pb_[order], nab[order]
+    ca = part_cnt[np.searchsorted(part_ids, pa_)]
+    cb = part_cnt[np.searchsorted(part_ids, pb_)]
+    lift = (nab * np.int64(n_orders) * np.int64(1_000_000)) // (ca * cb)
+    return pd.DataFrame(
+        {
+            "p_a": pa_,
+            "p_b": pb_,
+            "n_ab": nab,
+            "lift_e6": lift,
+        }
+    )
+
+
+PART_AFFINITY_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n AS (SELECT count(DISTINCT ok) AS nord FROM op),
+pcounts AS (SELECT pk, count(*) AS c FROM op GROUP BY 1),
+pairs AS (SELECT a.pk AS p_a, b.pk AS p_b, count(*) AS n_ab
+          FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY 1, 2),
+top AS (SELECT * FROM pairs ORDER BY n_ab DESC, p_a, p_b LIMIT {AFFINITY_TOPK})
+SELECT p_a, p_b, n_ab,
+       (n_ab * nord * 1000000) // (ca.c * cb.c) AS lift_e6
+FROM top JOIN pcounts ca ON p_a = ca.pk JOIN pcounts cb ON p_b = cb.pk, n
+ORDER BY n_ab DESC, p_a, p_b
+"""
