@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford_digits": events.benford_digits,
         "events_daily_last": events.daily_last,
         "events_feature_cross": events.feature_cross,
+        "events_ab_srm": events.ab_srm,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "events_benford_digits": events.BENFORD_SQL,
         "events_daily_last": events.DAILY_LAST_SQL,
         "events_feature_cross": events.FEATURE_CROSS_SQL,
+        "events_ab_srm": events.AB_SRM_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

@@ -3263,3 +3263,70 @@ SELECT event_id,
        (r.trank * 24 + CAST(hour(ts) AS BIGINT)) % {FEATURE_CROSS_D} AS cross_id
 FROM events JOIN r USING (event_type)
 """
+
+
+def ab_srm(sf_dir: str):
+    """Sample-ratio-mismatch guardrail for the user_id%2 A/B assignment of
+    ab_lift: per-arm DISTINCT-USER counts (assignment is per user, so SRM
+    audits users, not events) and the 2-cell chi-square against a 50/50
+    split in 1e-6 integer units: chi2_e6 = floor((u0-u1)^2 * 1e6 / (u0+u1)).
+    Distinct users per arm ride the same hash-exchange idiom as
+    events_distinct_users; everything after is a bounded 2-row fold."""
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = np.unique(tbl.column("user_id").to_numpy())
+        pid = (avalanche64(uid.astype(np.uint64)) % np.uint64(NUM_PARTITIONS)).astype(np.int32)
+        return pa.table({"user_id": pa.array(uid, pa.int64()), "__pid": pa.array(pid)})
+
+    per_arm = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: (lambda u: pa.table(
+                {
+                    "arm": pa.array([0, 1], pa.int64()),
+                    "n_users": pa.array(
+                        [int((u % 2 == 0).sum()), int((u % 2 == 1).sum())], pa.int64()
+                    ),
+                }
+            ))(np.unique(g.column("user_id").to_numpy())),
+            batch_format="pyarrow",
+        )
+    )
+    folded = exchange_fold(
+        per_arm,
+        lambda t: t.group_by("arm").aggregate([("n_users", "sum")]).rename_columns(["arm", "n_users"]),
+        pid_of=lambda t: t.column("arm").to_numpy().astype(np.int32) % np.int32(2),
+    )
+    u = np.zeros(2, dtype=np.int64)
+    if folded is not None:
+        tb = (
+            folded.group_by("arm").aggregate([("n_users", "sum")]).rename_columns(["arm", "n_users"])
+        )
+        u[tb.column("arm").to_numpy()] = tb.column("n_users").to_numpy()
+    tot = int(u.sum())
+    chi2_e6 = ((int(u[0]) - int(u[1])) ** 2 * 1_000_000) // tot if tot else 0
+    return pd.DataFrame(
+        {
+            "users_arm0": [np.int64(u[0])],
+            "users_arm1": [np.int64(u[1])],
+            "chi2_e6": [np.int64(chi2_e6)],
+        }
+    )
+
+
+AB_SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1
+      FROM u)
+SELECT u0 AS users_arm0, u1 AS users_arm1,
+       CASE WHEN u0 + u1 > 0
+            THEN ((u0 - u1) * (u0 - u1) * 1000000) // (u0 + u1)
+            ELSE 0 END AS chi2_e6
+FROM c
+"""
