@@ -2846,6 +2846,9 @@ def q11_important_parts(sf_dir: str, num_partitions: int = 32):
     total = int(pc.sum(tot_tbl.column("t")).as_py() or 0) if tot_tbl is not None else 0
     den = np.int64(Q11_FRACTION_DEN)
 
+    # provably bounded gather: value_c * den > total admits FEWER than den
+    # rows (each survivor exceeds total/den), so the driver sees < 1000 rows
+    # regardless of corpus size
     kept = gather_small_side(
         per_part.map_batches(
             lambda t: t.filter(
