@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.hashing import string_hash_strong
+from ..functions.hashing import avalanche64, string_hash_strong
 
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -326,8 +326,10 @@ _BJ_K = 6
 
 
 def _bloom_join_positions(keys: np.ndarray, bits_log2: int) -> np.ndarray:
-    from ..functions.hashing import avalanche64
-
+    # module-level import (join.py:31 idiom), NOT a call-time import: this
+    # runs inside shipped worker UDFs, where a call-time relative import
+    # fails when the driver's package dir isn't on the worker's sys.path
+    # (cloudpickle captures avalanche64 by value through the closure).
     h = avalanche64(keys.astype(np.uint64))
     m = np.uint64(1 << bits_log2)
     h1 = h & np.uint64(0xFFFFFFFF)

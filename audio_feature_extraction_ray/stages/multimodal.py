@@ -29,7 +29,9 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.audio import (
+    _parse_riff_fmt,
     decode_wav,
+    decode_wav_adpcm,
     encode_wav,
     frame_rms,
     frame_zcr,
@@ -68,8 +70,9 @@ class RealDecoder:
     def __call__(self, payload: bytes) -> np.ndarray:
         if self.kind == "audio":
             if payload[:4] == b"RIFF":
-                from ..functions.audio import _parse_riff_fmt, decode_wav_adpcm
-
+                # module-level import, not call-time: this runs on workers,
+                # where a call-time relative import fails if the driver's
+                # package dir isn't on the worker's sys.path.
                 if _parse_riff_fmt(payload)[0] == 0x11:  # IMA-ADPCM: native
                     return decode_wav_adpcm(payload)[0]
                 return decode_wav(payload)[0]
