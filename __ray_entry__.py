@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_last": events.daily_last,
         "events_feature_cross": events.feature_cross,
         "events_ab_srm": events.ab_srm,
+        "events_interval_join": events.interval_join_signup,
+        "events_unpivot": events.unpivot_user_type,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -206,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_slope": text_analysis.token_zipf_slope,
         "token_heaps_curve": text_analysis.token_heaps_curve,
         "token_cooc_window": text_analysis.token_cooc_window,
+        "docs_vocab_ids": text_analysis.docs_vocab_ids,
+        "docs_vocab_encode": text_analysis.vocab_encode,
         "docs_bm25_topk": text_analysis.docs_bm25_topk,
         "docs_boolean_search": text_analysis.docs_boolean_search,
         "docs_pareto_front": text_analysis.docs_pareto_front,
@@ -380,6 +384,8 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_last": events.DAILY_LAST_SQL,
         "events_feature_cross": events.FEATURE_CROSS_SQL,
         "events_ab_srm": events.AB_SRM_SQL,
+        "events_interval_join": events.INTERVAL_JOIN_SIGNUP_SQL,
+        "events_unpivot": events.UNPIVOT_USER_TYPE_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,
@@ -390,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "token_zipf_slope": text_analysis.TOKEN_ZIPF_SLOPE_SQL,
         "token_heaps_curve": text_analysis.TOKEN_HEAPS_CURVE_SQL,
         "token_cooc_window": text_analysis.TOKEN_COOC_WINDOW_SQL,
+        "docs_vocab_ids": text_analysis.DOCS_VOCAB_IDS_SQL,
+        "docs_vocab_encode": text_analysis.DOCS_VOCAB_ENCODE_SQL,
         "docs_bm25_topk": text_analysis.DOCS_BM25_SQL,
         "docs_boolean_search": text_analysis.DOCS_BOOLEAN_SQL,
         "docs_pareto_front": text_analysis.DOCS_PARETO_SQL,

@@ -3330,3 +3330,157 @@ SELECT u0 AS users_arm0, u1 AS users_arm1,
             ELSE 0 END AS chi2_e6
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL (range) JOIN — an operator Ray Data has no native verb for:
+# every left row (a signup) joins the right rows (the same user's
+# NON-signup events) whose timestamp falls in the half-open window
+# (s.ts, s.ts + W]. Both sides ride the ONE user-hash exchange of
+# partitioned_ordered (they are views of the same co-located partition),
+# and inside the partition the segment-band shift turns the per-user range
+# probe into two searchsorted calls against the single sorted timeline —
+# masked prefix sums then answer count + sum for EVERY interval at once.
+# No per-interval loop, no all-pairs expansion: the cost is the sort the
+# partition already pays. Partitioning assumption (documented contract):
+# one user's rows co-locate; intervals never span users by construction.
+
+INTERVAL_JOIN_WIN_US = 3_600_000_000  # 1 hour
+
+
+def interval_join_signup(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if not n:
+            return pa.table(
+                {
+                    "signup_event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "n_follow": pa.array([], pa.int64()),
+                    "sum_follow_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        is_sig = pc.equal(tbl.column("event_type"), "signup").to_numpy(zero_copy_only=False)
+        head = _seg_head(uid)
+        seg_id = np.cumsum(head) - 1
+        base = ts - ts.min()
+        offset = int(base.max()) + 2 * INTERVAL_JOIN_WIN_US + 1
+        nseg = int(seg_id[-1]) + 1
+        if nseg * offset >= 2**62:  # survives python -O, unlike assert
+            raise SchemaError(
+                f"interval_join segment-band shift would overflow int64: "
+                f"{nseg} segments x {offset} us band. Raise num_partitions "
+                f"to shrink users-per-partition or the ts span per task."
+            )
+        shifted = base + seg_id * offset
+        follow = ~is_sig
+        cnt = np.concatenate([[0], np.cumsum(follow.astype(np.int64))])
+        cs = np.concatenate([[0], np.cumsum(np.where(follow, cents, 0))])
+        s_idx = np.nonzero(is_sig)[0]
+        # (s.ts, s.ts + W]: 'right' at s.ts excludes ts-peers of the signup
+        # (strict >), 'right' at s.ts + W includes rows exactly at the edge.
+        lo = np.searchsorted(shifted, shifted[s_idx], side="right")
+        hi = np.searchsorted(shifted, shifted[s_idx] + INTERVAL_JOIN_WIN_US, side="right")
+        return pa.table(
+            {
+                "signup_event_id": pa.array(
+                    tbl.column("event_id").to_numpy()[s_idx], pa.int64()
+                ),
+                "user_id": pa.array(uid[s_idx], pa.int64()),
+                "n_follow": pa.array(cnt[hi] - cnt[lo], pa.int64()),
+                "sum_follow_cents": pa.array(cs[hi] - cs[lo], pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel)
+
+
+INTERVAL_JOIN_SIGNUP_SQL = """
+SELECT s.event_id AS signup_event_id, s.user_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_follow,
+       CAST(coalesce(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS sum_follow_cents
+FROM events s
+LEFT JOIN events e
+  ON e.user_id = s.user_id
+ AND e.event_type <> 'signup'
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / MELT (wide -> long), the inverse of pivot_user_type: a generic
+# zero-shuffle vectorized stage — each wide row explodes to one long row
+# per value column via a single repeated take + column stack, no Python
+# per row. Applied here to the pivot output so the pair round-trips.
+
+
+def unpivot_columns(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    names = list(value_cols)
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        m = len(names)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        cols: dict[str, pa.Array] = {c: tbl.column(c).take(idx) for c in id_cols}
+        cols[var_name] = pa.array(names * n, pa.string())
+        if m and n:
+            stacked = np.column_stack(
+                [tbl.column(c).to_numpy(zero_copy_only=False) for c in names]
+            ).ravel()
+        else:
+            stacked = np.empty(0, np.float64)
+        cols[value_name] = pa.array(stacked)
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def unpivot_user_type(sf_dir: str) -> ray.data.Dataset:
+    wide = pivot_user_type(sf_dir)
+    return unpivot_columns(
+        wide,
+        id_cols=["user_id"],
+        value_cols=[f"{t}_amt" for t in PIVOT_TYPES],
+        var_name="event_type",
+        value_name="amt",
+    ).map_batches(
+        # long-form event_type carries the bare type name, not the wide
+        # column label — strip the suffix so the melt is the true inverse
+        lambda t: t.set_column(
+            t.schema.get_field_index("event_type"),
+            "event_type",
+            pc.utf8_replace_slice(
+                t.column("event_type"), start=-4, stop=2**30, replacement=""
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+UNPIVOT_USER_TYPE_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+s AS (SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2)
+SELECT u.user_id, t.event_type, coalesce(s.c, 0) / 100.0 AS amt
+FROM u CROSS JOIN t
+LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.event_type
+"""

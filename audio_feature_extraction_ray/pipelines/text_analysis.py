@@ -4247,3 +4247,199 @@ SELECT d.lang, p.pred_lang, count(*) AS n
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# VOCABULARY BUILD + TOKEN-ID ENCODE — the classic LM-prep pair: learn a
+# dense integer id per distinct token, ids ordered by (corpus count DESC,
+# token ASC), then re-encode every document position as its token_id.
+# Ranking arbitrary strings globally without a full sort uses the zipf
+# structure of the count table:
+#   1. exact per-token counts through ONE token-hash exchange (disjoint
+#      token sets per partition — the _zipf_histogram partial, kept at
+#      token granularity);
+#   2. count-LEVEL offsets from the count-of-counts histogram folded to the
+#      driver (provably <= sqrt(2N) rows — the token_zipf_hist bound), so
+#      the driver never sees tokens, only frequency levels;
+#   3. within one count level, tokens rank by string: ONE exchange keyed on
+#      the count value co-locates each level, a vectorized sort + arange
+#      ranks it; token_id = level offset + in-level rank. Skew caveat
+#      (documented, same class as SemDeDup's cluster guard): the c=1 hapax
+#      level is the largest single group — at 100 TB pre-split it with a
+#      string range partitioner before the in-level sort; the fixture-scale
+#      path keeps the single-task level with the bound stated here.
+# The ENCODE side never broadcasts the vocabulary: documents explode to
+# (doc_id, pos, token) and meet the vocab table in the string-keyed
+# co-partitioned join — both sides distributed, scale-safe at any vocab.
+
+VOCAB_PARTS = 32
+
+
+def _vocab_counts(sf_dir: str) -> ray.data.Dataset:
+    """Exact (token, c) corpus counts, token-hash partitioned (disjoint
+    token sets per output block)."""
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        flat = _raw_flat_tokens(tbl)
+        vc = pc.value_counts(flat)
+        tok, cnt = vc.field("values"), vc.field("counts")
+        pid = (string_hash_array(tok) % np.uint64(VOCAB_PARTS)).astype(np.int32)
+        return pa.table(
+            {"token": tok, "c": cnt.cast(pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def total(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.drop_columns(["__pid"])
+            .group_by("token")
+            .aggregate([("c", "sum")])
+            .rename_columns(["token", "c"])
+        )
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(total, batch_format="pyarrow")
+    )
+
+
+def vocab_token_ids(sf_dir: str) -> ray.data.Dataset:
+    """(token, c, token_id): dense 1-based ids by (count DESC, token ASC)."""
+    from ..stages.fold import exchange_fold
+
+    # the count table is consumed twice (histogram fold + in-level rank):
+    # materialize once — it is the vocab itself, far smaller than the corpus
+    counts = _vocab_counts(sf_dir).materialize()
+
+    def hist_partial(tbl: pa.Table) -> pa.Table:
+        hv = pc.value_counts(tbl.column("c"))
+        return pa.table(
+            {
+                "c": hv.field("values").cast(pa.int64()),
+                "n_tokens": hv.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def hist_fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by("c").aggregate([("n_tokens", "sum")]).rename_columns(["c", "n_tokens"])
+        )
+
+    folded = exchange_fold(
+        counts.map_batches(hist_partial, batch_format="pyarrow"),
+        hist_fold,
+        pid_of=lambda t: (
+            t.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(VOCAB_PARTS)
+        ).astype(np.int32),
+    )
+    # driver fold bounded by distinct COUNT VALUES (<= sqrt(2N), zipf bound)
+    if folded is None:
+        lvl_c = np.empty(0, np.int64)
+        lvl_off = np.empty(0, np.int64)
+    else:
+        h = folded.to_pandas().groupby("c", as_index=False)["n_tokens"].sum()
+        h = h.sort_values("c", ascending=False).reset_index(drop=True)
+        lvl_c = h["c"].to_numpy(dtype=np.int64)
+        lvl_off = np.concatenate([[0], np.cumsum(h["n_tokens"].to_numpy())[:-1]]).astype(
+            np.int64
+        )
+    # level -> starting offset, captured by value into the rank kernel
+    # (bounded dict, the broadcast-small-side discipline)
+    off_of = {int(c): int(o) for c, o in zip(lvl_c, lvl_off)}
+
+    def rank_level(tbl: pa.Table) -> pa.Table:
+        # one group per count level; rank by token string within it
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        tbl = tbl.sort_by([("token", "ascending")])
+        c0 = int(tbl.column("c")[0].as_py())
+        ids = off_of[c0] + np.arange(1, tbl.num_rows + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "token": tbl.column("token"),
+                "c": tbl.column("c"),
+                "token_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return counts.groupby("c").map_groups(rank_level, batch_format="pyarrow")
+
+
+def docs_vocab_ids(sf_dir: str):
+    """Driver-contract query: the learned vocabulary table."""
+    return vocab_token_ids(sf_dir)
+
+
+DOCS_VOCAB_IDS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS c,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, token) AS BIGINT) AS token_id
+FROM toks GROUP BY token
+"""
+
+
+def vocab_encode(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, pos, token_id): every document position re-encoded as its
+    vocab id through the string-keyed co-partitioned join (no vocabulary
+    broadcast — both sides distributed)."""
+    from ..stages.join import copartitioned_equijoin
+
+    vocab = vocab_token_ids(sf_dir).map_batches(
+        lambda t: t.select(["token", "token_id"]), batch_format="pyarrow"
+    )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_id = np.repeat(tbl.column("doc_id").to_numpy(), nw)
+        offs = np.concatenate([[0], np.cumsum(nw)])[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs, nw)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token": flat,
+            }
+        )
+
+    fact = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        fact, vocab,
+        fact_key="token", dim_key="token",
+        fact_cols=["doc_id", "pos"], dim_cols=["token_id"],
+        num_partitions=VOCAB_PARTS,
+        fact_col_types={"doc_id": pa.int64(), "pos": pa.int64()},
+        dim_col_types={"token_id": pa.int64()},
+        key_type=pa.string(),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["doc_id", "pos", "token_id"]), batch_format="pyarrow"
+    )
+
+
+DOCS_VOCAB_ENCODE_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+k AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token FROM t),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
+  FROM k GROUP BY token
+)
+SELECT k.doc_id, CAST(k.pos AS BIGINT) AS pos, CAST(v.token_id AS BIGINT) AS token_id
+FROM k JOIN vocab v USING (token)
+"""

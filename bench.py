@@ -283,6 +283,10 @@ def run_bench() -> dict:
         ("events_time_features", events.time_features),
         ("events_user_rfm", events.user_rfm),
         ("events_psi_drift", events.psi_drift),
+        ("events_interval_join", events.interval_join_signup),
+        ("events_unpivot", events.unpivot_user_type),
+        ("docs_vocab_ids", text_analysis.docs_vocab_ids),
+        ("docs_vocab_encode", text_analysis.vocab_encode),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)

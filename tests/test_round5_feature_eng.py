@@ -284,3 +284,155 @@ def test_bloom_join_contract(ray_session, tmp_path):
     ).to_pandas()
     key = ["fk", "v"]
     assert sorted(map(tuple, got[key].to_numpy())) == sorted(map(tuple, want[key].to_numpy()))
+
+
+# ---------------------------------------------------------------------------
+# session-3 additions: interval join, unpivot, vocab build + encode
+
+
+def test_interval_join_matches_naive(ray_session, tmp_path):
+    """Interleaved users, a follower exactly AT the window edge (included),
+    one AT the signup ts (excluded: strict >), a signup with zero
+    followers, overlapping windows from two signups of one user — all
+    pinned against the O(n^2) naive join."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        INTERVAL_JOIN_WIN_US,
+        interval_join_signup,
+    )
+
+    W = INTERVAL_JOIN_WIN_US
+    rows = [  # (event_id, ts_us, user_id, event_type, value)
+        (0, 0, 1, "signup", 1.0),
+        (1, 0, 1, "view", 2.0),          # ts == signup ts -> excluded
+        (2, W, 1, "click", 3.0),         # exactly at edge -> included
+        (3, W + 1, 1, "view", 4.0),      # past edge -> excluded
+        (4, W // 2, 1, "signup", 5.0),   # overlapping second signup
+        (5, W // 2 + 1, 2, "view", 6.0), # other user inside window
+        (6, 10, 2, "signup", 7.0),       # zero followers in (10, 10+W]... see 5
+        (7, 3 * W, 3, "signup", 8.0),    # truly zero followers
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = tmp_path / "sfij"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+
+    got = (
+        interval_join_signup(str(sf))
+        .to_pandas()
+        .sort_values("signup_event_id")
+        .reset_index(drop=True)
+    )
+
+    exp = []
+    for s in rows:
+        if s[3] != "signup":
+            continue
+        n = tot = 0
+        for e in rows:
+            if (
+                e[2] == s[2]
+                and e[3] != "signup"
+                and s[1] < e[1] <= s[1] + W
+            ):
+                n += 1
+                tot += int(np.floor(e[4] * 100 + 0.5))
+        exp.append((s[0], s[2], n, tot))
+    exp.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_unpivot_is_exact_inverse_of_pivot(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        PIVOT_TYPES,
+        unpivot_user_type,
+    )
+
+    sf = _events_fixture(tmp_path, ["click", "purchase", "click"], [1.25, 2.0, 0.25])
+    df = unpivot_user_type(sf).to_pandas()
+    # one long row per (user, type), zeros materialized for absent types
+    assert len(df) == 1 * len(PIVOT_TYPES)
+    assert set(df["event_type"]) == set(PIVOT_TYPES)
+    by_type = df.set_index("event_type")["amt"]
+    assert by_type["click"] == 1.5
+    assert by_type["purchase"] == 2.0
+    assert by_type["view"] == 0.0
+
+
+def test_vocab_ids_count_then_string_order_with_ties_and_empty_token(
+    ray_session, tmp_path
+):
+    """Ties in count break by token string (binary asc); the empty token
+    from a double space is a real vocab entry (house tokenization mirrors
+    string_split); ids are dense and 1-based."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import vocab_token_ids
+
+    texts = ["b a  a", "b c", "d"]  # counts: a=2, b=2, ''=1, c=1, d=1
+    sf = _docs_fixture(tmp_path, texts)
+    df = (
+        vocab_token_ids(sf)
+        .to_pandas()
+        .sort_values("token_id")
+        .reset_index(drop=True)
+    )
+    assert df["token"].tolist() == ["a", "b", "", "c", "d"]
+    assert df["c"].tolist() == [2, 2, 1, 1, 1]
+    assert df["token_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_vocab_encode_positions_match_naive(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        vocab_encode,
+        vocab_token_ids,
+    )
+
+    texts = ["b a  a", "b c", "d"]
+    sf = _docs_fixture(tmp_path, texts)
+    ids = dict(
+        zip(*(lambda d: (d["token"], d["token_id"]))(
+            vocab_token_ids(sf).to_pandas()
+        ))
+    )
+    got = (
+        vocab_encode(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    exp = [
+        (doc_id, pos, ids[tok])
+        for doc_id, text in enumerate(texts)
+        for pos, tok in enumerate(text.split(" "))
+    ]
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+
+
+def test_session3_ops_empty_and_single_row_inputs(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        interval_join_signup,
+        unpivot_user_type,
+    )
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        vocab_encode,
+        vocab_token_ids,
+    )
+
+    for n in (0, 1):
+        sfe = _events_fixture(tmp_path, ["signup"] * n, [1.0] * n)
+        for fn in (interval_join_signup, unpivot_user_type):
+            res = fn(sfe)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) <= max(n * 5, 0) + n * 5 or len(df) in (0, n, n * 5)
+        sfd = _docs_fixture(tmp_path, ["solo text"] * n)
+        for fn in (vocab_token_ids, vocab_encode):
+            res = fn(sfd)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) <= 2 * n
