@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bpe,
         events,
         hive,
+        io_formats,
         relational,
         search_dedup,
         spans,
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_rfm": events.user_rfm,
         "events_psi_drift": events.psi_drift,
         "events_hive_pruned": hive.hive_pruned_agg,
+        "events_orc_roundtrip": io_formats.events_orc_roundtrip,
         "events_value_ecdf": events.value_ecdf,
         "events_cusum": events.cusum_stats,
         "events_benford_digits": events.benford_digits,
@@ -275,6 +277,7 @@ def oracle_sql() -> dict[str, str]:
     from audio_feature_extraction_ray.pipelines import (
         events,
         hive,
+        io_formats,
         relational,
         search_dedup,
         spans,
@@ -378,6 +381,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_rfm": events.USER_RFM_SQL,
         "events_psi_drift": events.PSI_DRIFT_SQL,
         "events_hive_pruned": hive.HIVE_PRUNED_SQL,
+        "events_orc_roundtrip": io_formats.EVENTS_ORC_ROUNDTRIP_SQL,
         "events_value_ecdf": events.VALUE_ECDF_SQL,
         "events_cusum": events.CUSUM_SQL,
         "events_benford_digits": events.BENFORD_SQL,

@@ -287,6 +287,10 @@ def run_bench() -> dict:
         ("events_unpivot", events.unpivot_user_type),
         ("docs_vocab_ids", text_analysis.docs_vocab_ids),
         ("docs_vocab_encode", text_analysis.vocab_encode),
+        ("events_orc_roundtrip", __import__(
+            "audio_feature_extraction_ray.pipelines.io_formats",
+            fromlist=["events_orc_roundtrip"],
+        ).events_orc_roundtrip),
     ]:
         t0 = time.perf_counter()
         res = fn(SF_DIR)
