@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ab_srm": events.ab_srm,
         "events_interval_join": events.interval_join_signup,
         "events_unpivot": events.unpivot_user_type,
+        "events_gap_buckets": events.gap_buckets,
+        "events_resample_interp": events.resample_interp,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
         "token_topk_rescore": text_analysis.token_topk_rescore,
@@ -390,6 +392,8 @@ def oracle_sql() -> dict[str, str]:
         "events_ab_srm": events.AB_SRM_SQL,
         "events_interval_join": events.INTERVAL_JOIN_SIGNUP_SQL,
         "events_unpivot": events.UNPIVOT_USER_TYPE_SQL,
+        "events_gap_buckets": events.GAP_BUCKETS_SQL,
+        "events_resample_interp": events.RESAMPLE_INTERP_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
         "token_topk_rescore": text_analysis.TOKEN_TOPK_RESCORE_SQL,

@@ -3484,3 +3484,170 @@ SELECT u.user_id, t.event_type, coalesce(s.c, 0) / 100.0 AS amt
 FROM u CROSS JOIN t
 LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# COMPLETENESS AUDIT (gap buckets): per user, how many hourly buckets
+# between their first and last activity have zero events — the
+# missing-data report a feature pipeline runs before trusting windowed
+# features. Rows arrive user-sorted by ts, so hour buckets are monotone
+# within a segment: present = 1 + count of bucket CHANGES (one compare +
+# reduceat, no distinct set), expected = last - first + 1. One exchange,
+# one output row per user, all int64.
+
+GAP_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def gap_buckets(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if not n:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_expected": pa.array([], pa.int64()),
+                    "n_present": pa.array([], pa.int64()),
+                    "n_missing": pa.array([], pa.int64()),
+                }
+            )
+        uid = tbl.column("user_id").to_numpy()
+        hb = tbl.column("ts").cast(pa.int64()).to_numpy() // GAP_BUCKET_US
+        head = _seg_head(uid)
+        head_idx = np.nonzero(head)[0]
+        tail_idx = np.concatenate([head_idx[1:] - 1, [n - 1]])
+        changed = np.empty(n, dtype=np.int64)
+        changed[0] = 0
+        changed[1:] = (hb[1:] != hb[:-1]) & ~head[1:]
+        present = np.add.reduceat(changed, head_idx) + 1
+        expected = hb[tail_idx] - hb[head_idx] + 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[head_idx], pa.int64()),
+                "n_expected": pa.array(expected, pa.int64()),
+                "n_present": pa.array(present, pa.int64()),
+                "n_missing": pa.array(expected - present, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel)
+
+
+GAP_BUCKETS_SQL = """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events
+)
+SELECT user_id,
+       CAST(max(hb) - min(hb) + 1 AS BIGINT) AS n_expected,
+       CAST(count(DISTINCT hb) AS BIGINT) AS n_present,
+       CAST(max(hb) - min(hb) + 1 - count(DISTINCT hb) AS BIGINT) AS n_missing
+FROM h GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# RESAMPLE + LINEAR INTERPOLATION: per user, a fixed daily grid strictly
+# inside (first_ts, last_ts), each grid point valued by linear
+# interpolation between the surrounding events — the gap-filling
+# counterpart to LOCF (which carries; this blends). Tie discipline when
+# several events share a timestamp: prev = the LAST (max event_id) row
+# with ts <= g, next = the FIRST (min event_id) row with ts > g — exactly
+# the rows adjacent to searchsorted(ts, g, 'right') in the partition's
+# (user, ts, event_id) sort, and exactly what the oracle's two lateral
+# ORDER BY ... LIMIT 1 scans select. Values interpolate in integer cents
+# with a single float expression on both sides, reported on the 1e-6 grid.
+
+RESAMPLE_DAY_US = 86_400_000_000
+
+
+def resample_interp(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "grid_ts_us": pa.array([], pa.int64()),
+                "interp_value": pa.array([], pa.float64()),
+            }
+        )
+        if not n:
+            return empty
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        head = _seg_head(uid)
+        head_idx = np.nonzero(head)[0]
+        tail_idx = np.concatenate([head_idx[1:] - 1, [n - 1]])
+        D = RESAMPLE_DAY_US
+        db_lo = ts[head_idx] // D + 1          # first midnight strictly after t0
+        db_hi = (ts[tail_idx] - 1) // D        # last midnight strictly before t1
+        counts = np.maximum(db_hi - db_lo + 1, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        seg_of = np.repeat(np.arange(head_idx.size), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        gts = (db_lo[seg_of] + (np.arange(total) - offs[seg_of])) * D
+        # segment-band shift (the time_window_sum idiom) makes per-user
+        # searchsorted a single global call
+        seg_id = np.cumsum(head) - 1
+        base_min = ts.min()
+        offset = int((ts - base_min).max()) + 2 * D + 2
+        nseg = int(seg_id[-1]) + 1
+        if nseg * offset >= 2**62:
+            raise SchemaError(
+                f"resample_interp band shift would overflow int64: {nseg} "
+                f"segments x {offset} us. Raise num_partitions."
+            )
+        shifted = (ts - base_min) + seg_id * offset
+        g_shift = (gts - base_min) + seg_of * offset
+        nxt = np.searchsorted(shifted, g_shift, side="right")
+        prv = nxt - 1  # always valid: db range keeps t0 < g < t1
+        tp, tn = ts[prv], ts[nxt]
+        cp, cn = cents[prv], cents[nxt]
+        frac = (gts - tp).astype(np.float64) / (tn - tp).astype(np.float64)
+        v = (cp.astype(np.float64) + (cn - cp).astype(np.float64) * frac) / 100.0
+        v = np.floor(v * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array(uid[head_idx][seg_of], pa.int64()),
+                "grid_ts_us": pa.array(gts, pa.int64()),
+                "interp_value": pa.array(v, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel)
+
+
+RESAMPLE_INTERP_SQL = """
+WITH b AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(t0 // 86400000000 + 1,
+                                (t1 - 1) // 86400000000)) * 86400000000 AS g
+  FROM b
+)
+SELECT g.user_id, CAST(g.g AS BIGINT) AS grid_ts_us,
+       floor((CAST(p.cp AS DOUBLE)
+              + CAST(nx.cn - p.cp AS DOUBLE)
+                * (CAST(g.g - p.tp AS DOUBLE) / CAST(nx.tn - p.tp AS DOUBLE)))
+             / 100.0 * 1e6 + 0.5) / 1e6 AS interp_value
+FROM grid g,
+LATERAL (SELECT epoch_us(e.ts) AS tp,
+                CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cp
+         FROM events e
+         WHERE e.user_id = g.user_id AND epoch_us(e.ts) <= g.g
+         ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) p,
+LATERAL (SELECT epoch_us(e.ts) AS tn,
+                CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cn
+         FROM events e
+         WHERE e.user_id = g.user_id AND epoch_us(e.ts) > g.g
+         ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) nx
+"""

@@ -436,3 +436,101 @@ def test_session3_ops_empty_and_single_row_inputs(ray_session, tmp_path):
             res = fn(sfd)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(df) <= 2 * n
+
+
+def _events_fixture_rows(tmp_path, rows, name="sfr"):
+    """rows: (event_id, ts_us, user_id, event_type, value)"""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    return str(sf)
+
+
+def test_gap_buckets_counts_missing_hours(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        GAP_BUCKET_US,
+        gap_buckets,
+    )
+
+    H = GAP_BUCKET_US
+    rows = [
+        (0, 0, 1, "a", 1.0),           # hour 0
+        (1, H // 2, 1, "a", 1.0),      # hour 0 again (no new bucket)
+        (2, 3 * H, 1, "a", 1.0),       # hour 3 -> hours 1,2 missing
+        (3, 5, 2, "a", 1.0),           # single event user: 1/1/0
+    ]
+    df = (
+        gap_buckets(_events_fixture_rows(tmp_path, rows))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert df.values.tolist() == [[1, 4, 2, 2], [2, 1, 1, 0]]
+
+
+def test_resample_interp_matches_naive(ray_session, tmp_path):
+    """Midnight-exact endpoints (grid strictly inside), duplicate-ts ties
+    at a grid point (prev = max event_id, next = min event_id), and plain
+    interior interpolation — against a per-point naive scan."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        RESAMPLE_DAY_US,
+        resample_interp,
+    )
+
+    D = RESAMPLE_DAY_US
+    rows = [
+        # user 1: t0 exactly midnight day 0, t1 exactly midnight day 3
+        (0, 0, 1, "a", 1.00),
+        (1, D, 1, "a", 3.00),        # grid point day 1 == event ts
+        (2, D, 1, "a", 5.00),        # duplicate ts: prev must take eid 2
+        (3, 3 * D, 1, "a", 7.00),
+        # user 2: single event -> no grid rows
+        (4, 42, 2, "a", 9.00),
+        # user 3: interior fractional interpolation
+        (5, D // 2, 3, "a", 1.00),
+        (6, 2 * D, 3, "a", 4.00),
+    ]
+    got = (
+        resample_interp(_events_fixture_rows(tmp_path, rows))
+        .to_pandas()
+        .sort_values(["user_id", "grid_ts_us"])
+        .reset_index(drop=True)
+    )
+
+    def naive():
+        out = []
+        byu = {}
+        for r in rows:
+            byu.setdefault(r[2], []).append(r)
+        for u, rs in sorted(byu.items()):
+            rs = sorted(rs, key=lambda r: (r[1], r[0]))
+            t0, t1 = rs[0][1], rs[-1][1]
+            for db in range(t0 // D + 1, (t1 - 1) // D + 1):
+                g = db * D
+                prev = max(
+                    (r for r in rs if r[1] <= g), key=lambda r: (r[1], r[0])
+                )
+                nxt = min(
+                    (r for r in rs if r[1] > g), key=lambda r: (r[1], r[0])
+                )
+                cp = int(np.floor(prev[4] * 100 + 0.5))
+                cn = int(np.floor(nxt[4] * 100 + 0.5))
+                frac = (g - prev[1]) / (nxt[1] - prev[1])
+                v = (cp + (cn - cp) * frac) / 100.0
+                out.append((u, g, np.floor(v * 1e6 + 0.5) / 1e6))
+        return out
+
+    assert list(map(tuple, got.itertuples(index=False))) == naive()
+    # duplicate-ts tie: grid day 2 for user 1 interpolates FROM eid 2 (5.00)
+    day2 = got[(got.user_id == 1) & (got.grid_ts_us == 2 * D)]
+    assert day2["interp_value"].iloc[0] == 6.0  # (500 + (700-500)*0.5)/100
