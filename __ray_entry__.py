@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_join": events.interval_join_signup,
         "events_unpivot": events.unpivot_user_type,
         "events_gap_buckets": events.gap_buckets,
+        "events_jackknife_se": events.jackknife_se,
         "events_resample_interp": events.resample_interp,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
@@ -393,6 +394,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interval_join": events.INTERVAL_JOIN_SIGNUP_SQL,
         "events_unpivot": events.UNPIVOT_USER_TYPE_SQL,
         "events_gap_buckets": events.GAP_BUCKETS_SQL,
+        "events_jackknife_se": events.JACKKNIFE_SE_SQL,
         "events_resample_interp": events.RESAMPLE_INTERP_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,

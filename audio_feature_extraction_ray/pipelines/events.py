@@ -3651,3 +3651,162 @@ LATERAL (SELECT epoch_us(e.ts) AS tn,
          WHERE e.user_id = g.user_id AND epoch_us(e.ts) > g.g
          ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) nx
 """
+
+
+# ---------------------------------------------------------------------------
+# LEAVE-ONE-USER-OUT JACKKNIFE: distribution-free standard error of the
+# corpus mean under user-level resampling (users are the exchangeable
+# unit, not events — the error bar a metrics pipeline should report).
+# Deterministic and exactly SQL-expressible: pass 1 folds global (N, S)
+# in integer cents; pass 2 folds per-user (n_u, s_u) through the user
+# exchange, forms each user's squared LOO deviation as a 1e-12-grid
+# INTEGER inside the exchange (so cross-user summation order cannot
+# perturb the float hash), and the driver sees only bounded partial sums.
+
+JK_GRID = 1e12
+
+
+def jackknife_se(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["user_id", "value"])
+
+    def g_partial(tbl: pa.Table) -> pa.Table:
+        c = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    g_fold = exchange_fold(
+        ds.map_batches(g_partial, batch_format="pyarrow"),
+        lambda t: pa.table(
+            {
+                "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()),
+                "s": pa.array([int(pc.sum(t.column("s")).as_py() or 0)], pa.int64()),
+            }
+        ),
+    )
+    if g_fold is None:
+        return pd.DataFrame(
+            {
+                "n_users": [np.int64(0)],
+                "mean_value": [np.float64(np.nan)],
+                "jackknife_se": [np.float64(np.nan)],
+            }
+        )
+    N = int(pc.sum(g_fold.column("n")).as_py() or 0)
+    S = int(pc.sum(g_fold.column("s")).as_py() or 0)
+
+    def u_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        c = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        users, codes = np.unique(uid, return_inverse=True)
+        nu = np.bincount(codes, minlength=users.size).astype(np.int64)
+        su = np.zeros(users.size, dtype=np.int64)
+        np.add.at(su, codes, c)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "nu": pa.array(nu, pa.int64()),
+                "su": pa.array(su, pa.int64()),
+            }
+        )
+
+    def u_fold(tbl: pa.Table) -> pa.Table:
+        # exchange_fold re-applies the fold to its own (k, t) outputs on the
+        # driver — that pass is a plain integer sum
+        if "k" in tbl.column_names:
+            return pa.table(
+                {
+                    "k": pa.array([int(pc.sum(tbl.column("k")).as_py() or 0)], pa.int64()),
+                    "t": pa.array([int(pc.sum(tbl.column("t")).as_py() or 0)], pa.int64()),
+                }
+            )
+        # exact per-user totals within this partition's disjoint user set,
+        # then each user collapses to ONE integer deviation term
+        t = (
+            tbl.group_by("user_id")
+            .aggregate([("nu", "sum"), ("su", "sum")])
+            .rename_columns(["user_id", "nu", "su"])
+        )
+        nu = t.column("nu").to_numpy()
+        su = t.column("su").to_numpy()
+        mean_all = np.float64(S) / np.float64(N)
+        loo = np.where(
+            N == nu,
+            0.0,
+            (np.float64(S) - su.astype(np.float64))
+            / np.maximum(np.float64(N) - nu.astype(np.float64), 1.0)
+            - mean_all,
+        )
+        term = np.floor((loo / 100.0) ** 2 * JK_GRID + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([t.num_rows], pa.int64()),
+                "t": pa.array([int(term.sum())], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(u_partial, batch_format="pyarrow"),
+        u_fold,
+        pid_of=lambda t: (
+            t.column("user_id").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    k = int(pc.sum(folded.column("k")).as_py() or 0) if folded is not None else 0
+    T = int(pc.sum(folded.column("t")).as_py() or 0) if folded is not None else 0
+    mean_v = float(np.floor(np.float64(S) / N / 100.0 * 1e6 + 0.5) / 1e6) if N else np.nan
+    se = (
+        float(
+            np.floor(
+                np.sqrt((k - 1) / np.float64(k) * (T / JK_GRID)) * 1e6 + 0.5
+            )
+            / 1e6
+        )
+        if k > 1
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(k)],
+            "mean_value": [np.float64(mean_v)],
+            "jackknife_se": [np.float64(se)],
+        }
+    )
+
+
+JACKKNIFE_SE_SQL = """
+WITH g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM events
+), u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS nu,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS su
+  FROM events GROUP BY user_id
+), x AS (
+  SELECT (CASE WHEN g.n = u.nu THEN 0.0
+               ELSE (CAST(g.s AS DOUBLE) - CAST(u.su AS DOUBLE))
+                    / (CAST(g.n AS DOUBLE) - CAST(u.nu AS DOUBLE))
+                    - CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) END)
+         / 100.0 AS xv
+  FROM u, g
+), d AS (
+  SELECT CAST(floor(xv * xv * 1e12 + 0.5) AS BIGINT) AS t FROM x
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       floor(CAST(g.s AS DOUBLE) / g.n / 100.0 * 1e6 + 0.5) / 1e6 AS mean_value,
+       CASE WHEN count(*) > 1
+            THEN floor(sqrt((count(*) - 1) / CAST(count(*) AS DOUBLE)
+                            * (sum(d.t) / 1e12)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS jackknife_se
+FROM d, g GROUP BY g.s, g.n
+"""

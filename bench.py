@@ -288,6 +288,7 @@ def run_bench() -> dict:
         ("docs_vocab_ids", text_analysis.docs_vocab_ids),
         ("docs_vocab_encode", text_analysis.vocab_encode),
         ("events_gap_buckets", events.gap_buckets),
+        ("events_jackknife_se", events.jackknife_se),
         ("events_resample_interp", events.resample_interp),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",

@@ -534,3 +534,36 @@ def test_resample_interp_matches_naive(ray_session, tmp_path):
     # duplicate-ts tie: grid day 2 for user 1 interpolates FROM eid 2 (5.00)
     day2 = got[(got.user_id == 1) & (got.grid_ts_us == 2 * D)]
     assert day2["interp_value"].iloc[0] == 6.0  # (500 + (700-500)*0.5)/100
+
+
+def test_jackknife_se_matches_naive_and_handles_single_user(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import jackknife_se
+
+    # 3 users with uneven weights
+    rows = [
+        (0, 0, 1, "a", 1.00),
+        (1, 1, 1, "a", 3.00),
+        (2, 2, 2, "a", 10.00),
+        (3, 3, 3, "a", 2.00),
+        (4, 4, 3, "a", 4.00),
+        (5, 5, 3, "a", 6.00),
+    ]
+    df = jackknife_se(_events_fixture_rows(tmp_path, rows, "sfj"))
+    cents = [int(np.floor(r[4] * 100 + 0.5)) for r in rows]
+    S, N = sum(cents), len(cents)
+    users = {1: [0, 1], 2: [2], 3: [3, 4, 5]}
+    devs = []
+    for idx in users.values():
+        su = sum(cents[i] for i in idx)
+        nu = len(idx)
+        devs.append(((S - su) / (N - nu) - S / N) / 100.0)
+    T = sum(int(np.floor(d * d * 1e12 + 0.5)) for d in devs)
+    k = len(users)
+    exp_se = np.floor(np.sqrt((k - 1) / k * (T / 1e12)) * 1e6 + 0.5) / 1e6
+    assert df["n_users"].iloc[0] == 3
+    assert df["jackknife_se"].iloc[0] == exp_se
+
+    # single user: SE defined as 0, no division by zero
+    df1 = jackknife_se(_events_fixture_rows(tmp_path, rows[:2], "sfj1"))
+    assert df1["n_users"].iloc[0] == 1
+    assert df1["jackknife_se"].iloc[0] == 0.0
