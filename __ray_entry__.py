@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": events.unpivot_user_type,
         "events_gap_buckets": events.gap_buckets,
         "events_jackknife_se": events.jackknife_se,
+        "events_trend_slope": events.trend_slope,
         "events_resample_interp": events.resample_interp,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
@@ -214,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heaps_curve": text_analysis.token_heaps_curve,
         "token_cooc_window": text_analysis.token_cooc_window,
         "docs_vocab_ids": text_analysis.docs_vocab_ids,
+        "docs_ks_sources": text_analysis.ks_sources,
+        "docs_lang_source_mi": text_analysis.lang_source_mi,
         "docs_vocab_encode": text_analysis.vocab_encode,
         "docs_bm25_topk": text_analysis.docs_bm25_topk,
         "docs_boolean_search": text_analysis.docs_boolean_search,
@@ -395,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "events_unpivot": events.UNPIVOT_USER_TYPE_SQL,
         "events_gap_buckets": events.GAP_BUCKETS_SQL,
         "events_jackknife_se": events.JACKKNIFE_SE_SQL,
+        "events_trend_slope": events.TREND_SLOPE_SQL,
         "events_resample_interp": events.RESAMPLE_INTERP_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,
@@ -407,6 +411,8 @@ def oracle_sql() -> dict[str, str]:
         "token_heaps_curve": text_analysis.TOKEN_HEAPS_CURVE_SQL,
         "token_cooc_window": text_analysis.TOKEN_COOC_WINDOW_SQL,
         "docs_vocab_ids": text_analysis.DOCS_VOCAB_IDS_SQL,
+        "docs_ks_sources": text_analysis.KS_SOURCES_SQL,
+        "docs_lang_source_mi": text_analysis.LANG_SOURCE_MI_SQL,
         "docs_vocab_encode": text_analysis.DOCS_VOCAB_ENCODE_SQL,
         "docs_bm25_topk": text_analysis.DOCS_BM25_SQL,
         "docs_boolean_search": text_analysis.DOCS_BOOLEAN_SQL,

@@ -3810,3 +3810,106 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
             ELSE 0.0 END AS jackknife_se
 FROM d, g GROUP BY g.s, g.n
 """
+
+
+# ---------------------------------------------------------------------------
+# TREND SLOPE (per-type OLS of value against time): the feature pipeline's
+# drift detector. Exactness discipline: x = integer hours since a FIXED
+# anchor (2024-01-01, a constant on both sides — no data-dependent
+# centering pass), y = integer cents; the five OLS moments (n, Sx, Sy,
+# Sxx, Sxy) fold as exact int64 through the type-keyed exchange; the
+# closing algebra runs in arbitrary-precision Python ints (the SQL twin
+# uses HUGEINT) so n*Sxy - Sx*Sy never overflows, then ONE float division
+# sequence shared literally with the oracle, reported on the 1e-6 grid.
+
+TREND_ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+TREND_HOUR_US = 3_600_000_000
+
+
+def trend_slope(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = (tbl.column("ts").cast(pa.int64()).to_numpy() - TREND_ANCHOR_US) // TREND_HOUR_US
+        y = np.floor(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        if x.size and (np.abs(x).max() > 1_000_000 or np.abs(y).max() > 10**12):
+            raise SchemaError(
+                "trend_slope moment domain exceeded (|hours|>1e6 or |cents|"
+                ">1e12): per-row x*y products would risk int64 overflow — "
+                "rescale the anchor/bucket."
+            )
+        tcol = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(tcol, return_inverse=True)
+        m = uniq.size
+        n = np.bincount(codes, minlength=m).astype(np.int64)
+        sx = np.zeros(m, np.int64); np.add.at(sx, codes, x)
+        sy = np.zeros(m, np.int64); np.add.at(sy, codes, y)
+        sxx = np.zeros(m, np.int64); np.add.at(sxx, codes, x * x)
+        sxy = np.zeros(m, np.int64); np.add.at(sxy, codes, x * y)
+        return pa.table(
+            {
+                "event_type": pa.array(list(uniq), pa.string()),
+                "n": pa.array(n), "sx": pa.array(sx), "sy": pa.array(sy),
+                "sxx": pa.array(sxx), "sxy": pa.array(sxy),
+            }
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("event_type")
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                        ("sxx", "sum"), ("sxy", "sum")])
+            .rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+        ),
+    )
+    grid = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = []
+    for r in sorted(folded.to_pylist(), key=lambda r: r["event_type"]) if folded is not None else []:
+        n, sx, sy, sxx, sxy = (int(r[c]) for c in ("n", "sx", "sy", "sxx", "sxy"))
+        num = n * sxy - sx * sy        # exact python ints (SQL: HUGEINT)
+        den = n * sxx - sx * sx
+        if den == 0:
+            slope_c = 0.0
+        else:
+            slope_c = float(num) / float(den)
+        intercept_c = (float(sy) - slope_c * float(sx)) / float(n)
+        rows.append(
+            (r["event_type"], np.int64(n),
+             grid(slope_c / 100.0), grid(intercept_c / 100.0))
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n", "slope_per_hour", "intercept_value"]
+    )
+
+
+TREND_SLOPE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM b GROUP BY event_type
+), s AS (
+  SELECT event_type, n, sx, sy,
+         CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+              THEN 0.0
+              ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         END AS slope_c
+  FROM m
+)
+SELECT event_type, n,
+       floor(slope_c / 100.0 * 1e6 + 0.5) / 1e6 AS slope_per_hour,
+       floor((CAST(sy AS DOUBLE) - slope_c * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             / 100.0 * 1e6 + 0.5) / 1e6 AS intercept_value
+FROM s
+"""

@@ -4443,3 +4443,187 @@ vocab AS (
 SELECT k.doc_id, CAST(k.pos AS BIGINT) AS pos, CAST(v.token_id AS BIGINT) AS token_id
 FROM k JOIN vocab v USING (token)
 """
+
+
+# ---------------------------------------------------------------------------
+# TWO-SAMPLE KOLMOGOROV-SMIRNOV over document lengths between two sources —
+# the distribution-shift test a corpus pipeline runs when a new crawl
+# lands. Exact and integer-core: per-(n_chars, source) counts ride ONE
+# bounded exchange (the value domain is data-distinct n_chars, the ECDF
+# trick from events_value_ecdf), the driver cumsums the bounded count
+# table, and D = max|c1*n2 - c2*n1| / (n1*n2) — the max is over exact
+# integers, so the only float is the final division, reported on the 1e-6
+# grid alongside the exact integer numerator.
+
+KS_SOURCE_A = "src0"
+KS_SOURCE_B = "src1"
+
+
+def ks_sources(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        nc = tbl.column("n_chars").to_numpy()
+        side = np.where(src == KS_SOURCE_A, 0, np.where(src == KS_SOURCE_B, 1, -1))
+        keep = side >= 0
+        nc, side = nc[keep], side[keep]
+        key = nc * 2 + side
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uniq // 2, pa.int64()),
+                "side": pa.array(uniq % 2, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["v", "side"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["v", "side", "cnt"])
+        ),
+        pid_of=lambda t: (
+            t.column("v").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "n_a": [np.int64(0)], "n_b": [np.int64(0)],
+                "d_num": [np.int64(0)], "ks_d": [np.float64(0.0)],
+            }
+        )
+    df = folded.to_pandas().groupby(["v", "side"], as_index=False)["cnt"].sum()
+    # bounded driver fold: <= distinct n_chars values x 2 rows
+    piv = df.pivot_table(index="v", columns="side", values="cnt",
+                         fill_value=0, aggfunc="sum").sort_index()
+    c1 = piv.get(0, pd.Series(dtype=np.int64)).to_numpy(dtype=np.int64)
+    c2 = piv.get(1, pd.Series(dtype=np.int64)).to_numpy(dtype=np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        d_num, ks = 0, 0.0
+    else:
+        f1 = np.cumsum(c1)
+        f2 = np.cumsum(c2)
+        d_num = int(np.abs(f1 * n2 - f2 * n1).max())
+        ks = float(np.floor(d_num / (n1 * n2) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(n1)], "n_b": [np.int64(n2)],
+            "d_num": [np.int64(d_num)], "ks_d": [np.float64(ks)],
+        }
+    )
+
+
+KS_SOURCES_SQL = f"""
+WITH c AS (
+  SELECT n_chars AS v,
+         CAST(sum(CASE WHEN source = '{KS_SOURCE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN source = '{KS_SOURCE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM documents WHERE source IN ('{KS_SOURCE_A}', '{KS_SOURCE_B}')
+  GROUP BY n_chars
+), f AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+  FROM c
+), t AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c
+)
+SELECT t.n1 AS n_a, t.n2 AS n_b,
+       CAST(max(abs(f.f1 * t.n2 - f.f2 * t.n1)) AS BIGINT) AS d_num,
+       floor(CAST(max(abs(f.f1 * t.n2 - f.f2 * t.n1)) AS DOUBLE)
+             / (t.n1 * t.n2) * 1e6 + 0.5) / 1e6 AS ks_d
+FROM f, t GROUP BY t.n1, t.n2
+"""
+
+
+# ---------------------------------------------------------------------------
+# MUTUAL INFORMATION between lang and source — the dependence audit for a
+# stratified corpus (MI ~ 0 means language mix is uniform across crawls;
+# high MI flags source-language skew). The (lang, source) contingency
+# table is tiny but the DATA pass is full-corpus: joint counts fold
+# through one keyed exchange; each cell's MI term becomes a 1e-12-grid
+# integer (the PSI/jackknife discipline) so summation order is moot; the
+# final division is the only float.
+
+
+def lang_source_mi(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["lang", "source"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        lang = tbl.column("lang").to_numpy(zero_copy_only=False)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        ul, lcode = np.unique(lang, return_inverse=True)
+        us, scode = np.unique(src, return_inverse=True)
+        key = lcode.astype(np.int64) * us.size + scode
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array([str(ul[k // us.size]) for k in uniq], pa.string()),
+                "source": pa.array([str(us[k % us.size]) for k in uniq], pa.string()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ..functions.hashing import string_hash_array
+
+    folded = exchange_fold(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["lang", "source"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["lang", "source", "cnt"])
+        ),
+        pid_of=lambda t: (
+            string_hash_array(t.column("lang").combine_chunks())
+            % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame({"n": [np.int64(0)], "mi_nats": [np.float64(0.0)]})
+    df = folded.to_pandas().groupby(["lang", "source"], as_index=False)["cnt"].sum()
+    n = int(df["cnt"].sum())
+    cl = df.groupby("lang")["cnt"].sum()
+    cs = df.groupby("source")["cnt"].sum()
+    c = df["cnt"].to_numpy(dtype=np.float64)
+    l = cl[df["lang"]].to_numpy(dtype=np.float64)
+    s = cs[df["source"]].to_numpy(dtype=np.float64)
+    # per-cell term as 1e-12 integer: (c/n) * ln(c*n / (cl*cs))
+    terms = np.floor(
+        (c / np.float64(n)) * np.log(c * np.float64(n) / (l * s)) * 1e12 + 0.5
+    ).astype(np.int64)
+    mi = float(np.floor(int(terms.sum()) / 1e12 * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame({"n": [np.int64(n)], "mi_nats": [np.float64(mi)]})
+
+
+LANG_SOURCE_MI_SQL = """
+WITH j AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY lang, source
+), t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM j GROUP BY lang),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM j GROUP BY source),
+d AS (
+  SELECT CAST(floor(
+           (CAST(j.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+           * ln(CAST(j.c AS DOUBLE) * CAST(t.n AS DOUBLE)
+                / (CAST(l.cl AS DOUBLE) * CAST(s.cs AS DOUBLE)))
+           * 1e12 + 0.5) AS BIGINT) AS term
+  FROM j JOIN l USING (lang) JOIN s USING (source), t
+)
+SELECT t.n AS n,
+       floor(CAST(sum(d.term) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS mi_nats
+FROM d, t GROUP BY t.n
+"""

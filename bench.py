@@ -289,6 +289,9 @@ def run_bench() -> dict:
         ("docs_vocab_encode", text_analysis.vocab_encode),
         ("events_gap_buckets", events.gap_buckets),
         ("events_jackknife_se", events.jackknife_se),
+        ("events_trend_slope", events.trend_slope),
+        ("docs_ks_sources", text_analysis.ks_sources),
+        ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",

@@ -567,3 +567,81 @@ def test_jackknife_se_matches_naive_and_handles_single_user(ray_session, tmp_pat
     df1 = jackknife_se(_events_fixture_rows(tmp_path, rows[:2], "sfj1"))
     assert df1["n_users"].iloc[0] == 1
     assert df1["jackknife_se"].iloc[0] == 0.0
+
+
+def test_trend_slope_recovers_planted_line(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        TREND_ANCHOR_US,
+        TREND_HOUR_US,
+        trend_slope,
+    )
+
+    # exact line: value = 2.00 + 0.50 * hour; and a degenerate one-hour type
+    rows = []
+    for h in range(6):
+        rows.append((h, TREND_ANCHOR_US + h * TREND_HOUR_US, 1, "lin", 2.0 + 0.5 * h))
+    rows.append((10, TREND_ANCHOR_US, 2, "flat", 9.0))
+    rows.append((11, TREND_ANCHOR_US + 1, 3, "flat", 5.0))  # same hour bucket
+    df = trend_slope(_events_fixture_rows(tmp_path, rows, "sft")).set_index("event_type")
+    assert df.loc["lin", "slope_per_hour"] == 0.5
+    assert df.loc["lin", "intercept_value"] == 2.0
+    assert df.loc["flat", "slope_per_hour"] == 0.0  # den == 0 guard
+
+
+def test_ks_sources_known_distributions(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        KS_SOURCE_A,
+        KS_SOURCE_B,
+        ks_sources,
+    )
+
+    # A: lengths {1,1,2,3}; B: lengths {2,3,3,4}; exact D = 2/4
+    texts, sources = [], []
+    for ln, src in [(1, "a"), (1, "a"), (2, "a"), (3, "a"),
+                    (2, "b"), (3, "b"), (3, "b"), (4, "b")]:
+        texts.append("x" * ln)
+        sources.append(KS_SOURCE_A if src == "a" else KS_SOURCE_B)
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfks"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=3)
+    df = ks_sources(str(sf))
+    assert df["n_a"].iloc[0] == 4 and df["n_b"].iloc[0] == 4
+    assert df["d_num"].iloc[0] == 8  # |F1*n2 - F2*n1| at v=1: 2*4 - 0*4
+    assert df["ks_d"].iloc[0] == 0.5
+
+
+def test_lang_source_mi_independent_vs_dependent(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import lang_source_mi
+
+    def fixture(name, langs, sources):
+        n = len(langs)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(["t"] * n, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(sources, pa.string()),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        )
+        sf = tmp_path / name
+        sf.mkdir()
+        pq.write_table(tbl, sf / "documents.parquet", row_group_size=3)
+        return str(sf)
+
+    # perfectly independent 2x2 (every cell equal) -> MI = 0
+    ind = fixture("ind", ["en", "en", "de", "de"], ["s1", "s2", "s1", "s2"])
+    assert lang_source_mi(ind)["mi_nats"].iloc[0] == 0.0
+    # perfectly dependent -> MI = ln(2)
+    dep = fixture("dep", ["en", "en", "de", "de"], ["s1", "s1", "s2", "s2"])
+    assert lang_source_mi(dep)["mi_nats"].iloc[0] == np.floor(np.log(2) * 1e6 + 0.5) / 1e6
