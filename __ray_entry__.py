@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_buckets": events.gap_buckets,
         "events_jackknife_se": events.jackknife_se,
         "events_trend_slope": events.trend_slope,
+        "events_churn_labels": events.churn_labels,
         "events_resample_interp": events.resample_interp,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gap_buckets": events.GAP_BUCKETS_SQL,
         "events_jackknife_se": events.JACKKNIFE_SE_SQL,
         "events_trend_slope": events.TREND_SLOPE_SQL,
+        "events_churn_labels": events.CHURN_LABELS_SQL,
         "events_resample_interp": events.RESAMPLE_INTERP_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,

@@ -3913,3 +3913,101 @@ SELECT event_type, n,
              / 100.0 * 1e6 + 0.5) / 1e6 AS intercept_value
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# CHURN LABELS — the label-generation step of a training pipeline: a user
+# is "churned" when their last event predates the corpus end by more than
+# CHURN_GAP. Two bounded passes: the global max ts folds first (one
+# scalar), then per-user last-event partials ride the user exchange and
+# the label is pure integer arithmetic against the broadcast scalar — so
+# the labeling is reproducible from the corpus alone (no wall clock).
+
+CHURN_GAP_US = 7 * 86_400_000_000  # 7 days
+
+
+def churn_labels(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "user_id"])
+
+    g = exchange_fold(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [int(pc.max(t.column("ts").cast(pa.int64())).as_py() or 0)]
+                        if t.num_rows
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table(
+            {"m": pa.array([int(pc.max(t.column("m")).as_py() or 0)], pa.int64())}
+        ),
+    )
+    end_us = int(pc.max(g.column("m")).as_py() or 0) if g is not None else 0
+    cutoff = end_us - CHURN_GAP_US
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        users, codes = np.unique(uid, return_inverse=True)
+        last = np.zeros(users.size, dtype=np.int64)
+        np.maximum.at(last, codes, ts)
+        n = np.bincount(codes, minlength=users.size).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "last_ts_us": pa.array(last, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.group_by("user_id")
+            .aggregate([("last_ts_us", "max"), ("n_events", "sum")])
+            .rename_columns(["user_id", "last_ts_us", "n_events"])
+        )
+        lab = (t.column("last_ts_us").to_numpy() < cutoff).astype(np.int64)
+        return t.append_column("label_churned", pa.array(lab, pa.int64()))
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold,
+        pid_of=lambda t: (
+            t.column("user_id").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype=np.int64),
+                "last_ts_us": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "label_churned": pd.Series([], dtype=np.int64),
+            }
+        )
+    return (
+        folded.to_pandas()
+        .groupby("user_id", as_index=False)
+        .agg({"last_ts_us": "max", "n_events": "sum", "label_churned": "min"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+CHURN_LABELS_SQL = """
+WITH g AS (SELECT max(epoch_us(ts)) AS end_us FROM events)
+SELECT user_id,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CASE WHEN max(epoch_us(ts)) < g.end_us - 604800000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS label_churned
+FROM events, g
+GROUP BY user_id, g.end_us
+"""

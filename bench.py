@@ -290,6 +290,7 @@ def run_bench() -> dict:
         ("events_gap_buckets", events.gap_buckets),
         ("events_jackknife_se", events.jackknife_se),
         ("events_trend_slope", events.trend_slope),
+        ("events_churn_labels", events.churn_labels),
         ("docs_ks_sources", text_analysis.ks_sources),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

@@ -645,3 +645,23 @@ def test_lang_source_mi_independent_vs_dependent(ray_session, tmp_path):
     # perfectly dependent -> MI = ln(2)
     dep = fixture("dep", ["en", "en", "de", "de"], ["s1", "s1", "s2", "s2"])
     assert lang_source_mi(dep)["mi_nats"].iloc[0] == np.floor(np.log(2) * 1e6 + 0.5) / 1e6
+
+
+def test_churn_labels_cutoff_boundary(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        CHURN_GAP_US,
+        churn_labels,
+    )
+
+    G = CHURN_GAP_US
+    rows = [
+        (0, 10 * G, 1, "a", 1.0),          # corpus end (user 1: active)
+        (1, 9 * G, 2, "a", 1.0),           # exactly AT cutoff -> NOT churned (<, not <=)
+        (2, 9 * G - 1, 3, "a", 1.0),       # one us past cutoff -> churned
+        (3, 1, 3, "a", 1.0),               # older event of user 3
+    ]
+    df = churn_labels(_events_fixture_rows(tmp_path, rows, "sfc")).set_index("user_id")
+    assert df.loc[1, "label_churned"] == 0
+    assert df.loc[2, "label_churned"] == 0
+    assert df.loc[3, "label_churned"] == 1
+    assert df.loc[3, "n_events"] == 2
