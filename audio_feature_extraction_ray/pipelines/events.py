@@ -3967,37 +3967,26 @@ def churn_labels(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # per-user rows STAY DISTRIBUTED (the user_rfm shape): at 100 TB the
+    # user table is itself large — only the end-ts scalar touched the driver
     def fold(tbl: pa.Table) -> pa.Table:
         t = (
-            tbl.group_by("user_id")
+            tbl.drop_columns(["partition_id"])
+            .group_by("user_id")
             .aggregate([("last_ts_us", "max"), ("n_events", "sum")])
             .rename_columns(["user_id", "last_ts_us", "n_events"])
         )
         lab = (t.column("last_ts_us").to_numpy() < cutoff).astype(np.int64)
         return t.append_column("label_churned", pa.array(lab, pa.int64()))
 
-    folded = exchange_fold(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        fold,
-        pid_of=lambda t: (
-            t.column("user_id").to_numpy().astype(np.uint64) % np.uint64(16)
-        ).astype(np.int32),
-    )
-    if folded is None:
-        return pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype=np.int64),
-                "last_ts_us": pd.Series([], dtype=np.int64),
-                "n_events": pd.Series([], dtype=np.int64),
-                "label_churned": pd.Series([], dtype=np.int64),
-            }
-        )
+    def tag(tbl: pa.Table) -> pa.Table:
+        return _assign_pid(tbl, "user_id", NUM_PARTITIONS)
+
     return (
-        folded.to_pandas()
-        .groupby("user_id", as_index=False)
-        .agg({"last_ts_us": "max", "n_events": "sum", "label_churned": "min"})
-        .sort_values("user_id")
-        .reset_index(drop=True)
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
     )
 
 
