@@ -660,7 +660,11 @@ def test_churn_labels_cutoff_boundary(ray_session, tmp_path):
         (2, 9 * G - 1, 3, "a", 1.0),       # one us past cutoff -> churned
         (3, 1, 3, "a", 1.0),               # older event of user 3
     ]
-    df = churn_labels(_events_fixture_rows(tmp_path, rows, "sfc")).set_index("user_id")
+    df = (
+        churn_labels(_events_fixture_rows(tmp_path, rows, "sfc"))
+        .to_pandas()
+        .set_index("user_id")
+    )
     assert df.loc[1, "label_churned"] == 0
     assert df.loc[2, "label_churned"] == 0
     assert df.loc[3, "label_churned"] == 1
