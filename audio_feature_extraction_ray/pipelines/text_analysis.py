@@ -4579,6 +4579,10 @@ def lang_source_mi(sf_dir: str):
 
     from ..functions.hashing import string_hash_array
 
+    def _mi_pid(t: pa.Table) -> np.ndarray:
+        pid = (string_hash_array(t.column("lang").combine_chunks()) % np.uint64(8)).astype(np.int32)  # noqa: E501
+        return pid
+
     folded = exchange_fold(
         docs.map_batches(partial, batch_format="pyarrow"),
         lambda t: (
@@ -4586,10 +4590,7 @@ def lang_source_mi(sf_dir: str):
             .aggregate([("cnt", "sum")])
             .rename_columns(["lang", "source", "cnt"])
         ),
-        pid_of=lambda t: (
-            string_hash_array(t.column("lang").combine_chunks())
-            % np.uint64(8)
-        ).astype(np.int32),
+        pid_of=_mi_pid,
     )
     if folded is None:
         return pd.DataFrame({"n": [np.int64(0)], "mi_nats": [np.float64(0.0)]})
