@@ -204,6 +204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jackknife_se": events.jackknife_se,
         "events_trend_slope": events.trend_slope,
         "events_churn_labels": events.churn_labels,
+        "events_user_entropy": events.user_entropy,
+        "events_autocorr1": events.autocorr1,
+        "events_survival_counts": events.survival_counts,
+        "events_activity_gini": events.activity_gini,
         "events_resample_interp": events.resample_interp,
         "events_time_features": events.time_features,
         "events_median_2pass": events.median_2pass,
@@ -401,6 +405,10 @@ def oracle_sql() -> dict[str, str]:
         "events_jackknife_se": events.JACKKNIFE_SE_SQL,
         "events_trend_slope": events.TREND_SLOPE_SQL,
         "events_churn_labels": events.CHURN_LABELS_SQL,
+        "events_user_entropy": events.USER_ENTROPY_SQL,
+        "events_autocorr1": events.AUTOCORR1_SQL,
+        "events_survival_counts": events.SURVIVAL_COUNTS_SQL,
+        "events_activity_gini": events.ACTIVITY_GINI_SQL,
         "events_resample_interp": events.RESAMPLE_INTERP_SQL,
         "events_time_features": events.TIME_FEATURES_SQL,
         "events_median_2pass": events.MEDIAN_2PASS_SQL,

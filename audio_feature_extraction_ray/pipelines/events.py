@@ -4000,3 +4000,431 @@ SELECT user_id,
 FROM events, g
 GROUP BY user_id, g.end_us
 """
+
+
+# ---------------------------------------------------------------------------
+# BEHAVIORAL ENTROPY — per-user Shannon entropy of the event-type
+# distribution (the "how varied is this user's behavior" feature, a
+# standard engagement/bot signal). Exactness discipline: per-(user, type)
+# counts ride ONE user-keyed exchange; inside each partition the entropy
+# uses H = ln(n) - (1/n) * sum_t c_t ln(c_t) with each c*ln(c) term
+# floored onto the 1e-12 grid BEFORE summation (summation order moot,
+# the lang_source_mi idiom), reported on the 1e-6 grid. Per-user rows
+# stay distributed (the user_rfm shape).
+
+ENTROPY_GRID = 1e12
+
+
+def user_entropy(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+        uid = t.column("user_id").to_numpy()
+        c = t.column("c").to_numpy().astype(np.int64)
+        users, codes = np.unique(uid, return_inverse=True)
+        n = np.zeros(users.size, dtype=np.int64)
+        np.add.at(n, codes, c)
+        k = np.bincount(codes, minlength=users.size).astype(np.int64)
+        term = np.floor(
+            c.astype(np.float64) * np.log(c.astype(np.float64)) * ENTROPY_GRID + 0.5
+        ).astype(np.int64)
+        tsum = np.zeros(users.size, dtype=np.int64)
+        np.add.at(tsum, codes, term)
+        h = np.floor(
+            (np.log(n.astype(np.float64)) - (tsum / ENTROPY_GRID) / n) * 1e6 + 0.5
+        ) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "n_types": pa.array(k, pa.int64()),
+                "type_entropy": pa.array(h, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(floor(c * ln(c) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS t
+  FROM c GROUP BY 1
+)
+SELECT user_id, n AS n_events, k AS n_types,
+       floor((ln(n) - (t / 1e12) / n) * 1e6 + 0.5) / 1e6 AS type_entropy
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# LAG-1 AUTOCORRELATION — per-user serial correlation of value with its
+# successor (Pearson over the (x_t, x_{t+1}) pairs, ordered by ts then
+# event_id): the burstiness/momentum feature of a user's spend series.
+# One user-keyed exchange (the sessionize ordering contract); adjacent
+# pairs form inside user segments with a head-mask shift — no per-user
+# Python loop. Moments (m, Sa, Sb, Saa, Sbb, Sab) are exact int64 over
+# cents; a runtime guard pins the int64-exact domain (per-user n x
+# max|cents| <= 3e9 keeps m*Saa within int64, so the engine's int64
+# algebra equals the oracle's HUGEINT algebra); the single float
+# sqrt/divide sequence is shared literally with the SQL twin, 1e-6 grid.
+
+
+def autocorr1(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        x = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        head = _seg_head(uid)
+        gid = np.cumsum(head) - 1
+        n_u = np.bincount(gid).astype(np.int64)
+        if n_u.size and int(n_u.max()) * int(np.abs(x).max(initial=0)) > 3_000_000_000:
+            raise SchemaError(
+                "autocorr1 moment domain exceeded (per-user n x max|cents| "
+                "> 3e9): m*Saa would risk int64 overflow vs the HUGEINT "
+                "oracle — rescale the value grid."
+            )
+        # pair (a, b) = (x_t, x_{t+1}) within a segment: valid where the NEXT
+        # row exists and belongs to the same user
+        valid = np.zeros(uid.size, dtype=bool)
+        if uid.size > 1:
+            valid[:-1] = ~head[1:]
+        a = x[valid]
+        b = x[1:][valid[:-1]] if uid.size > 1 else x[:0]
+        pg = gid[valid]
+        users = uid[head]
+        nseg = n_u.size
+
+        def seg_sum(v: np.ndarray) -> np.ndarray:
+            out = np.zeros(nseg, dtype=np.int64)
+            np.add.at(out, pg, v)
+            return out
+
+        m = np.bincount(pg, minlength=nseg).astype(np.int64)
+        sa, sb = seg_sum(a), seg_sum(b)
+        saa, sbb, sab = seg_sum(a * a), seg_sum(b * b), seg_sum(a * b)
+        keep = m > 0
+        m, sa, sb, saa, sbb, sab, users = (
+            m[keep], sa[keep], sb[keep], saa[keep], sbb[keep], sab[keep], users[keep]
+        )
+        va = m * saa - sa * sa
+        vb = m * sbb - sb * sb
+        num = (m * sab - sa * sb).astype(np.float64)
+        den = np.sqrt(va.astype(np.float64) * vb.astype(np.float64))
+        r = np.where(
+            (va == 0) | (vb == 0),
+            0.0,
+            np.floor(num / np.where(den == 0.0, 1.0, den) * 1e6 + 0.5) / 1e6,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "n_pairs": pa.array(m, pa.int64()),
+                "autocorr1": pa.array(r, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir, ["user_id", "ts", "event_id", "value"]), kernel)
+
+
+AUTOCORR1_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), p AS (
+  SELECT user_id, x AS a,
+         lead(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM v
+), q AS (
+  SELECT user_id, a, b FROM p WHERE b IS NOT NULL
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         CAST(sum(a * a) AS BIGINT) AS saa,
+         CAST(sum(b * b) AS BIGINT) AS sbb,
+         CAST(sum(a * b) AS BIGINT) AS sab
+  FROM q GROUP BY 1
+)
+SELECT user_id, m AS n_pairs,
+       CASE WHEN CAST(m AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa = 0
+              OR CAST(m AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb = 0
+            THEN 0.0
+            ELSE floor(CAST(CAST(m AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS DOUBLE)
+                 / sqrt(CAST(CAST(m AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS DOUBLE)
+                        * CAST(CAST(m AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 END AS autocorr1
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# SURVIVAL RISK TABLE (Kaplan-Meier prep) — per distinct user-lifetime
+# duration d (integer hours between a user's first and last event):
+# n_at_risk(d) = users with duration >= d, n_churned(d) = churned users
+# (label from the churn_labels cutoff) with duration == d, n_censored(d) =
+# still-active users censored at their observed duration. Pure integer
+# counting end to end: per-user (first, last) rides the user exchange,
+# duration-keyed counts fold through a second bounded exchange (distinct
+# durations <= corpus span in hours), and the at-risk suffix-sum runs on
+# the driver over that bounded table. The KM estimator S(t) =
+# prod(1 - d_i/n_i) is one exact division chain away from this table.
+
+SURVIVAL_HOUR_US = 3_600_000_000
+
+
+def survival_counts(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "user_id"])
+
+    g = exchange_fold(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [int(pc.max(t.column("ts").cast(pa.int64())).as_py() or 0)]
+                        if t.num_rows
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table(
+            {"m": pa.array([int(pc.max(t.column("m")).as_py() or 0)], pa.int64())}
+        ),
+    )
+    cols = ["duration_hours", "n_at_risk", "n_churned", "n_censored"]
+    if g is None:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    end_us = int(pc.max(g.column("m")).as_py() or 0)
+    cutoff = end_us - CHURN_GAP_US
+
+    def u_partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        users, codes = np.unique(uid, return_inverse=True)
+        first = np.full(users.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first, codes, ts)
+        last = np.zeros(users.size, dtype=np.int64)
+        np.maximum.at(last, codes, ts)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "first_us": pa.array(first, pa.int64()),
+                "last_us": pa.array(last, pa.int64()),
+            }
+        )
+
+    def u_fold(tbl: pa.Table) -> pa.Table:
+        # after the user-keyed exchange each user is final in one partition;
+        # collapse to duration-keyed (churned, censored) counts immediately
+        # so the second exchange ships counters only
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by("user_id")
+            .aggregate([("first_us", "min"), ("last_us", "max")])
+            .rename_columns(["user_id", "first_us", "last_us"])
+        )
+        first = t.column("first_us").to_numpy()
+        last = t.column("last_us").to_numpy()
+        dur = (last - first) // SURVIVAL_HOUR_US
+        ev = (last < cutoff).astype(np.int64)
+        uniq, codes = np.unique(dur, return_inverse=True)
+        ch = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(ch, codes, ev)
+        ce = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(ce, codes, 1 - ev)
+        return pa.table(
+            {
+                "dur": pa.array(uniq, pa.int64()),
+                "ch": pa.array(ch, pa.int64()),
+                "ce": pa.array(ce, pa.int64()),
+            }
+        )
+
+    per_user = (
+        ds.map_batches(u_partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(u_fold, batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        per_user,
+        lambda t: (
+            t.group_by("dur")
+            .aggregate([("ch", "sum"), ("ce", "sum")])
+            .rename_columns(["dur", "ch", "ce"])
+        ),
+        pid_of=lambda t: (
+            t.column("dur").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    df = folded.to_pandas().sort_values("dur").reset_index(drop=True)
+    total = np.int64(df["ch"].sum() + df["ce"].sum())
+    exits = (df["ch"] + df["ce"]).to_numpy(dtype=np.int64)
+    at_risk = total - np.concatenate(([np.int64(0)], np.cumsum(exits)[:-1]))
+    return pd.DataFrame(
+        {
+            "duration_hours": df["dur"].astype(np.int64),
+            "n_at_risk": at_risk.astype(np.int64),
+            "n_churned": df["ch"].astype(np.int64),
+            "n_censored": df["ce"].astype(np.int64),
+        }
+    )
+
+
+SURVIVAL_COUNTS_SQL = """
+WITH g AS (SELECT max(epoch_us(ts)) AS end_us FROM events),
+u AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000 AS dur,
+         CAST(CASE WHEN max(epoch_us(ts)) < g.end_us - 604800000000
+                   THEN 1 ELSE 0 END AS BIGINT) AS ev
+  FROM events, g GROUP BY user_id, g.end_us
+), d AS (
+  SELECT dur, CAST(sum(ev) AS BIGINT) AS n_churned,
+         CAST(sum(1 - ev) AS BIGINT) AS n_censored
+  FROM u GROUP BY dur
+)
+SELECT CAST(d.dur AS BIGINT) AS duration_hours,
+       (SELECT CAST(count(*) AS BIGINT) FROM u WHERE u.dur >= d.dur) AS n_at_risk,
+       n_churned, n_censored
+FROM d ORDER BY duration_hours
+"""
+
+
+# ---------------------------------------------------------------------------
+# ACTIVITY GINI — concentration of corpus activity across users (the
+# domain-concentration audit every web corpus needs: is the traffic
+# long-tailed or dominated by a few entities?). Exact via count-of-counts:
+# per-user counts ride the user exchange, then collapse to (count value ->
+# multiplicity) — provably <= sqrt(2N) distinct values (the token_zipf_hist
+# bound) — through a second counters-only exchange. The rank-weighted sum
+# over equal values is closed-form per value run, so the driver computes
+# the exact integer numerator over the bounded table in arbitrary-precision
+# Python ints (SQL twin: HUGEINT over row_number), one float division,
+# 1e-6 grid.
+
+
+def activity_gini(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["user_id"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        users, counts = np.unique(uid, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def u_fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by("user_id")
+            .aggregate([("c", "sum")])
+            .rename_columns(["user_id", "c"])
+        )
+        v, m = np.unique(t.column("c").to_numpy().astype(np.int64), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "m": pa.array(m.astype(np.int64), pa.int64())}
+        )
+
+    per_user = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(u_fold, batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        per_user,
+        lambda t: t.group_by("v").aggregate([("m", "sum")]).rename_columns(["v", "m"]),
+        pid_of=lambda t: (
+            t.column("v").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "n_users": [np.int64(0)],
+                "total_events": [np.int64(0)],
+                "gini": [np.float64(np.nan)],
+            }
+        )
+    df = folded.to_pandas().sort_values("v").reset_index(drop=True)
+    n = 0
+    s = 0
+    w = 0  # sum_i rank_i * x_i with ranks ascending by (count, user): exact
+    for v, m in zip(df["v"].tolist(), df["m"].tolist()):
+        v, m = int(v), int(m)
+        w += v * (m * n + m * (m + 1) // 2)  # ranks n+1 .. n+m all carry x=v
+        n += m
+        s += v * m
+    gini = (
+        float(np.floor(float(2 * w - (n + 1) * s) / float(n * s) * 1e6 + 0.5) / 1e6)
+        if n and s
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "total_events": [np.int64(s)],
+            "gini": [np.float64(gini)],
+        }
+    )
+
+
+ACTIVITY_GINI_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM u
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS w
+  FROM r
+)
+SELECT n AS n_users, s AS total_events,
+       floor(CAST(2 * w - (CAST(n AS HUGEINT) + 1) * s AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+FROM m
+"""

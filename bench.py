@@ -294,6 +294,10 @@ def run_bench() -> dict:
         ("docs_ks_sources", text_analysis.ks_sources),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
+        ("events_user_entropy", events.user_entropy),
+        ("events_autocorr1", events.autocorr1),
+        ("events_survival_counts", events.survival_counts),
+        ("events_activity_gini", events.activity_gini),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

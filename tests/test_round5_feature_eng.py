@@ -669,3 +669,105 @@ def test_churn_labels_cutoff_boundary(ray_session, tmp_path):
     assert df.loc[2, "label_churned"] == 0
     assert df.loc[3, "label_churned"] == 1
     assert df.loc[3, "n_events"] == 2
+
+
+def test_user_entropy_uniform_and_singleton(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import user_entropy
+
+    rows = [
+        (0, 1, 1, "a", 1.0),
+        (1, 2, 1, "b", 1.0),  # user 1: two types, 1/1 -> H = ln 2
+        (2, 3, 2, "a", 1.0),  # user 2: single event -> H = 0
+        (3, 4, 3, "a", 1.0),
+        (4, 5, 3, "a", 1.0),
+        (5, 6, 3, "b", 1.0),
+        (6, 7, 3, "b", 1.0),  # user 3: 2/2 -> H = ln 2
+    ]
+    df = (
+        user_entropy(_events_fixture_rows(tmp_path, rows, "sfe"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    ln2 = np.floor(np.log(2.0) * 1e6 + 0.5) / 1e6
+    assert df.loc[1, "type_entropy"] == ln2 and df.loc[1, "n_types"] == 2
+    assert df.loc[2, "type_entropy"] == 0.0 and df.loc[2, "n_events"] == 1
+    assert df.loc[3, "type_entropy"] == ln2 and df.loc[3, "n_events"] == 4
+
+
+def test_autocorr1_planted_series_and_edges(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import autocorr1
+
+    rows = [
+        # user 1: alternating +1/-1 -> lag-1 correlation exactly -1
+        (0, 1, 1, "a", 1.0),
+        (1, 2, 1, "a", -1.0),
+        (2, 3, 1, "a", 1.0),
+        (3, 4, 1, "a", -1.0),
+        (4, 5, 1, "a", 1.0),
+        # user 2: constant series -> zero variance -> 0 by convention
+        (5, 1, 2, "a", 3.0),
+        (6, 2, 2, "a", 3.0),
+        (7, 3, 2, "a", 3.0),
+        # user 3: single event -> no pairs -> excluded
+        (8, 1, 3, "a", 9.0),
+        # user 4: duplicate ts, ordered by event_id: 1, 2, 3 -> r = +1
+        (10, 7, 4, "a", 2.0),
+        (9, 7, 4, "a", 1.0),
+        (11, 8, 4, "a", 3.0),
+    ]
+    df = (
+        autocorr1(_events_fixture_rows(tmp_path, rows, "sfa"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert df.loc[1, "autocorr1"] == -1.0 and df.loc[1, "n_pairs"] == 4
+    assert df.loc[2, "autocorr1"] == 0.0
+    assert 3 not in df.index
+    assert df.loc[4, "autocorr1"] == 1.0 and df.loc[4, "n_pairs"] == 2
+
+
+def test_survival_counts_risk_table(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        CHURN_GAP_US,
+        SURVIVAL_HOUR_US,
+        survival_counts,
+    )
+
+    G, H = CHURN_GAP_US, SURVIVAL_HOUR_US
+    end = 10 * G
+    rows = [
+        # user 1: duration 0h, last at corpus end -> censored at 0
+        (0, end, 1, "a", 1.0),
+        # user 2: duration 2h, churned (last far before cutoff)
+        (1, 0, 2, "a", 1.0),
+        (2, 2 * H, 2, "a", 1.0),
+        # user 3: duration 2h, censored (last exactly AT cutoff: < not <=)
+        (3, 9 * G - 2 * H, 3, "a", 1.0),
+        (4, 9 * G, 3, "a", 1.0),
+        # user 4: duration 5h, churned
+        (5, 0, 4, "a", 1.0),
+        (6, 5 * H, 4, "a", 1.0),
+    ]
+    df = survival_counts(_events_fixture_rows(tmp_path, rows, "sfs")).set_index(
+        "duration_hours"
+    )
+    assert df.loc[0, "n_at_risk"] == 4 and df.loc[0, "n_censored"] == 1
+    assert df.loc[2, "n_at_risk"] == 3
+    assert df.loc[2, "n_churned"] == 1 and df.loc[2, "n_censored"] == 1
+    assert df.loc[5, "n_at_risk"] == 1 and df.loc[5, "n_churned"] == 1
+
+
+def test_activity_gini_known_values(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import activity_gini
+
+    # equal counts -> gini 0
+    rows = [(i, i + 1, i % 4, "a", 1.0) for i in range(8)]  # 4 users x 2 events
+    df = activity_gini(_events_fixture_rows(tmp_path, rows, "sfg0"))
+    assert df.loc[0, "gini"] == 0.0 and df.loc[0, "n_users"] == 4
+
+    # counts 1, 3 over two users: sorted x=(1,3), W = 1*1 + 2*3 = 7
+    # gini = (2*7 - 3*4) / (2*4) = 2/8 = 0.25
+    rows = [(0, 1, 1, "a", 1.0)] + [(i, i + 1, 2, "a", 1.0) for i in range(1, 4)]
+    df = activity_gini(_events_fixture_rows(tmp_path, rows, "sfg1"))
+    assert df.loc[0, "gini"] == 0.25
+    assert df.loc[0, "total_events"] == 4
