@@ -4628,3 +4628,187 @@ SELECT t.n AS n,
        floor(CAST(sum(d.term) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS mi_nats
 FROM d, t GROUP BY t.n
 """
+
+
+# ---------------------------------------------------------------------------
+# FEATURE HASHING (the hashing trick) — each document's sparse bag of
+# tokens folded into a fixed FEATURE_HASH_DIM-bucket signed vector, the
+# standard dimension-reduction step before a linear quality/topic model.
+# Exact-SQL regime: the bucket map is (token_id - 1) % D with sign
+# alternating by (token_id - 1) // D parity over the learned frequency-rank
+# vocabulary ids (SQL-expressible, so the oracle is hash-exact); the
+# production path would swap in functions.hashing.string_hash_array with
+# identical plumbing. Structure: per-doc token counts pre-aggregate inside
+# the batch BEFORE the string-keyed co-partitioned vocab join (join input
+# is distinct (doc, token) pairs, not occurrences), then signed bucket
+# sums ride ONE doc-keyed exchange. Output is long-form (doc_id, bucket,
+# fval) with exact integer values; zero-sum buckets (+1/-1 collisions)
+# are real groups and are kept.
+
+FEATURE_HASH_DIM = 32
+
+
+def docs_feature_hash(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.join import copartitioned_equijoin
+
+    vocab = vocab_token_ids(sf_dir).map_batches(
+        lambda t: t.select(["token", "token_id"]), batch_format="pyarrow"
+    )
+
+    def doc_token_counts(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_id = np.repeat(tbl.column("doc_id").to_numpy(), nw)
+        t = pa.table({"doc_id": pa.array(doc_id, pa.int64()), "token": flat})
+        return (
+            t.group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "token", "cnt"])
+        )
+
+    fact = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_token_counts, batch_format="pyarrow"
+    )
+    joined = copartitioned_equijoin(
+        fact, vocab,
+        fact_key="token", dim_key="token",
+        fact_cols=["doc_id", "cnt"], dim_cols=["token_id"],
+        num_partitions=VOCAB_PARTS,
+        fact_col_types={"doc_id": pa.int64(), "cnt": pa.int64()},
+        dim_col_types={"token_id": pa.int64()},
+        key_type=pa.string(),
+    )
+
+    def bucket_partial(tbl: pa.Table) -> pa.Table:
+        tid = tbl.column("token_id").to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = tid % FEATURE_HASH_DIM
+        sign = 1 - 2 * ((tid // FEATURE_HASH_DIM) % 2)
+        t = pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "bucket": pa.array(bucket, pa.int64()),
+                "f": pa.array(sign * cnt, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["doc_id", "bucket"])
+            .aggregate([("f", "sum")])
+            .rename_columns(["doc_id", "bucket", "f"])
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["doc_id", "bucket"])
+            .aggregate([("f", "sum")])
+            .rename_columns(["doc_id", "bucket", "fval"])
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        pid = (
+            tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(VOCAB_PARTS)
+        ).astype(np.int32)
+        return tbl.append_column("partition_id", pa.array(pid))
+
+    return (
+        joined.map_batches(bucket_partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+DOCS_FEATURE_HASH_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+k AS (SELECT doc_id, unnest(toks) AS token FROM t),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS token_id
+  FROM k GROUP BY token
+), e AS (
+  SELECT k.doc_id, (v.token_id - 1) % 32 AS bucket,
+         CASE WHEN ((v.token_id - 1) // 32) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM k JOIN vocab v USING (token)
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(s) AS BIGINT) AS fval
+FROM e GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SOURCE CONCENTRATION (Herfindahl-Hirschman index) — how dominated is the
+# corpus by its largest sources? The one-row audit behind the
+# docs_source_cap quota policy. Counts ride one source-keyed
+# counters-only exchange; the driver closes HHI = sum(c^2) / N^2 with an
+# arbitrary-precision integer numerator (SQL twin: HUGEINT), HHI on the
+# 1e-9 grid, effective source count 1/HHI on the 1e-6 grid.
+
+
+def docs_source_hhi(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    ds = _read_docs(sf_dir, ["source"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        hv = pc.value_counts(tbl.column("source"))
+        return pa.table(
+            {
+                "source": hv.field("values"),
+                "c": hv.field("counts").cast(pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("source").aggregate([("c", "sum")]).rename_columns(["source", "c"])
+        ),
+        pid_of=lambda t: (
+            string_hash_array(t.column("source")) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(0)],
+                "n_sources": [np.int64(0)],
+                "hhi": [np.float64(np.nan)],
+                "effective_sources": [np.float64(np.nan)],
+            }
+        )
+    cs = [int(v) for v in folded.column("c").to_pylist()]
+    n = sum(cs)
+    s2 = sum(c * c for c in cs)
+    hhi = float(np.floor(float(s2) / (float(n) * n) * 1e9 + 0.5) / 1e9)
+    eff = float(np.floor(float(n) * n / float(s2) * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(n)],
+            "n_sources": [np.int64(len(cs))],
+            "hhi": [np.float64(hhi)],
+            "effective_sources": [np.float64(eff)],
+        }
+    )
+
+
+DOCS_SOURCE_HHI_SQL = """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+m AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM c
+)
+SELECT n AS n_docs, k AS n_sources,
+       floor(CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1e9 + 0.5) / 1e9 AS hhi,
+       floor(CAST(n AS DOUBLE) * n / CAST(s2 AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS effective_sources
+FROM m
+"""

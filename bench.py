@@ -298,6 +298,8 @@ def run_bench() -> dict:
         ("events_autocorr1", events.autocorr1),
         ("events_survival_counts", events.survival_counts),
         ("events_activity_gini", events.activity_gini),
+        ("docs_feature_hash", text_analysis.docs_feature_hash),
+        ("docs_source_hhi", text_analysis.docs_source_hhi),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

@@ -771,3 +771,81 @@ def test_activity_gini_known_values(ray_session, tmp_path):
     df = activity_gini(_events_fixture_rows(tmp_path, rows, "sfg1"))
     assert df.loc[0, "gini"] == 0.25
     assert df.loc[0, "total_events"] == 4
+
+
+def test_feature_hash_matches_naive_reference(ray_session, tmp_path):
+    """Signed hashing-trick vectors vs a pure-python reference over the same
+    frequency-rank vocabulary (ids by count DESC, token ASC; bucket =
+    (id-1) % D, sign by (id-1)//D parity). Zero-sum buckets are kept."""
+    from collections import Counter
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        FEATURE_HASH_DIM,
+        docs_feature_hash,
+    )
+
+    # >= 2*D distinct tokens so some buckets receive both signs
+    D = FEATURE_HASH_DIM
+    toks = [f"t{i:03d}" for i in range(2 * D + 5)]
+    texts = [
+        " ".join(toks[: D + 3]),
+        " ".join(toks[D:]) + " " + toks[0] + " " + toks[0],
+        toks[1] + " " + toks[1] + " " + toks[D + 1],
+    ]
+    sf = _docs_fixture(tmp_path, texts)
+    got = (
+        docs_feature_hash(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+
+    corpus = Counter()
+    for t in texts:
+        corpus.update(t.split(" "))
+    vocab = {
+        tok: i + 1
+        for i, (tok, _) in enumerate(
+            sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    ref = {}
+    for did, t in enumerate(texts):
+        for tok in t.split(" "):
+            tid = vocab[tok] - 1
+            b = tid % D
+            s = 1 if (tid // D) % 2 == 0 else -1
+            ref[(did, b)] = ref.get((did, b), 0) + s
+    ref_df = (
+        pd.DataFrame(
+            [(d, b, v) for (d, b), v in ref.items()],
+            columns=["doc_id", "bucket", "fval"],
+        )
+        .sort_values(["doc_id", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref_df)
+    assert (got["fval"].to_numpy() == ref_df["fval"].to_numpy()).all()
+    assert (got["bucket"].to_numpy() == ref_df["bucket"].to_numpy()).all()
+
+
+def test_source_hhi_known_shares(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_source_hhi
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["a", "a", "a", "b"], pa.string()),
+            "n_chars": pa.array([1] * 4, pa.int64()),
+        }
+    )
+    sf = tmp_path / "sfh"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    df = docs_source_hhi(str(sf))
+    # shares 3/4 and 1/4 -> HHI = 9/16 + 1/16 = 0.625, effective = 1.6
+    assert df.loc[0, "hhi"] == 0.625
+    assert df.loc[0, "effective_sources"] == 1.6
+    assert df.loc[0, "n_sources"] == 2 and df.loc[0, "n_docs"] == 4
