@@ -4428,3 +4428,161 @@ SELECT n AS n_users, s AS total_events,
              / CAST(CAST(n AS HUGEINT) * s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# BURSTINESS — the Goh-Barabasi burstiness coefficient per user,
+# B = (sigma - mu) / (sigma + mu) over the user's inter-arrival gaps in
+# integer SECONDS: -1 = perfectly periodic, 0 = Poisson, -> 1 = bursty.
+# The standard human-activity feature on event streams. Same ordered
+# user-exchange contract as interarrival_stats; the second moment makes
+# sigma exact: with m gaps, S = sum d, Q = sum d^2 (int64, guarded),
+# sigma*m = sqrt(m*Q - S^2) so B = (sqrt(m*Q - S^2) - S) /
+# (sqrt(m*Q - S^2) + S) — exact integers inside the sqrt, ONE float
+# sqrt/divide shared literally with the SQL twin, 1e-6 grid. Users with
+# < 2 gaps are excluded (B undefined); an all-zero-gap user (duplicate
+# timestamps) has sigma = mu = 0 and reports 0 by convention.
+
+
+def burstiness(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        gap_s = np.empty(uid.size, dtype=np.int64)
+        gap_s[0] = 0
+        gap_s[1:] = (ts[1:] - ts[:-1]) // 1_000_000
+        is_gap = ~head
+        seg_id = np.cumsum(head) - 1
+        nseg = int(seg_id[-1]) + 1 if uid.size else 0
+        m = np.bincount(seg_id[is_gap], minlength=nseg).astype(np.int64)
+        if m.size and is_gap.any():
+            gmax = int(gap_s[is_gap].max())
+            if int(m.max()) * gmax * gmax > 9_000_000_000_000_000_000 // 2:
+                raise SchemaError(
+                    "burstiness moment domain exceeded (m * max_gap^2 too "
+                    "large for int64 vs the HUGEINT oracle) — bucket gaps "
+                    "coarser than seconds."
+                )
+        S = np.zeros(nseg, dtype=np.int64)
+        np.add.at(S, seg_id[is_gap], gap_s[is_gap])
+        Q = np.zeros(nseg, dtype=np.int64)
+        np.add.at(Q, seg_id[is_gap], gap_s[is_gap] * gap_s[is_gap])
+        users = uid[head]
+        keep = m >= 2
+        m, S, Q, users = m[keep], S[keep], Q[keep], users[keep]
+        var_m2 = (m * Q - S * S).astype(np.float64)  # (sigma*m)^2, exact
+        sig_m = np.sqrt(var_m2)
+        den = sig_m + S.astype(np.float64)
+        b = np.where(
+            den == 0.0,
+            0.0,
+            np.floor((sig_m - S.astype(np.float64)) / np.where(den == 0.0, 1.0, den) * 1e6 + 0.5)
+            / 1e6,
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "n_gaps": pa.array(m, pa.int64()),
+                "burstiness": pa.array(b, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir, ["user_id", "ts", "event_id"]), kernel)
+
+
+BURSTINESS_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+  FROM events
+), g AS (
+  SELECT user_id, (t2 - t) // 1000000 AS d FROM v WHERE t2 IS NOT NULL
+), m AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(d) AS BIGINT) AS s, CAST(sum(d * d) AS BIGINT) AS q
+  FROM g GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT user_id, m AS n_gaps,
+       CASE WHEN sqrt(CAST(CAST(m AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+                 + CAST(s AS DOUBLE) = 0 THEN 0.0
+            ELSE floor((sqrt(CAST(CAST(m AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+                        - CAST(s AS DOUBLE))
+                 / (sqrt(CAST(CAST(m AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE))
+                    + CAST(s AS DOUBLE)) * 1e6 + 0.5) / 1e6 END AS burstiness
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# HOUR-OF-DAY UNIFORMITY — per event type, the chi-square statistic of the
+# hour-of-day activity profile against uniform (the bot-vs-human /
+# seasonality screen): chi2 = (24 * sum_h c_h^2 - n^2) / n over the 24
+# hourly counts. Counts ride ONE bounded (type, hour)-keyed exchange
+# (24 x |types| rows); the closing algebra is arbitrary-precision integer
+# (SQL twin: HUGEINT), one float division on the 1e-6 grid.
+
+
+def hour_uniformity(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        hour = (
+            tbl.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000 % 24
+        ).astype(np.int64)
+        t = pa.table({"event_type": tbl.column("event_type"), "hour": pa.array(hour)})
+        return (
+            t.group_by(["event_type", "hour"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hour", "c"])
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["event_type", "hour"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["event_type", "hour", "c"])
+        ),
+        pid_of=lambda t: (
+            t.column("hour").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=str),
+                "n": pd.Series([], dtype=np.int64),
+                "chi2_hour": pd.Series([], dtype=np.float64),
+            }
+        )
+    df = folded.to_pandas().groupby(["event_type", "hour"], as_index=False)["c"].sum()
+    rows = []
+    for et, grp in df.groupby("event_type"):
+        cs = [int(v) for v in grp["c"].tolist()]
+        n = sum(cs)
+        s2 = sum(c * c for c in cs)
+        chi2 = float(np.floor(float(24 * s2 - n * n) / float(n) * 1e6 + 0.5) / 1e6)
+        rows.append((et, np.int64(n), np.float64(chi2)))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame(rows, columns=["event_type", "n", "chi2_hour"])
+
+
+HOUR_UNIFORMITY_SQL = """
+WITH h AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS hour,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM h GROUP BY 1
+)
+SELECT event_type, n,
+       floor(CAST(24 * s2 - CAST(n AS HUGEINT) * n AS DOUBLE)
+             / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2_hour
+FROM m
+"""

@@ -300,6 +300,8 @@ def run_bench() -> dict:
         ("events_activity_gini", events.activity_gini),
         ("docs_feature_hash", text_analysis.docs_feature_hash),
         ("docs_source_hhi", text_analysis.docs_source_hhi),
+        ("events_burstiness", events.burstiness),
+        ("events_hour_uniformity", events.hour_uniformity),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

@@ -849,3 +849,51 @@ def test_source_hhi_known_shares(ray_session, tmp_path):
     assert df.loc[0, "hhi"] == 0.625
     assert df.loc[0, "effective_sources"] == 1.6
     assert df.loc[0, "n_sources"] == 2 and df.loc[0, "n_docs"] == 4
+
+
+def test_burstiness_periodic_and_degenerate(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import burstiness
+
+    S = 1_000_000  # 1 second in us
+    rows = [
+        # user 1: perfectly periodic (gaps 10s, 10s) -> sigma=0 -> B = -1
+        (0, 0, 1, "a", 1.0),
+        (1, 10 * S, 1, "a", 1.0),
+        (2, 20 * S, 1, "a", 1.0),
+        # user 2: duplicate timestamps -> all gaps 0 -> sigma=mu=0 -> B = 0
+        (3, 5 * S, 2, "a", 1.0),
+        (4, 5 * S, 2, "a", 1.0),
+        (5, 5 * S, 2, "a", 1.0),
+        # user 3: one gap only -> excluded
+        (6, 0, 3, "a", 1.0),
+        (7, S, 3, "a", 1.0),
+        # user 4: gaps 0s and 10s -> mu=5, sigma=5 -> B = 0
+        (8, 0, 4, "a", 1.0),
+        (9, 0, 4, "a", 1.0),
+        (10, 10 * S, 4, "a", 1.0),
+    ]
+    df = (
+        burstiness(_events_fixture_rows(tmp_path, rows, "sfb"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert df.loc[1, "burstiness"] == -1.0 and df.loc[1, "n_gaps"] == 2
+    assert df.loc[2, "burstiness"] == 0.0
+    assert 3 not in df.index
+    assert df.loc[4, "burstiness"] == 0.0
+
+
+def test_hour_uniformity_known_chi2(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import hour_uniformity
+
+    H = 3_600_000_000
+    # type "a": 24 events, one per hour -> chi2 = 0 (perfectly uniform)
+    rows = [(i, i * H, 1, "a", 1.0) for i in range(24)]
+    # type "b": 24 events all in hour 0 -> chi2 = (24*576 - 576)/24 = 552
+    rows += [(100 + i, i * 24 * H, 2, "b", 1.0) for i in range(24)]
+    df = hour_uniformity(_events_fixture_rows(tmp_path, rows, "sfu")).set_index(
+        "event_type"
+    )
+    assert df.loc["a", "chi2_hour"] == 0.0
+    assert df.loc["b", "chi2_hour"] == 552.0
+    assert df.loc["b", "n"] == 24
