@@ -4586,3 +4586,212 @@ SELECT event_type, n,
              / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2_hour
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLING 7-DAY ACTIVE USERS (WAU) — for every calendar day in the
+# corpus, the number of distinct users active at least once in the
+# trailing 7-day window. Distinct-over-sliding-window is the classic
+# hard case for distributed exact counting; the scale-safe shape used
+# here: (user, day) pairs dedup inside the user-keyed exchange, each
+# user's active days expand to their <= 7x coverage days (dedup'd per
+# user, still inside the exchange), and the per-day +1 contributions
+# fold through a second day-keyed counters-only exchange. No window
+# state, no all-days-per-user materialization; every stage is bounded
+# by 7x the user's distinct active days. Days past the corpus end that
+# only a trailing window would reach are clipped to the observed day
+# range (both sides).
+
+WAU_DAY_US = 86_400_000_000
+WAU_WINDOW = 7
+
+
+def wau_daily(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "user_id"])
+
+    g = exchange_fold(
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pa.array(
+                        [int(pc.max(t.column("ts").cast(pa.int64())).as_py() or 0)]
+                        if t.num_rows
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: pa.table(
+            {"m": pa.array([int(pc.max(t.column("m")).as_py() or 0)], pa.int64())}
+        ),
+    )
+    if g is None:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=np.int64), "wau": pd.Series([], dtype=np.int64)}
+        )
+    max_day = int(pc.max(g.column("m")).as_py() or 0) // WAU_DAY_US
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        day = tbl.column("ts").cast(pa.int64()).to_numpy() // WAU_DAY_US
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def cover_fold(tbl: pa.Table) -> pa.Table:
+        # inside the user exchange: per-user distinct active days -> distinct
+        # coverage days (day .. day+6), still keyed by user so the dedup is
+        # exact; emit per-day +1 partial counts for this partition
+        t = tbl.drop_columns(["partition_id"])
+        uid = t.column("user_id").to_numpy()
+        day = t.column("day").to_numpy()
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        u = np.repeat(pairs[:, 0], WAU_WINDOW)
+        d = np.repeat(pairs[:, 1], WAU_WINDOW) + np.tile(
+            np.arange(WAU_WINDOW, dtype=np.int64), pairs.shape[0]
+        )
+        cov = np.unique(np.stack([u, d], axis=1), axis=0)
+        days, cnt = np.unique(cov[:, 1], return_counts=True)
+        keep = days <= max_day
+        return pa.table(
+            {
+                "day": pa.array(days[keep], pa.int64()),
+                "wau": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(cover_fold, batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        per_part,
+        lambda t: t.group_by("day").aggregate([("wau", "sum")]).rename_columns(["day", "wau"]),
+        pid_of=lambda t: (
+            t.column("day").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {"day": pd.Series([], dtype=np.int64), "wau": pd.Series([], dtype=np.int64)}
+        )
+    df = folded.to_pandas().groupby("day", as_index=False)["wau"].sum()
+    return df.sort_values("day").reset_index(drop=True).astype(np.int64)
+
+
+WAU_DAILY_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), mx AS (SELECT max(day) AS max_day FROM ud),
+cov AS (
+  SELECT DISTINCT user_id, day + o.o AS d
+  FROM ud, (SELECT unnest(range(0, 7)) AS o) o
+)
+SELECT CAST(d AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+FROM cov, mx WHERE d <= mx.max_day
+GROUP BY d ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# CIRCADIAN PHASE — per-user circular mean event hour and resultant
+# length R (mesor-style regularity: R -> 1 = always the same time of
+# day, R -> 0 = uniform around the clock). Angles are hour-of-day
+# mapped to the unit circle; each sin/cos term is floored onto the
+# 1e-12 integer grid BEFORE summation (the lang_source_mi order-moot
+# idiom, shared literally with the SQL twin), so the per-user sums are
+# exact integers through the user exchange; atan2 / sqrt close on the
+# 1e-6 grid.
+
+CIRC_GRID = 1e12
+
+
+def circadian_phase(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["user_id", "ts"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        hour = (
+            tbl.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000 % 24
+        ).astype(np.float64)
+        ang = hour * (2.0 * np.pi / 24.0)
+        s = np.floor(np.sin(ang) * CIRC_GRID + 0.5).astype(np.int64)
+        c = np.floor(np.cos(ang) * CIRC_GRID + 0.5).astype(np.int64)
+        users, codes = np.unique(uid, return_inverse=True)
+        n = np.bincount(codes, minlength=users.size).astype(np.int64)
+        ss = np.zeros(users.size, np.int64)
+        np.add.at(ss, codes, s)
+        cc = np.zeros(users.size, np.int64)
+        np.add.at(cc, codes, c)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+                "c": pa.array(cc, pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by("user_id")
+            .aggregate([("n", "sum"), ("s", "sum"), ("c", "sum")])
+            .rename_columns(["user_id", "n", "s", "c"])
+        )
+        n = t.column("n").to_numpy().astype(np.float64)
+        s = t.column("s").to_numpy() / CIRC_GRID
+        c = t.column("c").to_numpy() / CIRC_GRID
+        mean_hour = np.arctan2(s, c) * (24.0 / (2.0 * np.pi)) % 24.0
+        r = np.sqrt(s * s + c * c) / n
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": t.column("n"),
+                "mean_hour": pa.array(np.floor(mean_hour * 1e6 + 0.5) / 1e6, pa.float64()),
+                "resultant_r": pa.array(np.floor(r * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+CIRCADIAN_SQL = """
+WITH a AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 3600000000) % 24) * (2 * pi() / 24) AS ang
+  FROM events
+), u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(sin(ang) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(floor(cos(ang) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM a GROUP BY 1
+)
+SELECT user_id, n AS n_events,
+       floor(((atan2(s / 1e12, c / 1e12) * (24 / (2 * pi()))) % 24 + 24) % 24
+             * 1e6 + 0.5) / 1e6 AS mean_hour,
+       floor(sqrt((s / 1e12) * (s / 1e12) + (c / 1e12) * (c / 1e12)) / n
+             * 1e6 + 0.5) / 1e6 AS resultant_r
+FROM u
+"""

@@ -302,6 +302,8 @@ def run_bench() -> dict:
         ("docs_source_hhi", text_analysis.docs_source_hhi),
         ("events_burstiness", events.burstiness),
         ("events_hour_uniformity", events.hour_uniformity),
+        ("events_wau_daily", events.wau_daily),
+        ("events_circadian_phase", events.circadian_phase),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

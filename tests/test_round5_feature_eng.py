@@ -897,3 +897,48 @@ def test_hour_uniformity_known_chi2(ray_session, tmp_path):
     assert df.loc["a", "chi2_hour"] == 0.0
     assert df.loc["b", "chi2_hour"] == 552.0
     assert df.loc["b", "n"] == 24
+
+
+def test_wau_daily_window_semantics(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import WAU_DAY_US, wau_daily
+
+    D = WAU_DAY_US
+    rows = [
+        # user 1 active day 0; user 2 active days 0 and 10
+        (0, 0, 1, "a", 1.0),
+        (1, D // 2, 1, "a", 1.0),       # same day, must not double-count
+        (2, 0, 2, "a", 1.0),
+        (3, 10 * D, 2, "a", 1.0),
+    ]
+    df = wau_daily(_events_fixture_rows(tmp_path, rows, "sfw")).set_index("day")
+    # days 0-6: both users in window (user1 day0 covers 0..6) -> wau 2
+    for d in range(0, 7):
+        assert df.loc[d, "wau"] == 2, d
+    # days 7-9: nobody active in trailing window
+    for d in range(7, 10):
+        assert d not in df.index, d
+    # day 10: user 2 only
+    assert df.loc[10, "wau"] == 1
+    # clipped at corpus max day (10): no trailing rows past it
+    assert df.index.max() == 10
+
+
+def test_circadian_phase_point_mass_and_balance(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import circadian_phase
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: always hour 6 -> mean_hour 6, R = 1
+        (0, 6 * H, 1, "a", 1.0),
+        (1, 30 * H, 1, "a", 1.0),
+        # user 2: hours 0 and 12 (antipodal) -> R = 0
+        (2, 0, 2, "a", 1.0),
+        (3, 12 * H, 2, "a", 1.0),
+    ]
+    df = (
+        circadian_phase(_events_fixture_rows(tmp_path, rows, "sfcp"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert abs(df.loc[1, "mean_hour"] - 6.0) < 1e-5 and df.loc[1, "resultant_r"] == 1.0
+    assert df.loc[2, "resultant_r"] < 1e-5
