@@ -4812,3 +4812,294 @@ SELECT n AS n_docs, k AS n_sources,
          AS effective_sources
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# LENGTH ANOVA — one-way ANOVA F-statistic of document length across
+# languages (does doc length differ by language? — the corpus-QA screen
+# behind per-lang length normalization). Entirely integer-moment exact:
+# per-lang (n, S = sum len, Q = sum len^2) ride one bounded lang-keyed
+# exchange; SSB/SSW close in arbitrary-precision Python ints scaled by
+# the total count (SQL twin: HUGEINT over the same scaled forms), the
+# single F division is the only float, 1e-6 grid.
+
+
+def docs_length_anova(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    ds = _read_docs(sf_dir, ["lang", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = tbl.column("lang")
+        t = pa.table({"lang": lang, "n": pa.array(np.ones_like(x)), "s": pa.array(x), "q": pa.array(x * x)})
+        return (
+            t.group_by("lang")
+            .aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+            .rename_columns(["lang", "n", "s", "q"])
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by("lang")
+            .aggregate([("n", "sum"), ("s", "sum"), ("q", "sum")])
+            .rename_columns(["lang", "n", "s", "q"])
+        ),
+        pid_of=lambda t: (
+            string_hash_array(t.column("lang")) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    cols = ["n_docs", "n_langs", "f_stat"]
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "n_docs": [np.int64(0)],
+                "n_langs": [np.int64(0)],
+                "f_stat": [np.float64(np.nan)],
+            }
+        )
+    d = folded.to_pandas().groupby("lang", as_index=False)[["n", "s", "q"]].sum()
+    k = len(d)
+    N = int(d["n"].sum())
+    S = int(d["s"].sum())
+    Q = int(d["q"].sum())
+    # scaled by N * prod of group sizes? No: use the N-scaled exact forms —
+    # SSB * N * n_g denominators clear via sum of S_g^2 / n_g. To stay
+    # integer-exact multiply through by L = lcm-free common scale N * all
+    # n_g is overkill; instead compute SSB = sum(S_g^2 / n_g) - S^2 / N
+    # exactly as a rational with denominator D = N * prod(n_g)? Too wide.
+    # Exact-enough contract shared with SQL: each S_g^2 / n_g term is ONE
+    # float division of exact integers (identical in DuckDB), summed over
+    # the <= k bounded group table in lang order, so both sides execute
+    # the identical float sequence.
+    d = d.sort_values("lang").reset_index(drop=True)
+    ssb_terms = [
+        float(int(sg) * int(sg)) / float(int(ng)) for sg, ng in zip(d["s"], d["n"])
+    ]
+    ssb = 0.0
+    for t_ in ssb_terms:
+        ssb += t_
+    ssb -= float(S * S) / float(N)
+    ssw = float(Q) - sum(ssb_terms)
+    if k < 2 or N <= k or ssw == 0.0:
+        f = 0.0
+    else:
+        f = (ssb / (k - 1)) / (ssw / (N - k))
+    f = float(np.floor(f * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(N)],
+            "n_langs": [np.int64(k)],
+            "f_stat": [np.float64(f)],
+        }
+    )
+
+
+DOCS_LENGTH_ANOVA_SQL = """
+WITH g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+  FROM documents GROUP BY 1
+), terms AS (
+  -- per-group S^2/n in lang order: the identical float sequence the
+  -- engine runs (ordered sum over a bounded table)
+  SELECT lang, n, s, q,
+         CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE) AS t
+  FROM g
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         CAST(sum(q) AS HUGEINT) AS qq, CAST(count(*) AS BIGINT) AS k,
+         sum(t ORDER BY lang) AS sum_t
+  FROM terms
+)
+SELECT nn AS n_docs, k AS n_langs,
+       CASE WHEN k < 2 OR nn <= k
+                 OR CAST(qq AS DOUBLE) - sum_t = 0 THEN 0.0
+            ELSE floor(((sum_t - CAST(CAST(ss AS HUGEINT) * ss AS DOUBLE)
+                                 / CAST(nn AS DOUBLE)) / (k - 1))
+                       / ((CAST(qq AS DOUBLE) - sum_t) / (nn - k))
+                       * 1e6 + 0.5) / 1e6 END AS f_stat
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# SOURCE JS-DIVERGENCE MATRIX — Jensen-Shannon divergence between every
+# source pair's token unigram distribution: the corpus-mixture audit
+# (which crawls actually differ, which are near-clones) behind mixture
+# reweighting. Scale shape: per-source token totals fold first (bounded
+# scalars, broadcast by value); per-(token, source) counts ride ONE
+# token-keyed exchange, each partition pivots its disjoint token slice
+# to a dense tokens x sources block and computes every pair's per-token
+# JS terms vectorized, each term floored onto the 1e-12 integer grid
+# BEFORE summation (order-moot, the MI idiom, shared literally with the
+# SQL twin); the <= S^2/2-row pair partials fold through a second
+# counters-only exchange. JS is in nats, bounded by ln 2.
+
+JS_GRID = 1e12
+JS_PARTS = 32
+
+
+def docs_source_js(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def tok_counts(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = pa.array(
+            np.repeat(tbl.column("source").to_numpy(zero_copy_only=False), nw)
+        )
+        t = pa.table({"source": src, "token": flat})
+        return (
+            t.group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "token", "c"])
+        )
+
+    counts = ds.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    totals = exchange_fold(
+        counts.map_batches(
+            lambda t: (
+                t.group_by("source").aggregate([("c", "sum")]).rename_columns(["source", "n"])
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: t.group_by("source").aggregate([("n", "sum")]).rename_columns(["source", "n"]),
+        pid_of=lambda t: (string_hash_array(t.column("source")) % np.uint64(8)).astype(
+            np.int32
+        ),
+    )
+    cols = ["source_a", "source_b", "n_tokens", "js_nats"]
+    if totals is None:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    tot = totals.to_pandas().groupby("source", as_index=False)["n"].sum()
+    sources = sorted(tot["source"].tolist())
+    n_of = {s: int(n) for s, n in zip(tot["source"], tot["n"])}
+    s_code = {s: i for i, s in enumerate(sources)}
+    S = len(sources)
+
+    def pair_terms(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["source", "token"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["source", "token", "c"])
+        )
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy().astype(np.int64)
+        uniq, tcode = np.unique(tok, return_inverse=True)
+        m = np.zeros((uniq.size, S), dtype=np.int64)
+        scode = np.array([s_code[s] for s in src], dtype=np.int64)
+        m[tcode, scode] = c
+        rows = []
+        for i in range(S):
+            ni = n_of[sources[i]]
+            for j in range(i + 1, S):
+                nj = n_of[sources[j]]
+                p = m[:, i] / float(ni)
+                q = m[:, j] / float(nj)
+                present = (p > 0) | (q > 0)
+                p, q = p[present], q[present]
+                pq = p + q
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    tp = np.where(p > 0, p * np.log(np.where(p > 0, 2.0 * p / pq, 1.0)), 0.0)
+                    tq = np.where(q > 0, q * np.log(np.where(q > 0, 2.0 * q / pq, 1.0)), 0.0)
+                term = np.floor(0.5 * (tp + tq) * JS_GRID + 0.5).astype(np.int64)
+                rows.append(
+                    (sources[i], sources[j], int(present.sum()), int(term.sum()))
+                )
+        return pa.table(
+            {
+                "source_a": pa.array([r[0] for r in rows], pa.string()),
+                "source_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+                "t": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        pid = (string_hash_array(tbl.column("token")) % np.uint64(JS_PARTS)).astype(
+            np.int32
+        )
+        return tbl.append_column("partition_id", pa.array(pid))
+
+    partials = (
+        counts.map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(pair_terms, batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        partials,
+        lambda t: (
+            t.group_by(["source_a", "source_b"])
+            .aggregate([("n_tokens", "sum"), ("t", "sum")])
+            .rename_columns(["source_a", "source_b", "n_tokens", "t"])
+        ),
+        pid_of=lambda t: (string_hash_array(t.column("source_a")) % np.uint64(8)).astype(
+            np.int32
+        ),
+    )
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    df = (
+        folded.to_pandas()
+        .groupby(["source_a", "source_b"], as_index=False)[["n_tokens", "t"]]
+        .sum()
+    )
+    df["js_nats"] = np.floor(df["t"] / JS_GRID * 1e6 + 0.5) / 1e6
+    df["n_tokens"] = df["n_tokens"].astype(np.int64)
+    return (
+        df[cols].sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    )
+
+
+DOCS_SOURCE_JS_SQL = """
+WITH c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+), n AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+), pairs AS (
+  SELECT n1.source AS sa, n1.n AS na, n2.source AS sb, n2.n AS nb
+  FROM n n1, n n2 WHERE n1.source < n2.source
+), u AS (
+  SELECT pr.sa, pr.na, pr.sb, pr.nb, t.token
+  FROM pairs pr JOIN (SELECT DISTINCT source, token FROM c) t
+    ON t.source IN (pr.sa, pr.sb)
+  GROUP BY 1, 2, 3, 4, 5
+), terms AS (
+  SELECT u.sa, u.sb,
+         coalesce(ca.c, 0) / CAST(u.na AS DOUBLE) AS p,
+         coalesce(cb.c, 0) / CAST(u.nb AS DOUBLE) AS q
+  FROM u
+  LEFT JOIN c ca ON ca.source = u.sa AND ca.token = u.token
+  LEFT JOIN c cb ON cb.source = u.sb AND cb.token = u.token
+), d AS (
+  SELECT sa, sb,
+         CAST(floor(0.5 * (
+             CASE WHEN p > 0 THEN p * ln(2 * p / (p + q)) ELSE 0.0 END
+           + CASE WHEN q > 0 THEN q * ln(2 * q / (p + q)) ELSE 0.0 END
+         ) * 1e12 + 0.5) AS BIGINT) AS t
+  FROM terms
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       floor(sum(t) / 1e12 * 1e6 + 0.5) / 1e6 AS js_nats
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+"""

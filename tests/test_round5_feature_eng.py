@@ -942,3 +942,60 @@ def test_circadian_phase_point_mass_and_balance(ray_session, tmp_path):
     )
     assert abs(df.loc[1, "mean_hour"] - 6.0) < 1e-5 and df.loc[1, "resultant_r"] == 1.0
     assert df.loc[2, "resultant_r"] < 1e-5
+
+
+def _docs_fixture_full(tmp_path, rows, name="sfq"):
+    """rows: (doc_id, text, lang, source)"""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    return str(sf)
+
+
+def test_length_anova_known_f(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_length_anova
+
+    # lang A lengths 1, 3; lang B lengths 5, 7 -> SSB=16, SSW=4 -> F=8
+    rows = [
+        (0, "x", "aa", "s"),
+        (1, "xxx", "aa", "s"),
+        (2, "xxxxx", "bb", "s"),
+        (3, "xxxxxxx", "bb", "s"),
+    ]
+    df = docs_length_anova(_docs_fixture_full(tmp_path, rows, "sfav"))
+    assert df.loc[0, "f_stat"] == 8.0
+    assert df.loc[0, "n_langs"] == 2 and df.loc[0, "n_docs"] == 4
+
+    # zero within-group variance -> degenerate branch reports 0
+    rows = [(0, "xx", "aa", "s"), (1, "xx", "aa", "s"), (2, "yyyy", "bb", "s")]
+    df = docs_length_anova(_docs_fixture_full(tmp_path, rows, "sfav0"))
+    assert df.loc[0, "f_stat"] == 0.0
+
+
+def test_source_js_identical_and_disjoint(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_source_js
+
+    # sources a, b identical distributions -> JS = 0; c disjoint -> JS = ln 2
+    rows = [
+        (0, "w1 w2 w2", "en", "a"),
+        (1, "w1 w2 w2", "en", "b"),
+        (2, "z1 z2", "en", "c"),
+    ]
+    df = docs_source_js(_docs_fixture_full(tmp_path, rows, "sfjs")).set_index(
+        ["source_a", "source_b"]
+    )
+    ln2 = np.floor(np.log(2.0) * 1e6 + 0.5) / 1e6
+    assert df.loc[("a", "b"), "js_nats"] == 0.0
+    assert abs(df.loc[("a", "c"), "js_nats"] - ln2) < 2e-6
+    assert abs(df.loc[("b", "c"), "js_nats"] - ln2) < 2e-6
+    assert df.loc[("a", "b"), "n_tokens"] == 2  # shared vocab {w1, w2}
+    assert df.loc[("a", "c"), "n_tokens"] == 4  # union vocab
