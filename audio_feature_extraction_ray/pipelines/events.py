@@ -4795,3 +4795,268 @@ SELECT user_id, n AS n_events,
              * 1e6 + 0.5) / 1e6 AS resultant_r
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# DAILY ANOMALY FLAGS — per event type, flag calendar days whose event
+# count deviates from that type's median daily count by more than
+# ANOMALY_K x MAD (the robust spike/outage detector every event stream
+# gets). (type, day) counts ride ONE bounded exchange (days x types
+# rows); median and MAD close on the driver over that bounded table
+# with DuckDB's median convention (mean of the two middles on even n,
+# computed from exact integers), and the flag rule |c - med| > K * MAD
+# compares 2x-scaled integers so no float enters the decision.
+
+ANOMALY_K = 3
+
+
+def daily_anomalies(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        day = (tbl.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000).astype(
+            np.int64
+        )
+        t = pa.table({"event_type": tbl.column("event_type"), "day": pa.array(day)})
+        return (
+            t.group_by(["event_type", "day"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "day", "c"])
+        )
+
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["event_type", "day"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["event_type", "day", "c"])
+        ),
+        pid_of=lambda t: (
+            t.column("day").to_numpy(zero_copy_only=False).astype(np.uint64)
+            % np.uint64(8)
+        ).astype(np.int32),
+    )
+    cols = ["event_type", "day", "c", "med2", "mad2"]
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([], dtype=str),
+                "day": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+            }
+        )
+    df = (
+        folded.to_pandas()
+        .groupby(["event_type", "day"], as_index=False)["c"]
+        .sum()
+        .sort_values(["event_type", "day"])
+    )
+
+    def med2_of(v: np.ndarray) -> int:
+        # 2x the median so even-n midpoints stay integer (DuckDB median of
+        # BIGINT is the mean of the two middles)
+        v = np.sort(v)
+        n = v.size
+        if n % 2:
+            return int(2 * v[n // 2])
+        return int(v[n // 2 - 1] + v[n // 2])
+
+    rows = []
+    for et, grp in df.groupby("event_type"):
+        c = grp["c"].to_numpy(dtype=np.int64)
+        m2 = med2_of(c)
+        dev2 = np.abs(2 * c - m2)       # 2 * |c - median|, exact int
+        mad4 = med2_of(dev2)            # 2 * median(dev2) = 4 * MAD, exact int
+        # |c - med| > K * MAD  <=>  2 * dev2 > K * mad4  (all integers)
+        flag = 2 * dev2 > ANOMALY_K * mad4
+        for d, cv in zip(grp["day"].to_numpy()[flag], c[flag]):
+            rows.append((et, int(d), int(cv)))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return pd.DataFrame(rows, columns=["event_type", "day", "n_events"]).astype(
+        {"day": np.int64, "n_events": np.int64}
+    )
+
+
+DAILY_ANOMALIES_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(2 * median(c) AS BIGINT) AS med2 FROM d GROUP BY 1
+), dev AS (
+  SELECT d.event_type, d.day, d.c, abs(2 * d.c - m.med2) AS dev2, m.med2
+  FROM d JOIN m USING (event_type)
+), md AS (
+  -- 2 * median(dev2) = 4 * MAD: exact integer (sum of the two middles)
+  SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM dev GROUP BY 1
+)
+SELECT dev.event_type, CAST(dev.day AS BIGINT) AS day, dev.c AS n_events
+FROM dev JOIN md USING (event_type)
+WHERE 2 * dev.dev2 > 3 * md.mad4
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TYPE AFFINITY — "users who do X also do Y": lift between event types
+# over per-user presence sets (the events analog of part_affinity's
+# market-basket pairs). Distinct (user, type) pairs dedup inside the
+# user exchange; each user's <= T types expand to their T(T-1)/2
+# ordered pairs (bounded by the tiny type domain), pair counts fold
+# through a second counters-only exchange; lift closes on the bounded
+# pair table with exact integer cross products (SQL: HUGEINT), 1e-6
+# grid. Output: every co-occurring (a < b) pair with support and lift.
+
+
+def type_affinity(sf_dir: str):
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    def _affinity_pid(t: pa.Table) -> np.ndarray:
+        # string_hash_array captured by value (no call-time relative import
+        # in the worker closure — the test_round5_hardening AST contract)
+        return (string_hash_array(t.column("a")) % np.uint64(8)).astype(np.int32)
+
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.group_by(["user_id", "event_type"])
+            .aggregate([])
+            .rename_columns(["user_id", "event_type"])
+        )
+        return t
+
+    def pair_fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
+            .rename_columns(["user_id", "event_type"])
+        )
+        uid = t.column("user_id").to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        if ((et == "__single__") | (et == "__users__")).any():
+            raise SchemaError(
+                "type_affinity: event_type collides with an internal "
+                "sentinel ('__single__'/'__users__')."
+            )
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        head = _seg_head(uid)
+        gid = np.cumsum(head) - 1
+        nt = np.bincount(gid).astype(np.int64)
+        # per-user singles
+        types, tcode = np.unique(et, return_inverse=True)
+        singles = np.bincount(tcode, minlength=types.size).astype(np.int64)
+        n_users = int(nt.size)
+        # pair expansion: for each user segment, all i<j combinations of its
+        # (sorted) type list — vectorized via repeat/tile per segment size
+        etc = tcode  # integer type codes aligned with the sorted rows
+        pa_rows, pb_rows = [], []
+        for size in np.unique(nt):
+            if size < 2:
+                continue
+            seg_ids = np.flatnonzero(nt == size)
+            starts = np.concatenate([[0], np.cumsum(nt)])[:-1][seg_ids]
+            ii, jj = np.triu_indices(int(size), k=1)
+            a_idx = (starts[:, None] + ii[None, :]).ravel()
+            b_idx = (starts[:, None] + jj[None, :]).ravel()
+            pa_rows.append(etc[a_idx])
+            pb_rows.append(etc[b_idx])
+        if pa_rows:
+            a = np.concatenate(pa_rows)
+            b = np.concatenate(pb_rows)
+            key = a.astype(np.int64) * np.int64(types.size) + b
+            kcodes, pair_cnt = np.unique(key, return_counts=True)
+            pair_keys = np.stack(
+                [types[kcodes // types.size], types[kcodes % types.size]], axis=1
+            )
+        else:
+            pair_keys = np.empty((0, 2), dtype=et.dtype)
+            pair_cnt = np.empty(0, dtype=np.int64)
+        single_tbl = pa.table(
+            {
+                "a": pa.array(types, pa.string()),
+                "b": pa.array(["__single__"] * types.size, pa.string()),
+                "n": pa.array(singles, pa.int64()),
+            }
+        )
+        users_tbl = pa.table(
+            {
+                "a": pa.array(["__users__"], pa.string()),
+                "b": pa.array(["__users__"], pa.string()),
+                "n": pa.array([n_users], pa.int64()),
+            }
+        )
+        pairs_tbl = pa.table(
+            {
+                "a": pa.array(pair_keys[:, 0].astype(str), pa.string()),
+                "b": pa.array(pair_keys[:, 1].astype(str), pa.string()),
+                "n": pa.array(pair_cnt.astype(np.int64), pa.int64()),
+            }
+        )
+        return pa.concat_tables([pairs_tbl, single_tbl, users_tbl])
+
+    folded = exchange_fold(
+        (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .map_batches(
+                functools.partial(
+                    _assign_pid, key="user_id", num_partitions=NUM_PARTITIONS
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("partition_id")
+            .map_groups(pair_fold, batch_format="pyarrow")
+        ),
+        lambda t: (
+            t.group_by(["a", "b"]).aggregate([("n", "sum")]).rename_columns(["a", "b", "n"])
+        ),
+        pid_of=_affinity_pid,
+    )
+    cols = ["type_a", "type_b", "n_both", "lift"]
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    df = folded.to_pandas().groupby(["a", "b"], as_index=False)["n"].sum()
+    n_users = int(df.loc[df["a"] == "__users__", "n"].sum())
+    singles = {
+        r["a"]: int(r["n"]) for _, r in df[df["b"] == "__single__"].iterrows()
+    }
+    out = []
+    for _, r in df[(df["b"] != "__single__") & (df["a"] != "__users__")].iterrows():
+        a, b, nb = r["a"], r["b"], int(r["n"])
+        lift = float(
+            np.floor(
+                float(nb * n_users) / float(singles[a] * singles[b]) * 1e6 + 0.5
+            )
+            / 1e6
+        )
+        out.append((a, b, np.int64(nb), np.float64(lift)))
+    out.sort(key=lambda x: (x[0], x[1]))
+    return pd.DataFrame(out, columns=cols)
+
+
+TYPE_AFFINITY_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+       floor(CAST(CAST(n_both AS HUGEINT) * u.nu AS DOUBLE)
+             / CAST(CAST(sa.n AS HUGEINT) * sb.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS lift
+FROM p, u
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+ORDER BY 1, 2
+"""

@@ -306,6 +306,8 @@ def run_bench() -> dict:
         ("events_circadian_phase", events.circadian_phase),
         ("docs_length_anova", text_analysis.docs_length_anova),
         ("docs_source_js", text_analysis.docs_source_js),
+        ("events_daily_anomalies", events.daily_anomalies),
+        ("events_type_affinity", events.type_affinity),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

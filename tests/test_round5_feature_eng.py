@@ -999,3 +999,42 @@ def test_source_js_identical_and_disjoint(ray_session, tmp_path):
     assert abs(df.loc[("b", "c"), "js_nats"] - ln2) < 2e-6
     assert df.loc[("a", "b"), "n_tokens"] == 2  # shared vocab {w1, w2}
     assert df.loc[("a", "c"), "n_tokens"] == 4  # union vocab
+
+
+def test_daily_anomalies_flags_spike_only(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import daily_anomalies
+
+    D = 86_400_000_000
+    rows = []
+    eid = 0
+    # type "a": 1 event/day for days 0..8, then 50 on day 9 -> day 9 flagged
+    for d in range(9):
+        rows.append((eid, d * D, 1, "a", 1.0)); eid += 1
+    for _ in range(50):
+        rows.append((eid, 9 * D, 1, "a", 1.0)); eid += 1
+    # type "b": constant 2/day -> MAD 0, nothing flagged (0 > 0 false)
+    for d in range(10):
+        rows.append((eid, d * D, 2, "b", 1.0)); eid += 1
+        rows.append((eid, d * D, 3, "b", 1.0)); eid += 1
+    df = daily_anomalies(_events_fixture_rows(tmp_path, rows, "sfan"))
+    assert len(df) == 1
+    assert df.loc[0, "event_type"] == "a" and df.loc[0, "day"] == 9
+    assert df.loc[0, "n_events"] == 50
+
+
+def test_type_affinity_known_lift(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import type_affinity
+
+    # 4 users: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {b}
+    # singles: a=3, b=3, both=2, n_users=4 -> lift = 2*4/(3*3) = 8/9
+    rows = [
+        (0, 1, 1, "a", 1.0), (1, 2, 1, "b", 1.0),
+        (2, 3, 2, "a", 1.0), (3, 4, 2, "b", 1.0), (4, 5, 2, "b", 1.0),
+        (5, 6, 3, "a", 1.0),
+        (6, 7, 4, "b", 1.0),
+    ]
+    df = type_affinity(_events_fixture_rows(tmp_path, rows, "sfaf"))
+    assert len(df) == 1
+    assert df.loc[0, "type_a"] == "a" and df.loc[0, "type_b"] == "b"
+    assert df.loc[0, "n_both"] == 2
+    assert df.loc[0, "lift"] == np.floor(8.0 / 9.0 * 1e6 + 0.5) / 1e6
