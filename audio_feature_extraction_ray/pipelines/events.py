@@ -5060,3 +5060,69 @@ JOIN s sa ON sa.event_type = p.type_a
 JOIN s sb ON sb.event_type = p.type_b
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# TIME TO CONVERT — per-user latency from FIRST signup to the FIRST
+# purchase at a strictly later position in the (ts, event_id) order (the
+# funnel-latency label/feature). Runs in the ordered user-exchange
+# kernel: first-signup and first-qualifying-purchase positions are
+# segmented integer argmins (no per-user Python loop); the delta is an
+# exact integer of microseconds. Users without a signup, or without a
+# purchase after it, are excluded.
+
+
+def time_to_convert(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        head = _seg_head(uid)
+        gid = np.cumsum(head) - 1
+        nseg = int(gid[-1]) + 1 if uid.size else 0
+        pos = np.arange(uid.size, dtype=np.int64)
+        BIG = np.iinfo(np.int64).max
+        s_pos = np.full(nseg, BIG, dtype=np.int64)
+        sig = et == "signup"
+        np.minimum.at(s_pos, gid[sig], pos[sig])
+        pur = (et == "purchase") & (s_pos[gid] < BIG) & (pos > s_pos[gid])
+        p_pos = np.full(nseg, BIG, dtype=np.int64)
+        np.minimum.at(p_pos, gid[pur], pos[pur])
+        keep = (s_pos < BIG) & (p_pos < BIG)
+        users = uid[head][keep]
+        st = ts[s_pos[keep]]
+        pt = ts[p_pos[keep]]
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "signup_ts_us": pa.array(st, pa.int64()),
+                "convert_ts_us": pa.array(pt, pa.int64()),
+                "convert_us": pa.array(pt - st, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(
+        read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]), kernel
+    )
+
+
+TIME_TO_CONVERT_SQL = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), s AS (
+  SELECT user_id, min(rn) AS srn FROM o WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT o.user_id, min(o.rn) AS prn
+  FROM o JOIN s USING (user_id)
+  WHERE o.event_type = 'purchase' AND o.rn > s.srn GROUP BY 1
+)
+SELECT s.user_id,
+       CAST(os.t AS BIGINT) AS signup_ts_us,
+       CAST(op.t AS BIGINT) AS convert_ts_us,
+       CAST(op.t - os.t AS BIGINT) AS convert_us
+FROM s JOIN p ON s.user_id = p.user_id
+JOIN o os ON os.user_id = s.user_id AND os.rn = s.srn
+JOIN o op ON op.user_id = p.user_id AND op.rn = p.prn
+"""

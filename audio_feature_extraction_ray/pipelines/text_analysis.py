@@ -5103,3 +5103,167 @@ SELECT sa AS source_a, sb AS source_b,
        floor(sum(t) / 1e12 * 1e6 + 0.5) / 1e6 AS js_nats
 FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# SENTENCE STATS — per-doc sentence segmentation features (Gopher-class
+# quality rules run on sentence counts / mean sentence length). A
+# sentence is a non-empty-after-trim segment between /[.!?]+/ runs.
+# Zero-shuffle: pure vectorized Arrow kernels per batch (regex split,
+# trim, list-reduced counts); mean length closes per doc on the 1e-6
+# grid with the identical integer sums the SQL twin aggregates.
+
+
+def doc_sentence_stats(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        segs = pc.split_pattern_regex(tbl.column("text"), "[.!?]+")
+        flat = pc.list_flatten(segs)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(flat)
+        ln = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False).astype(np.int64)
+        nseg = pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = np.repeat(np.arange(nseg.size, dtype=np.int64), nseg)
+        nonempty = ln > 0
+        n_sent = np.zeros(nseg.size, dtype=np.int64)
+        np.add.at(n_sent, gid[nonempty], 1)
+        tot_len = np.zeros(nseg.size, dtype=np.int64)
+        np.add.at(tot_len, gid[nonempty], ln[nonempty])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_len = np.where(n_sent > 0, tot_len / np.maximum(n_sent, 1), np.nan)
+        mean_len = np.floor(mean_len * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_sentences": pa.array(n_sent, pa.int64()),
+                "mean_sentence_chars": pa.array(mean_len, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+DOC_SENTENCE_STATS_SQL = """
+WITH s AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]+')) AS seg
+  FROM documents
+), t AS (
+  SELECT doc_id, length(trim(seg)) AS ln FROM s
+), a AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN ln > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sentences,
+         CAST(sum(CASE WHEN ln > 0 THEN ln ELSE 0 END) AS BIGINT) AS tot
+  FROM t GROUP BY 1
+)
+SELECT doc_id, n_sentences,
+       CASE WHEN n_sentences > 0
+            THEN floor(CAST(tot AS DOUBLE) / n_sentences * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS mean_sentence_chars
+FROM a
+"""
+
+
+# ---------------------------------------------------------------------------
+# DUP RATE BY SOURCE — which crawls contribute the duplicate mass: per
+# source, the count and share of docs whose exact content (md5, the
+# dedup_exact digest with DuckDB parity) appears >= 2 times ANYWHERE in
+# the corpus. One digest-keyed exchange makes each digest's corpus-wide
+# total exact inside its partition; per-source (n_docs, n_dup) counters
+# fold through a second bounded exchange.
+
+
+def docs_dup_rate_by_source(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.dedup import add_md5
+    from ..stages.fold import exchange_fold
+
+    ds = _read_docs(sf_dir, ["source", "text"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = add_md5(tbl, "text").select(["source", "content_md5"])
+        return (
+            t.group_by(["content_md5", "source"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["content_md5", "source", "c"])
+        )
+
+    def digest_fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["content_md5", "source"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["content_md5", "source", "c"])
+        )
+        h = t.column("content_md5").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy().astype(np.int64)
+        uniq, codes = np.unique(h, return_inverse=True)
+        tot = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(tot, codes, c)
+        dup = np.where(tot[codes] >= 2, c, 0)
+        out = pa.table(
+            {
+                "source": t.column("source"),
+                "n_docs": pa.array(c, pa.int64()),
+                "n_dup_docs": pa.array(dup, pa.int64()),
+            }
+        )
+        return (
+            out.group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_dup_docs", "sum")])
+            .rename_columns(["source", "n_docs", "n_dup_docs"])
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        col = tbl.column("content_md5")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        pid = (string_hash_array(col) % np.uint64(32)).astype(np.int32)
+        return tbl.append_column("partition_id", pa.array(pid))
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(digest_fold, batch_format="pyarrow")
+    )
+    folded = exchange_fold(
+        per_part,
+        lambda t: (
+            t.group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_dup_docs", "sum")])
+            .rename_columns(["source", "n_docs", "n_dup_docs"])
+        ),
+        pid_of=lambda t: (string_hash_array(t.column("source")) % np.uint64(8)).astype(
+            np.int32
+        ),
+    )
+    cols = ["source", "n_docs", "n_dup_docs", "dup_rate"]
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in cols})
+    df = (
+        folded.to_pandas()
+        .groupby("source", as_index=False)[["n_docs", "n_dup_docs"]]
+        .sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    df["dup_rate"] = np.floor(df["n_dup_docs"] / df["n_docs"] * 1e6 + 0.5) / 1e6
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["n_dup_docs"] = df["n_dup_docs"].astype(np.int64)
+    return df[cols]
+
+
+DOCS_DUP_RATE_SQL = """
+WITH d AS (SELECT source, md5(text) AS h FROM documents),
+c AS (SELECT h, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       floor(CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS dup_rate
+FROM d JOIN c USING (h)
+GROUP BY source ORDER BY source
+"""

@@ -308,6 +308,9 @@ def run_bench() -> dict:
         ("docs_source_js", text_analysis.docs_source_js),
         ("events_daily_anomalies", events.daily_anomalies),
         ("events_type_affinity", events.type_affinity),
+        ("events_time_to_convert", events.time_to_convert),
+        ("doc_sentence_stats", text_analysis.doc_sentence_stats),
+        ("docs_dup_rate_by_source", text_analysis.docs_dup_rate_by_source),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],

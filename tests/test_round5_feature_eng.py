@@ -1038,3 +1038,69 @@ def test_type_affinity_known_lift(ray_session, tmp_path):
     assert df.loc[0, "type_a"] == "a" and df.loc[0, "type_b"] == "b"
     assert df.loc[0, "n_both"] == 2
     assert df.loc[0, "lift"] == np.floor(8.0 / 9.0 * 1e6 + 0.5) / 1e6
+
+
+def test_time_to_convert_position_semantics(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import time_to_convert
+
+    S = 1_000_000
+    rows = [
+        # user 1: purchase BEFORE signup (excluded), then signup, then purchase
+        (0, 0, 1, "purchase", 1.0),
+        (1, 10 * S, 1, "signup", 1.0),
+        (2, 25 * S, 1, "purchase", 1.0),
+        # user 2: signup, no purchase -> excluded
+        (3, 0, 2, "signup", 1.0),
+        (4, 5 * S, 2, "view", 1.0),
+        # user 3: purchase only -> excluded
+        (5, 0, 3, "purchase", 1.0),
+        # user 4: same-ts signup then purchase (event_id order) -> delta 0
+        (6, 7 * S, 4, "signup", 1.0),
+        (7, 7 * S, 4, "purchase", 1.0),
+    ]
+    df = (
+        time_to_convert(_events_fixture_rows(tmp_path, rows, "sfc2"))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert set(df.index) == {1, 4}
+    assert df.loc[1, "convert_us"] == 15 * S
+    assert df.loc[4, "convert_us"] == 0
+
+
+def test_sentence_stats_segmentation(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import doc_sentence_stats
+
+    texts = [
+        "one two. three!  four?five...",   # segs: 'one two', ' three', '  four', 'five', ''
+        "no punctuation here",
+        "...",                              # only separators -> 0 sentences
+    ]
+    sf = _docs_fixture(tmp_path, texts)
+    df = doc_sentence_stats(sf).to_pandas().set_index("doc_id")
+    assert df.loc[0, "n_sentences"] == 4
+    # trimmed lengths: 7, 5, 4, 4 -> mean 5.0
+    assert df.loc[0, "mean_sentence_chars"] == 5.0
+    assert df.loc[1, "n_sentences"] == 1
+    assert df.loc[2, "n_sentences"] == 0 and np.isnan(df.loc[2, "mean_sentence_chars"])
+
+
+def test_dup_rate_by_source_cross_source_dups(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        docs_dup_rate_by_source,
+    )
+
+    # 'dup' appears in sources a AND b -> both sides count as duplicated
+    rows = [
+        (0, "dup", "en", "a"),
+        (1, "dup", "en", "b"),
+        (2, "unique one", "en", "a"),
+        (3, "unique two", "en", "b"),
+        (4, "unique three", "en", "b"),
+    ]
+    df = docs_dup_rate_by_source(
+        _docs_fixture_full(tmp_path, rows, "sfdr")
+    ).set_index("source")
+    assert df.loc["a", "n_dup_docs"] == 1 and df.loc["a", "n_docs"] == 2
+    assert df.loc["a", "dup_rate"] == 0.5
+    assert df.loc["b", "n_dup_docs"] == 1 and df.loc["b", "n_docs"] == 3
