@@ -198,15 +198,20 @@ def test_string_hash_array_call_sites_routing_only():
         for i, line in enumerate(f.read_text().splitlines(), 1):
             if "string_hash_array(" in line and "def string_hash_array" not in line:
                 sites.append((f.relative_to(pkg).as_posix(), i, line.strip()))
-    # every use must feed a % num_partitions -> __pid routing expression
+    # every use must reduce mod a partition count IN THE SAME EXPRESSION
+    # (pid assignments and pid_of closures alike) — an identity-bearing use
+    # would keep the full 64-bit value and fail this
     for path, ln, line in sites:
-        assert re.search(r"pid\s*=.*string_hash_array\(.*%", line), (
+        assert re.search(r"string_hash_array\(.*%\s*np\.uint64\(", line), (
             f"non-routing use of weak string_hash_array at {path}:{ln}: {line}\n"
             "Use string_hash_strong for anything identity-bearing."
         )
     # pin the audited inventory; update deliberately when adding a site
     got = {(p, "pid") for p, _, _ in sites}
-    assert got == {("pipelines/text_analysis.py", "pid")}, sites
+    assert got == {
+        ("pipelines/text_analysis.py", "pid"),
+        ("pipelines/events.py", "pid"),
+    }, sites
 
 
 def test_chunk_batch_kernel_edges():
