@@ -5126,3 +5126,177 @@ FROM s JOIN p ON s.user_id = p.user_id
 JOIN o os ON os.user_id = s.user_id AND os.rn = s.srn
 JOIN o op ON op.user_id = p.user_id AND op.rn = p.prn
 """
+
+
+# ---------------------------------------------------------------------------
+# DAY-OF-WEEK PROFILE — per (event_type, dow) volume and mean value: the
+# weekly-seasonality feature every traffic model conditions on. dow is
+# computed from the raw µs timestamp as ((ts_us // 86400e6) + 4) % 7
+# (1970-01-01 was a Thursday), which equals DuckDB's dayofweek(ts)
+# (Sunday = 0) for the non-negative fixture epoch. Counters and cents
+# are exact int64 through one type-keyed exchange; the single mean
+# divide closes on the 1e-6 grid with the SQL twin's float sequence.
+
+
+def dow_profile(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tu = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((tu // 86_400_000_000) + 4) % 7
+        cents = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": tbl.column("event_type"),
+                "dow": pa.array(dow, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["event_type", "dow"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+            .rename_columns(["event_type", "dow", "n", "cents"])
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["event_type", "dow"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["event_type", "dow", "n", "cents"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return (string_hash_strong(et) % np.uint64(16)).astype(np.int32)
+
+    partials = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    folded = exchange_fold(partials, fold, parts=16, pid_of=pid_of)
+    if folded is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "dow": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_value": pa.array([], pa.float64()),
+                    "mean_value": pa.array([], pa.float64()),
+                }
+            )
+        )
+    n = folded.column("n").to_numpy().astype(np.int64)
+    cents = folded.column("cents").to_numpy().astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": folded.column("event_type"),
+                "dow": folded.column("dow"),
+                "n_events": pa.array(n, pa.int64()),
+                "sum_value": pa.array(cents / 100.0, pa.float64()),
+                "mean_value": pa.array(
+                    np.floor(cents / 100.0 / n * 1e6 + 0.5) / 1e6, pa.float64()
+                ),
+            }
+        )
+    )
+
+
+DOW_PROFILE_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, dow, n AS n_events, cents / 100.0 AS sum_value,
+       floor(cents / 100.0 / n * 1e6 + 0.5) / 1e6 AS mean_value
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# MODAL EVENT TYPE — each user's most frequent event type (ties break to
+# the lexicographically smallest type, the deterministic contract), with
+# its count and share of the user's events. Per-(user, type) counters ride
+# ONE user-keyed exchange; inside each partition the winner falls out of a
+# single lexsort over (user, -count, type-code) — type codes come from
+# np.unique, whose code order IS lexicographic order, so no Python/string
+# comparisons in the hot path. Per-user rows stay distributed.
+
+
+def user_mode_type(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["user_id", "event_type", "c"])
+        )
+        uid = t.column("user_id").to_numpy()
+        c = t.column("c").to_numpy().astype(np.int64)
+        types, tcode = np.unique(
+            np.asarray(t.column("event_type").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        order = np.lexsort((tcode, -c, uid))
+        su, sc, st = uid[order], c[order], tcode[order]
+        head = np.ones(su.size, dtype=bool)
+        head[1:] = su[1:] != su[:-1]
+        gid = np.cumsum(head) - 1
+        n_user = np.zeros(int(gid[-1]) + 1 if su.size else 0, dtype=np.int64)
+        np.add.at(n_user, gid, sc)
+        top_c = sc[head]
+        share = np.floor(top_c / n_user.astype(np.float64) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array(su[head], pa.int64()),
+                "top_type": pa.array(
+                    [str(types[i]) for i in st[head]], pa.string()
+                ),
+                "n_top": pa.array(top_c, pa.int64()),
+                "share": pa.array(share, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+USER_MODE_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+), r AS (
+  SELECT user_id, event_type, c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT r.user_id, r.event_type AS top_type, r.c AS n_top,
+       floor(CAST(r.c AS DOUBLE) / u.n * 1e6 + 0.5) / 1e6 AS share
+FROM r JOIN u USING (user_id) WHERE rn = 1
+"""

@@ -5267,3 +5267,336 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 FROM d JOIN c USING (h)
 GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# URL STRUCTURE FEATURES — the webtext axis the flagship pages pipeline
+# routes on (host-keyed partitioning) exposed as a per-doc feature family.
+# The driver's `documents` fixture carries no URL column, so the query
+# derives one DETERMINISTICALLY from (doc_id, source) — the identical
+# construction expression lives in the SQL twin — and then both sides
+# PARSE it independently: the engine through functions/url.parse_urls
+# (pyarrow RE2 kernels), the oracle through DuckDB regexp_extract (also
+# RE2). Agreement therefore certifies the parser, not the constructor;
+# realistic URLs (ports, userinfo, IP hosts, fragments) are pinned by the
+# parse_urls pytest against urllib.parse.
+
+_URL_PATH_PREFIXES = np.array(["", "/d", "/d/d", "/d/d/d"])
+_URL_TLDS = np.array(["com", "org", "net", "io"])
+
+# shared construction expression (SQL side) — keep in lockstep with _synth_urls
+SYNTH_URL_SQL_EXPR = """
+  (CASE WHEN doc_id % 7 = 0 THEN 'http' ELSE 'https' END) || '://'
+  || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+  || source || '.example.'
+  || (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+           WHEN 2 THEN 'net' ELSE 'io' END)
+  || repeat('/d', CAST(doc_id % 4 AS INT)) || '/page-' || doc_id
+  || (CASE WHEN doc_id % 5 = 0 THEN '?ref=1' ELSE '' END)
+"""
+
+
+def _synth_urls(tbl: pa.Table) -> pa.Array:
+    """Deterministic URL per doc from (doc_id, source): scheme / www /
+    tld / path-depth / query-string all vary by doc_id residues."""
+    did = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    src = tbl.column("source")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    scheme = pa.array(np.where(did % 7 == 0, "http", "https"))
+    sub = pa.array(np.where(did % 3 == 0, "www.", ""))
+    tld = pa.array(_URL_TLDS[did % 4])
+    path = pa.array(_URL_PATH_PREFIXES[did % 4])
+    ids = pc.cast(tbl.column("doc_id"), pa.string())
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    q = pa.array(np.where(did % 5 == 0, "?ref=1", ""))
+    return pc.binary_join_element_wise(
+        scheme, "://", sub, src, ".example.", tld, path, "/page-", ids, q, ""
+    )
+
+
+def docs_url_parse(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, scheme, host, tld, has_www, path_depth, has_query, url_len):
+    per-doc URL structure features. Zero-shuffle map; flags as int64 0/1 so
+    the hash canon never sees engine-vs-oracle boolean dtype drift."""
+    from ..functions.url import parse_urls
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        parsed = parse_urls(_synth_urls(tbl))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "scheme": parsed.column("scheme"),
+                "host": parsed.column("host"),
+                "tld": parsed.column("tld"),
+                "has_www": parsed.column("has_www").cast(pa.int64()),
+                "path_depth": parsed.column("path_depth"),
+                "has_query": parsed.column("has_query").cast(pa.int64()),
+                "url_len": parsed.column("url_len"),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+DOCS_URL_PARSE_SQL = f"""
+WITH u AS (
+  SELECT doc_id, {SYNTH_URL_SQL_EXPR} AS url FROM documents
+), p AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1) AS scheme,
+         regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1) AS host,
+         regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(/[^?#]*)', 1) AS path
+  FROM u
+)
+SELECT doc_id, scheme, host,
+       regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+       CAST(CASE WHEN host LIKE 'www.%' THEN 1 ELSE 0 END AS BIGINT) AS has_www,
+       CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS path_depth,
+       CAST(CASE WHEN regexp_matches(url,
+              '^[A-Za-z][A-Za-z0-9+.\\-]*://[^?#]*\\?') THEN 1 ELSE 0 END
+            AS BIGINT) AS has_query,
+       CAST(length(url) AS BIGINT) AS url_len
+FROM p
+"""
+
+
+def docs_host_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per parsed host: doc count, distinct langs, total chars — the
+    domain-level aggregation every crawl-quality audit starts from.
+    Partials are (host, lang) counters per BLOCK; one host-keyed
+    exchange co-locates each host so per-host finalization (including
+    the exact distinct-lang count) is partition-local and the output
+    stays distributed (the user_rfm shape)."""
+    from ..functions.hashing import string_hash_strong
+    from ..functions.url import parse_urls
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        host = parse_urls(_synth_urls(tbl)).column("host")
+        t = pa.table(
+            {"host": host, "lang": tbl.column("lang"), "chars": tbl.column("n_chars")}
+        )
+        return (
+            t.group_by(["host", "lang"])
+            .aggregate([([], "count_all"), ("chars", "sum")])
+            .rename_columns(["host", "lang", "c", "chars"])
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        h = tbl.column("host")
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        pid = (string_hash_strong(h) % np.uint64(32)).astype(np.int32)
+        return tbl.append_column("partition_id", pa.array(pid))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["host", "lang"])
+            .aggregate([("c", "sum"), ("chars", "sum")])
+            .rename_columns(["host", "lang", "c", "chars"])
+        )
+        hosts, codes = np.unique(
+            np.asarray(t.column("host").to_pylist(), dtype=object), return_inverse=True
+        )
+        c = t.column("c").to_numpy().astype(np.int64)
+        ch = t.column("chars").to_numpy().astype(np.int64)
+        n = np.zeros(hosts.size, dtype=np.int64)
+        np.add.at(n, codes, c)
+        k = np.bincount(codes, minlength=hosts.size).astype(np.int64)
+        tot = np.zeros(hosts.size, dtype=np.int64)
+        np.add.at(tot, codes, ch)
+        return pa.table(
+            {
+                "host": pa.array([str(x) for x in hosts], pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+                "n_langs": pa.array(k, pa.int64()),
+                "sum_chars": pa.array(tot, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+DOCS_HOST_STATS_SQL = f"""
+WITH u AS (
+  SELECT doc_id, lang, n_chars, {SYNTH_URL_SQL_EXPR} AS url FROM documents
+), p AS (
+  SELECT regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^@/?#]*@)?([^:/?#]+)', 1) AS host,
+         lang, n_chars
+  FROM u
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM p GROUP BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# READABILITY — syllable-density / word-shape features (the Flesch-family
+# inputs; a standard webtext quality signal next to the Gopher rules).
+# Syllables are approximated as maximal [aeiouy]+ runs — the classic
+# heuristic — counted by ONE RE2 kernel over the lowercased text; DuckDB
+# counts the identical RE2 pattern, so parity is exact. Zero-shuffle map;
+# the two ratio columns close on the 1e-6 grid with the identical
+# float sequence on both sides.
+
+
+def docs_readability(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        n_words = pc.if_else(
+            nonempty, pc.add(pc.count_substring(text, " "), 1), 0
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lower = pc.utf8_lower(text)
+        n_syll = (
+            pc.count_substring_regex(lower, "[aeiouy]+")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n_chars = pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = n_words.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            spw = np.where(n_words > 0, np.floor(n_syll / w * 1e6 + 0.5) / 1e6, np.nan)
+            mwc = np.where(
+                n_words > 0,
+                np.floor((n_chars - (n_words - 1)) / w * 1e6 + 0.5) / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_syllables": pa.array(n_syll, pa.int64()),
+                "syll_per_word": pa.array(spw, pa.float64()),
+                "mean_word_chars": pa.array(mwc, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+DOCS_READABILITY_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(text) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables,
+       CASE WHEN n_words > 0
+            THEN floor(CAST(n_syllables AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS syll_per_word,
+       CASE WHEN n_words > 0
+            THEN floor(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words * 1e6
+                       + 0.5) / 1e6
+            ELSE NULL END AS mean_word_chars
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SIMPSON DIVERSITY BY SOURCE — unbiased Simpson index of each source's
+# language mix: 1 - sum c_i(c_i-1) / (n(n-1)). The numerator and both
+# count factors are exact int64 through one source-keyed exchange of
+# (source, lang) counters; a SINGLE float divide closes on the 1e-6 grid
+# (NULL for sources with n < 2, where the unbiased index is undefined).
+
+
+def docs_simpson_by_source(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_strong
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "c"])
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("source")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        pid = (string_hash_strong(s) % np.uint64(32)).astype(np.int32)
+        return tbl.append_column("partition_id", pa.array(pid))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["source", "lang"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["source", "lang", "c"])
+        )
+        srcs, codes = np.unique(
+            np.asarray(t.column("source").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        c = t.column("c").to_numpy().astype(np.int64)
+        n = np.zeros(srcs.size, dtype=np.int64)
+        np.add.at(n, codes, c)
+        k = np.bincount(codes, minlength=srcs.size).astype(np.int64)
+        num = np.zeros(srcs.size, dtype=np.int64)
+        np.add.at(num, codes, c * (c - 1))
+        nf = n.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            simpson = np.where(
+                n >= 2,
+                np.floor((1.0 - num / (nf * (n - 1))) * 1e6 + 0.5) / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "source": pa.array([str(x) for x in srcs], pa.string()),
+                "n_docs": pa.array(n, pa.int64()),
+                "n_langs": pa.array(k, pa.int64()),
+                "simpson": pa.array(simpson, pa.float64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+DOCS_SIMPSON_SQL = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), s AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS num
+  FROM c GROUP BY 1
+)
+SELECT source, n AS n_docs, k AS n_langs,
+       CASE WHEN n >= 2
+            THEN floor((1.0 - CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+                       * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS simpson
+FROM s
+"""
