@@ -5300,3 +5300,104 @@ SELECT r.user_id, r.event_type AS top_type, r.c AS n_top,
        floor(CAST(r.c AS DOUBLE) / u.n * 1e6 + 0.5) / 1e6 AS share
 FROM r JOIN u USING (user_id) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLING CORRELATION — per-event Pearson correlation between value and
+# hour-of-day over the trailing 8-row window (current + 7 preceding)
+# inside each user's time-ordered stream: the windowed bivariate analog
+# of the rolling scalar family (F1/F5), catching circadian spend drift as
+# it happens. All six moments (n, Sx, Sy, Sxx, Syy, Sxy) are exact int64
+# over cents x hour built from segment-reset prefix sums — no per-window
+# loop; the SQL twin aggregates the identical BIGINT moments through a
+# ROWS BETWEEN 7 PRECEDING window, and both sides close with the same
+# single float sequence on the 1e-6 grid. A runtime guard pins the int64
+# domain (|cents| <= 3e8 keeps n*Sxx within int64).
+
+ROLLING_CORR_WINDOW = 8
+
+
+def rolling_corr(sf_dir: str) -> ray.data.Dataset:
+    W = ROLLING_CORR_WINDOW
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        tu = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = np.round(
+            tbl.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        if x.size and int(np.abs(x).max()) > 300_000_000:
+            raise SchemaError(
+                "rolling_corr moment domain exceeded (|cents| > 3e8): "
+                "n*Sxx would risk int64 overflow vs the BIGINT oracle."
+            )
+        y = (tu // 3_600_000_000) % 24
+        head = _seg_head(uid)
+        idx = np.arange(uid.size, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(head, idx, 0))
+        start = np.maximum(seg_start, idx - (W - 1))
+        n = idx - start + 1
+
+        def wsum(v: np.ndarray) -> np.ndarray:
+            c = np.concatenate([[0], np.cumsum(v, dtype=np.int64)])
+            return c[idx + 1] - c[start]
+
+        sx, sy = wsum(x), wsum(y)
+        sxx, syy, sxy = wsum(x * x), wsum(y * y), wsum(x * y)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        num = n * sxy - sx * sy
+        ok = (n >= 2) & (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(
+                ok,
+                np.floor(
+                    num.astype(np.float64)
+                    / (np.sqrt(vx.astype(np.float64)) * np.sqrt(vy.astype(np.float64)))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "rc_n": pa.array(n, pa.int64()),
+                "rolling_corr": pa.array(r, pa.float64()),
+            }
+        )
+
+    return partitioned_ordered(
+        read_events(sf_dir, ["event_id", "ts", "user_id", "value"]), kernel
+    )
+
+
+ROLLING_CORR_SQL = """
+WITH b AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS y
+  FROM events
+), w AS (
+  SELECT event_id, user_id,
+         CAST(count(*) OVER win AS BIGINT) AS n,
+         CAST(sum(x) OVER win AS BIGINT) AS sx,
+         CAST(sum(y) OVER win AS BIGINT) AS sy,
+         CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+         CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+         CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+  FROM b
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, n AS rc_n,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS rolling_corr
+FROM w
+"""

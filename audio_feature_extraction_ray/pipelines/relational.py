@@ -3534,3 +3534,93 @@ SELECT p_a, p_b, n_ab,
 FROM top JOIN pcounts ca ON p_a = ca.pk JOIN pcounts cb ON p_b = cb.pk, n
 ORDER BY n_ab DESC, p_a, p_b
 """
+
+
+# ---------------------------------------------------------------------------
+# ORDER GAP STATS — per-customer inter-order cadence over the orders
+# table (the RFM "recency rhythm" feature on the relational side of the
+# house): number of orders, mean and max gap in whole days between
+# consecutive orders. One custkey-keyed exchange; inside each partition
+# a single lexsort over (custkey, orderdate, orderkey) + segment diffs —
+# no per-customer loop. Orderdates are midnight-aligned timestamps, so
+# the day gap is exact integer division; gap sums/maxima over a sorted
+# sequence are tie-order independent, making the oracle hash-exact. The
+# single mean divide closes on the 1e-6 grid (NULL for single-order
+# customers, where no gap exists).
+
+
+def orders_gap_stats(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    def tag(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pid = ((k * _GOLD) >> np.uint64(33)) % np.uint64(num_partitions)
+        return tbl.append_column("partition_id", pa.array(pid.astype(np.int32)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["partition_id"])
+        cust = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+        tu = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        key = tbl.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, tu, cust))
+        sc, st = cust[order], tu[order]
+        head = np.ones(sc.size, dtype=bool)
+        head[1:] = sc[1:] != sc[:-1]
+        gid = np.cumsum(head) - 1
+        n_cust = int(gid[-1]) + 1 if sc.size else 0
+        n_orders = np.bincount(gid, minlength=n_cust).astype(np.int64)
+        gap = np.empty(sc.size, dtype=np.int64)
+        gap[1:] = (st[1:] - st[:-1]) // 86_400_000_000
+        has_prev = ~head
+        sum_gap = np.zeros(n_cust, dtype=np.int64)
+        np.add.at(sum_gap, gid[has_prev], gap[has_prev])
+        max_gap = np.full(n_cust, -1, dtype=np.int64)
+        np.maximum.at(max_gap, gid[has_prev], gap[has_prev])
+        multi = n_orders >= 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_gap = np.where(
+                multi,
+                np.floor(sum_gap / (n_orders - 1).astype(np.float64) * 1e6 + 0.5) / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "custkey": pa.array(sc[head], pa.int64()),
+                "n_orders": pa.array(n_orders, pa.int64()),
+                "mean_gap_days": pa.array(mean_gap, pa.float64()),
+                "max_gap_days": pa.Array.from_pandas(
+                    np.where(multi, max_gap.astype(np.float64), np.nan)
+                ).cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+ORDERS_GAP_STATS_SQL = """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS tu,
+         lag(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), g AS (
+  SELECT o_custkey, (tu - prev) // 86400000000 AS gap
+  FROM o WHERE prev IS NOT NULL
+), s AS (
+  SELECT o_custkey, CAST(sum(gap) AS BIGINT) AS sg,
+         CAST(count(*) AS BIGINT) AS c, CAST(max(gap) AS BIGINT) AS mx
+  FROM g GROUP BY 1
+), n AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1
+)
+SELECT n.o_custkey AS custkey, n.n_orders,
+       CASE WHEN n.n_orders >= 2
+            THEN floor(CAST(s.sg AS DOUBLE) / s.c * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS mean_gap_days,
+       s.mx AS max_gap_days
+FROM n LEFT JOIN s ON n.o_custkey = s.o_custkey
+"""

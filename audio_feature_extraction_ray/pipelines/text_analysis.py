@@ -5600,3 +5600,135 @@ SELECT source, n AS n_docs, k AS n_langs,
             ELSE NULL END AS simpson
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# HAPAX RATIO — per-doc share of tokens that are corpus-hapax (global
+# count exactly 1): the lexical-novelty feature (high ratio flags OCR
+# noise / gibberish; near-zero flags template spam). Token convention
+# here is raw string_split(text, ' ') INCLUDING the '' token an empty
+# text produces — the SQL twin unnests the identical split, so both
+# sides share one denominator. Scale shape: NO hapax-set broadcast (the
+# hapax vocabulary is corpus-sized); instead (token, doc_id) occurrence
+# counters ride ONE token-keyed exchange (the dsir_weights idiom) — a
+# token's global count closes inside its partition, and hapax survivors
+# (globally unique, hence owned by exactly one doc) re-key by doc through
+# a second counters-only exchange that unions with the per-doc token
+# totals, so per-doc rows stay distributed end-to-end.
+
+
+def docs_hapax_ratio(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    def pair_partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        did = np.repeat(
+            tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64), nl
+        )
+        t = pa.table({"token": flat, "doc_id": pa.array(did, pa.int64())})
+        g = (
+            t.group_by(["token", "doc_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "doc_id", "c"])
+        )
+        tok = g.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        pid = (string_hash_array(tok) % np.uint64(VOCAB_PARTS)).astype(np.int32)
+        return g.append_column("__pid", pa.array(pid))
+
+    def hapax_per_doc(tbl: pa.Table) -> pa.Table:
+        # token co-located: global count = sum over (token, doc) pairs
+        t = (
+            tbl.drop_columns(["__pid"])
+            .group_by(["token", "doc_id"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["token", "doc_id", "c"])
+        )
+        g = (
+            t.group_by("token")
+            .aggregate([("c", "sum")])
+            .rename_columns(["token", "gc"])
+        )
+        j = t.join(g, keys=["token"])
+        j = j.filter(pc.equal(j.column("gc"), 1))
+        # a hapax occurs once in one doc -> (doc_id, 1) counters
+        return pa.table(
+            {
+                "doc_id": j.column("doc_id"),
+                "n_tokens": pa.array(np.zeros(j.num_rows, dtype=np.int64)),
+                "n_hapax": pa.array(np.ones(j.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def ntok_partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nl = pc.list_value_length(toks).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": nl,
+                "n_hapax": pa.array(np.zeros(tbl.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by("doc_id")
+            .aggregate([("n_tokens", "sum"), ("n_hapax", "sum")])
+            .rename_columns(["doc_id", "n_tokens", "n_hapax"])
+        )
+        nt = t.column("n_tokens").to_numpy().astype(np.int64)
+        nh = t.column("n_hapax").to_numpy().astype(np.int64)
+        ratio = np.floor(nh / nt.astype(np.float64) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "n_hapax": pa.array(nh, pa.int64()),
+                "hapax_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    def tag_doc(tbl: pa.Table) -> pa.Table:
+        did = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pid = ((did * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % np.uint64(32)
+        return tbl.append_column("partition_id", pa.array(pid.astype(np.int32)))
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    hapax = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(hapax_per_doc, batch_format="pyarrow")
+    )
+    ntok = docs.map_batches(ntok_partial, batch_format="pyarrow")
+    return (
+        ntok.union(hapax)
+        .map_batches(tag_doc, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+DOCS_HAPAX_RATIO_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1
+), h AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hapax
+  FROM t JOIN c USING (token) WHERE c.c = 1 GROUP BY 1
+), n AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1
+)
+SELECT n.doc_id, n.n_tokens, coalesce(h.n_hapax, 0) AS n_hapax,
+       floor(CAST(coalesce(h.n_hapax, 0) AS DOUBLE) / n.n_tokens * 1e6 + 0.5)
+         / 1e6 AS hapax_ratio
+FROM n LEFT JOIN h USING (doc_id)
+"""

@@ -261,3 +261,167 @@ def test_session4_ops_empty_and_single_row_inputs(ray_session, tmp_path):
             res = fn(sfd)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             assert len(df) <= n, (fn.__name__, len(df))
+
+
+def test_rolling_corr_matches_naive_window(ray_session, tmp_path):
+    """Naive per-row trailing-8 Pearson (numpy corrcoef) over interleaved
+    users and duplicate timestamps equals the segment-prefix kernel."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        ROLLING_CORR_WINDOW,
+        rolling_corr,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(300):
+        uid = int(rng.integers(0, 6))
+        ts = int(rng.integers(0, 50)) * 3_600_000_000  # hour grid, many ties
+        rows.append((i, ts, uid, "e", float(np.round(rng.normal(50, 20), 2))))
+    sf = _events_fixture(tmp_path, rows, "sfrc")
+    df = rolling_corr(sf).to_pandas().set_index("event_id")
+
+    by_user = collections.defaultdict(list)
+    for eid, ts, uid, _, val in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user[uid].append((eid, ts, val))
+    for uid, seq in by_user.items():
+        for i, (eid, ts, val) in enumerate(seq):
+            w = seq[max(0, i - (ROLLING_CORR_WINDOW - 1)) : i + 1]
+            x = np.array([int(round(v * 100)) for _, _, v in w], dtype=np.int64)
+            y = np.array([(t // 3_600_000_000) % 24 for _, t, _ in w], dtype=np.int64)
+            n = len(w)
+            assert df.loc[eid, "rc_n"] == n
+            vx = n * (x * x).sum() - x.sum() ** 2
+            vy = n * (y * y).sum() - y.sum() ** 2
+            if n < 2 or vx <= 0 or vy <= 0:
+                assert np.isnan(df.loc[eid, "rolling_corr"]), eid
+            else:
+                num = n * (x * y).sum() - x.sum() * y.sum()
+                want = np.floor(num / (np.sqrt(vx) * np.sqrt(vy)) * 1e6 + 0.5) / 1e6
+                assert df.loc[eid, "rolling_corr"] == want, eid
+
+
+def test_hapax_ratio_known_corpus(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_hapax_ratio
+
+    # corpus: 'unique1' and 'unique2' are hapax; 'the' appears 3x; 'cat' 2x
+    sf = _docs_fixture(
+        tmp_path,
+        ["the cat unique1", "the cat", "the unique2"],
+        name="sfhapax",
+    )
+    df = docs_hapax_ratio(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["n_tokens"].tolist() == [3, 2, 2]
+    assert df["n_hapax"].tolist() == [1, 0, 1]
+    assert df["hapax_ratio"].tolist() == [
+        np.floor(1 / 3 * 1e6 + 0.5) / 1e6,
+        0.0,
+        0.5,
+    ]
+
+
+def test_hapax_ratio_empty_text_token_convention(ray_session, tmp_path):
+    """'' splits to the single empty token; if exactly one doc is empty that
+    token is corpus-hapax (the documented string_split convention)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_hapax_ratio
+
+    sf = _docs_fixture(tmp_path, ["", "a a"], name="sfhapax0")
+    df = docs_hapax_ratio(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["n_tokens"].tolist() == [1, 2]
+    assert df["n_hapax"].tolist() == [1, 0]
+
+
+def test_orders_gap_stats_known_values(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.relational import orders_gap_stats
+
+    day = 86_400_000_000
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+            "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+            "o_orderdate": pa.array(
+                [0, 3 * day, 10 * day, 5 * day, 5 * day], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 5, pa.string()),
+        }
+    )
+    sf = tmp_path / "sfgap"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "orders.parquet", row_group_size=2)
+    df = (
+        orders_gap_stats(str(sf))
+        .to_pandas()
+        .sort_values("custkey")
+        .reset_index(drop=True)
+    )
+    # cust 7: gaps 3, 7 -> mean 5, max 7; cust 9: duplicate dates -> gap 0
+    assert df["custkey"].tolist() == [7, 9]
+    assert df["n_orders"].tolist() == [3, 2]
+    assert df["mean_gap_days"].tolist() == [5.0, 0.0]
+    assert df["max_gap_days"].tolist() == [7, 0]
+
+
+def test_wave2_ops_empty_and_single_row_inputs(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import rolling_corr
+    from audio_feature_extraction_ray.pipelines.relational import orders_gap_stats
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_hapax_ratio
+
+    for n in (0, 1):
+        rows = [(0, 1, 1, "a", 1.0)][:n]
+        if n:
+            sfe = _events_fixture(tmp_path, rows, f"sfw2e{n}")
+        else:
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "props": pa.array([], pa.string()),
+                }
+            )
+            d = tmp_path / "sfw2e0"
+            d.mkdir(exist_ok=True)
+            pq.write_table(tbl, d / "events.parquet")
+            sfe = str(d)
+        assert len(rolling_corr(sfe).to_pandas()) == n
+
+        texts = ["solo text"][:n]
+        if n:
+            sfd = _docs_fixture(tmp_path, texts, name=f"sfw2d{n}")
+        else:
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+            d = tmp_path / "sfw2d0"
+            d.mkdir(exist_ok=True)
+            pq.write_table(tbl, d / "documents.parquet")
+            sfd = str(d)
+        assert len(docs_hapax_ratio(sfd).to_pandas()) == n
+
+        otbl = pa.table(
+            {
+                "o_orderkey": pa.array([1][:n], pa.int64()),
+                "o_custkey": pa.array([1][:n], pa.int64()),
+                "o_orderstatus": pa.array(["O"][:n], pa.string()),
+                "o_totalprice": pa.array([1.0][:n], pa.float64()),
+                "o_orderdate": pa.array([0][:n], pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"][:n], pa.string()),
+            }
+        )
+        d = tmp_path / f"sfw2o{n}"
+        d.mkdir(exist_ok=True)
+        pq.write_table(otbl, d / "orders.parquet")
+        gdf = orders_gap_stats(str(d)).to_pandas()
+        assert len(gdf) == n
+        if n:
+            assert np.isnan(gdf["mean_gap_days"][0])
+            assert gdf["max_gap_days"].isna().all()
