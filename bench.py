@@ -311,6 +311,15 @@ def run_bench() -> dict:
         ("events_time_to_convert", events.time_to_convert),
         ("doc_sentence_stats", text_analysis.doc_sentence_stats),
         ("docs_dup_rate_by_source", text_analysis.docs_dup_rate_by_source),
+        ("events_dow_profile", events.dow_profile),
+        ("events_user_mode_type", events.user_mode_type),
+        ("events_rolling_corr", events.rolling_corr),
+        ("docs_url_parse", text_analysis.docs_url_parse),
+        ("docs_host_stats", text_analysis.docs_host_stats),
+        ("docs_readability", text_analysis.docs_readability),
+        ("docs_simpson_by_source", text_analysis.docs_simpson_by_source),
+        ("docs_hapax_ratio", text_analysis.docs_hapax_ratio),
+        ("orders_gap_stats", relational.orders_gap_stats),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],
