@@ -1533,7 +1533,10 @@ FROM d GROUP BY event_type, qlo, qhi
 # the bounded (types x types) partials fold on the driver.
 
 
-def session_transitions(sf_dir: str):
+def _transition_counts(sf_dir: str) -> ray.data.Dataset:
+    """Distributed within-session (prev_type, next_type, n) partials —
+    bounded at types^2 rows per partition. Shared by session_transitions
+    (driver fold) and transition_entropy (prev-keyed exchange_fold)."""
     ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
     def kernel(tbl: pa.Table) -> pa.Table:
@@ -1572,8 +1575,13 @@ def session_transitions(sf_dir: str):
             }
         )
 
+    return partitioned_ordered(ds, kernel)
+
+
+def session_transitions(sf_dir: str):
     agg: dict[tuple[str, str], int] = {}
-    for r in partitioned_ordered(ds, kernel).take_all():  # bounded: types^2 x partitions
+    # bounded: types^2 x partitions
+    for r in _transition_counts(sf_dir).take_all():
         key = (r["prev_type"], r["next_type"])
         agg[key] = agg.get(key, 0) + int(r["n"])
     rows = [(a, b, c) for (a, b), c in sorted(agg.items())]
@@ -5400,4 +5408,91 @@ SELECT event_id, user_id, n AS rc_n,
                        * 1e6 + 0.5) / 1e6
             ELSE NULL END AS rolling_corr
 FROM w
+"""
+
+
+# ---------------------------------------------------------------------------
+# TRANSITION ENTROPY — conditional next-type entropy H(next | prev) per
+# previous event type, computed over the SAME within-session transition
+# pairs as session_transitions (gap rule shared by construction: the op
+# consumes that dataset, so the two can never drift). Exactness is the
+# user_entropy discipline: c*ln(c) terms on the 1e-12 integer grid
+# before summation, one prev-keyed exchange_fold, final close on the
+# 1e-6 grid with the SQL twin's literal expression.
+
+
+def transition_entropy(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["prev_type", "next_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        p = tbl.column("prev_type")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        return (string_hash_strong(p) % np.uint64(16)).astype(np.int32)
+
+    folded = exchange_fold(_transition_counts(sf_dir), fold, parts=16, pid_of=pid_of)
+    if folded is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "prev_type": pa.array([], pa.string()),
+                    "n_transitions": pa.array([], pa.int64()),
+                    "n_next_types": pa.array([], pa.int64()),
+                    "cond_entropy": pa.array([], pa.float64()),
+                }
+            )
+        )
+    prev = np.asarray(folded.column("prev_type").to_pylist(), dtype=object)
+    c = folded.column("n").to_numpy().astype(np.int64)
+    uniq, codes = np.unique(prev, return_inverse=True)
+    n = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(n, codes, c)
+    k = np.bincount(codes, minlength=uniq.size).astype(np.int64)
+    term = np.floor(
+        c.astype(np.float64) * np.log(c.astype(np.float64)) * ENTROPY_GRID + 0.5
+    ).astype(np.int64)
+    tsum = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(tsum, codes, term)
+    h = np.floor(
+        (np.log(n.astype(np.float64)) - (tsum / ENTROPY_GRID) / n) * 1e6 + 0.5
+    ) / 1e6
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "prev_type": pa.array([str(x) for x in uniq], pa.string()),
+                "n_transitions": pa.array(n, pa.int64()),
+                "n_next_types": pa.array(k, pa.int64()),
+                "cond_entropy": pa.array(h, pa.float64()),
+            }
+        )
+    )
+
+
+TRANSITION_ENTROPY_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER w AS prev_type,
+         date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS dt_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), c AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS c
+  FROM g WHERE prev_type IS NOT NULL AND dt_s <= {SESSION_GAP_S}
+  GROUP BY 1, 2
+), u AS (
+  SELECT prev_type, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(floor(c * ln(c) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS t
+  FROM c GROUP BY 1
+)
+SELECT prev_type, n AS n_transitions, k AS n_next_types,
+       floor((ln(n) - (t / 1e12) / n) * 1e6 + 0.5) / 1e6 AS cond_entropy
+FROM u
 """

@@ -5732,3 +5732,128 @@ SELECT n.doc_id, n.n_tokens, coalesce(h.n_hapax, 0) AS n_hapax,
          / 1e6 AS hapax_ratio
 FROM n LEFT JOIN h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# TYPE-TOKEN RATIO — per-doc lexical diversity (distinct tokens / total
+# tokens), the classic TTR quality input. Zero-shuffle: a doc's tokens
+# live inside its own row, so per-row distinct counts fall out of ONE
+# lexsort over (row, token-code) + adjacent-change counting — no Python
+# loop, no hash sets. Token convention matches the token_stats contract
+# (single-space split; 0 tokens for empty text), and the ratio closes on
+# the 1e-6 grid with the SQL twin's float sequence.
+
+
+def docs_ttr(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        ntok = (
+            pc.if_else(nonempty, pc.add(pc.count_substring(text, " "), 1), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        toks = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        de = pc.dictionary_encode(flat)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        raw_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), raw_len)
+        order = np.lexsort((codes, rid))
+        sr, sc = rid[order], codes[order]
+        new = np.ones(sr.size, dtype=bool)
+        new[1:] = (sr[1:] != sr[:-1]) | (sc[1:] != sc[:-1])
+        n_distinct = np.zeros(tbl.num_rows, dtype=np.int64)
+        np.add.at(n_distinct, sr[new], 1)
+        # empty text splits to the '' token; the token_stats contract says
+        # 0 tokens, so zero the distinct count there too
+        n_distinct = np.where(ntok > 0, n_distinct, 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ttr = np.where(
+                ntok > 0,
+                np.floor(n_distinct / ntok.astype(np.float64) * 1e6 + 0.5) / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "ttr": pa.array(ttr, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+
+DOCS_TTR_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE length(text) > 0
+), a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+  FROM t GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       CASE WHEN a.n_tokens > 0
+            THEN floor(CAST(a.n_distinct AS DOUBLE) / a.n_tokens * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS ttr
+FROM documents d LEFT JOIN a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# COMPRESSION RATIO — per-doc zlib compressibility (compressed bytes /
+# raw bytes), the Gopher/Dolma-class redundancy signal (template spam
+# compresses far below organic prose). No SQL twin — DuckDB has no
+# zlib — so this is a rows-only entry pinned by a pytest that (a)
+# compares the batch kernel against direct per-doc zlib.compress and
+# (b) asserts the planted ordering repetitive < organic < random. The
+# per-row zlib call is a C-level compress on the UTF-8 bytes (the loop
+# body is not Python arithmetic); level is FIXED at 6 so results are
+# reproducible across runs and match the oracle pytest byte-for-byte.
+
+COMPRESSION_LEVEL = 6
+
+
+def docs_compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    import zlib
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        raw = text.to_pylist()
+        n_raw = np.empty(len(raw), dtype=np.int64)
+        n_comp = np.empty(len(raw), dtype=np.int64)
+        for i, s in enumerate(raw):
+            b = s.encode("utf-8")
+            n_raw[i] = len(b)
+            n_comp[i] = len(zlib.compress(b, COMPRESSION_LEVEL))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ratio = np.where(
+                n_raw > 0,
+                np.floor(n_comp / n_raw.astype(np.float64) * 1e6 + 0.5) / 1e6,
+                np.nan,
+            )
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_raw_bytes": pa.array(n_raw, pa.int64()),
+                "n_zlib_bytes": pa.array(n_comp, pa.int64()),
+                "compression_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow"
+    )

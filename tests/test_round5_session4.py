@@ -425,3 +425,118 @@ def test_wave2_ops_empty_and_single_row_inputs(ray_session, tmp_path):
         if n:
             assert np.isnan(gdf["mean_gap_days"][0])
             assert gdf["max_gap_days"].isna().all()
+
+
+def test_compression_ratio_matches_zlib(ray_session, tmp_path):
+    """Rows-only op: the batch kernel equals direct per-doc zlib.compress
+    at the FIXED level, and planted redundancy orders as repetitive <
+    organic < random."""
+    import zlib
+
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        COMPRESSION_LEVEL,
+        docs_compression_ratio,
+    )
+
+    rng = np.random.default_rng(3)
+    organic = " ".join(
+        ["the", "a", "data", "web", "page", "crawl"][int(i)]
+        for i in rng.integers(0, 6, 200)
+    )
+    rand = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 600))
+    texts = ["spam " * 200, organic, rand, ""]
+    sf = _docs_fixture(tmp_path, texts, name="sfzlib")
+    df = (
+        docs_compression_ratio(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        assert df["n_raw_bytes"][i] == len(b)
+        assert df["n_zlib_bytes"][i] == len(zlib.compress(b, COMPRESSION_LEVEL))
+    assert df["compression_ratio"][0] < df["compression_ratio"][1] < df[
+        "compression_ratio"
+    ][2]
+    assert np.isnan(df["compression_ratio"][3])
+
+
+def test_ttr_known_values(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import docs_ttr
+
+    sf = _docs_fixture(
+        tmp_path, ["a b a b a", "x y z", "", "same same same"], name="sfttr"
+    )
+    df = docs_ttr(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["n_tokens"].tolist() == [5, 3, 0, 3]
+    assert df["n_distinct"].tolist() == [2, 3, 0, 1]
+    assert df["ttr"][0] == 0.4 and df["ttr"][1] == 1.0 and np.isnan(df["ttr"][2])
+    assert df["ttr"][3] == np.floor(1 / 3 * 1e6 + 0.5) / 1e6
+
+
+def test_transition_entropy_point_mass_and_uniform(ray_session, tmp_path):
+    """prev with ONE next type -> H = 0; prev with two equally likely
+    next types -> H = ln 2 (all transitions inside one session)."""
+    from audio_feature_extraction_ray.pipelines.events import transition_entropy
+
+    s = 1_000_000  # 1 s steps, well under the session gap
+    rows, eid = [], 0
+    # user 1: a->b, a->b (point mass); interleave b->a so 'b' has one next
+    seq1 = ["a", "b", "a", "b"]
+    for i, t in enumerate(seq1):
+        rows.append((eid, i * s, 1, t, 1.0)); eid += 1
+    # user 2: c->x, c->y, c->x, c->y via alternating returns to c
+    # (letters disjoint from user 1 so 'a' keeps a single next type)
+    seq2 = ["c", "x", "c", "y", "c", "x", "c", "y", "c"]
+    for i, t in enumerate(seq2):
+        rows.append((eid, i * s, 2, t, 1.0)); eid += 1
+    df = (
+        transition_entropy(_events_fixture(tmp_path, rows, "sfte"))
+        .to_pandas()
+        .set_index("prev_type")
+    )
+    assert df.loc["a", "cond_entropy"] == 0.0          # a -> always b
+    assert df.loc["c", "n_next_types"] == 2
+    want = np.floor(np.log(2) * 1e6 + 0.5) / 1e6
+    assert df.loc["c", "cond_entropy"] == want
+
+
+def test_wave3_ops_empty_inputs(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import transition_entropy
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        docs_compression_ratio,
+        docs_ttr,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    d = tmp_path / "sfw3d0"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, d / "documents.parquet")
+    assert len(docs_ttr(str(d)).to_pandas()) == 0
+    assert len(docs_compression_ratio(str(d)).to_pandas()) == 0
+
+    etbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    d = tmp_path / "sfw3e0"
+    d.mkdir(exist_ok=True)
+    pq.write_table(etbl, d / "events.parquet")
+    res = transition_entropy(str(d))
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) == 0
