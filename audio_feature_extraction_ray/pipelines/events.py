@@ -5496,3 +5496,113 @@ SELECT prev_type, n AS n_transitions, k AS n_next_types,
        floor((ln(n) - (t / 1e12) / n) * 1e6 + 0.5) / 1e6 AS cond_entropy
 FROM u
 """
+
+
+# ---------------------------------------------------------------------------
+# NEAREST AS-OF JOIN — the direction='nearest' member completing the
+# as-of family (backward=asof_join, forward=asof_join_forward,
+# tolerance=asof_join_tolerance): each event takes the purchase signal
+# minimizing |sig_ts - ts| within the same user, backward winning exact
+# distance ties. Both directional candidates come from the SAME two
+# carried-index scans the directional ops use (one ascending for "<=",
+# one reversed for ">="), then a vectorized pick — no new join
+# machinery. Tie contract, engine == SQL by construction: backward
+# candidate maximizes (sig_ts, is-self, sig_id), forward minimizes
+# (sig_ts, NOT is-self, sig_id) — "is-self" because a purchase event is
+# its own zero-distance match on both sides (the asof_join "<=" rule).
+# nearest_dt_us is SIGNED (sig_ts - ts): direction falls out of the sign.
+
+
+def asof_join_nearest(sf_dir: str) -> ray.data.Dataset:
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        eid = tbl.column("event_id").to_numpy()
+        val = tbl.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        is_sig = pc.equal(tbl.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        ar = np.arange(n)
+
+        def scan(order: np.ndarray):
+            u2, t2, s2, v2 = uid[order], ts[order], is_sig[order], val[order]
+            head2 = _seg_head(u2)
+            last_s = np.where(s2, ar, -1)
+            np.maximum.accumulate(last_s, out=last_s)
+            seg_start = _propagate_last(np.where(head2, ar, 0), head2)
+            ok2 = last_s >= seg_start
+            v = np.full(n, np.nan)
+            v[ok2] = v2[last_s[ok2]]
+            t = np.zeros(n, dtype=np.int64)
+            t[ok2] = t2[last_s[ok2]]
+            vv = np.empty(n)
+            tt = np.empty(n, dtype=np.int64)
+            oo = np.empty(n, dtype=bool)
+            vv[order], tt[order], oo[order] = v, t, ok2
+            return vv, tt, oo
+
+        # backward: signals BEFORE events at equal ts, eid asc -> carried
+        # pick = max (sig_ts, is-self, sig_id)  (the asof_join ordering)
+        bv, bt, bok = scan(np.lexsort((eid, np.where(is_sig, 0, 1), ts, uid)))
+        # forward: reversed scan -> pick = min (sig_ts, not-self, sig_id)
+        fv, ft, fok = scan(np.lexsort((eid, np.where(is_sig, 1, 0), ts, uid))[::-1])
+
+        bdt = ts - bt  # >= 0 where bok
+        fdt = ft - ts  # >= 0 where fok
+        use_b = bok & (~fok | (bdt <= fdt))
+        ok = bok | fok
+        value = np.where(use_b, bv, fv)
+        dt = np.where(use_b, -bdt, fdt)
+        value = np.where(ok, value, np.nan)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "ts": tbl.column("ts"),
+                "nearest_purchase_value": pa.array(value, pa.float64()),
+                "nearest_dt_us": pa.Array.from_pandas(
+                    np.where(ok, dt.astype(np.float64), np.nan)
+                ).cast(pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(read_events(sf_dir), kernel)
+
+
+ASOF_NEAREST_SQL = """
+WITH sigs AS (
+  SELECT event_id AS sig_id, user_id, ts AS sig_ts, value AS sig_value
+  FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT e.event_id, s.sig_value, s.sig_ts,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY s.sig_ts DESC,
+                                     (s.sig_id = e.event_id) DESC,
+                                     s.sig_id DESC) AS rn
+  FROM events e JOIN sigs s ON s.user_id = e.user_id AND s.sig_ts <= e.ts
+), f AS (
+  SELECT e.event_id, s.sig_value, s.sig_ts,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY s.sig_ts ASC,
+                                     (s.sig_id = e.event_id) DESC,
+                                     s.sig_id ASC) AS rn
+  FROM events e JOIN sigs s ON s.user_id = e.user_id AND s.sig_ts >= e.ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN b.sig_ts IS NOT NULL
+                 AND (f.sig_ts IS NULL
+                      OR epoch_us(e.ts) - epoch_us(b.sig_ts)
+                         <= epoch_us(f.sig_ts) - epoch_us(e.ts))
+            THEN b.sig_value ELSE f.sig_value END AS nearest_purchase_value,
+       CASE WHEN b.sig_ts IS NOT NULL
+                 AND (f.sig_ts IS NULL
+                      OR epoch_us(e.ts) - epoch_us(b.sig_ts)
+                         <= epoch_us(f.sig_ts) - epoch_us(e.ts))
+            THEN CAST(epoch_us(b.sig_ts) - epoch_us(e.ts) AS BIGINT)
+            ELSE CAST(epoch_us(f.sig_ts) - epoch_us(e.ts) AS BIGINT)
+            END AS nearest_dt_us
+FROM events e
+LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_id)
+LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_id)
+"""

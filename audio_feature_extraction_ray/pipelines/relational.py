@@ -3624,3 +3624,88 @@ SELECT n.o_custkey AS custkey, n.n_orders,
        s.mx AS max_gap_days
 FROM n LEFT JOIN s ON n.o_custkey = s.o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# MONTHLY VOLUME — per calendar (year, month): order count, revenue, and
+# EXACT distinct customers; the monthly-cohort rollup every partitioned
+# lake keys its directories on. Calendar math is the vectorized
+# civil-from-days kernel (functions/dates) — no Python datetime per row —
+# which equals DuckDB's year()/month() on the proleptic Gregorian
+# calendar. Distinct custkeys ride the exchange as per-block-deduped
+# (y, m, custkey) rows keyed by MONTH, so each month's customer set
+# closes inside one partition (months are bounded; a 10^12-row corpus
+# still has only ~10^2 of them, and per-month customer rows are the
+# true output cardinality, not a blow-up).
+
+
+def orders_monthly_volume(sf_dir: str, num_partitions: int = 32) -> ray.data.Dataset:
+    from ..functions.dates import year_month_from_us
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        tu = tbl.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y, m = year_month_from_us(tu)
+        cents = _cents(tbl.column("o_totalprice").to_numpy(zero_copy_only=False))
+        t = pa.table(
+            {
+                "y": pa.array(y, pa.int64()),
+                "m": pa.array(m, pa.int64()),
+                "custkey": tbl.column("o_custkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["y", "m", "custkey"])
+            .aggregate([([], "count_all"), ("cents", "sum")])
+            .rename_columns(["y", "m", "custkey", "n", "cents"])
+        )
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        ym = (
+            tbl.column("y").to_numpy() * 12 + tbl.column("m").to_numpy()
+        ).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pid = ((ym * _GOLD) >> np.uint64(33)) % np.uint64(num_partitions)
+        return tbl.append_column("partition_id", pa.array(pid.astype(np.int32)))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = (
+            tbl.drop_columns(["partition_id"])
+            .group_by(["y", "m", "custkey"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["y", "m", "custkey", "n", "cents"])
+        )
+        ym = t.column("y").to_numpy() * 100 + t.column("m").to_numpy()
+        keys, codes = np.unique(ym, return_inverse=True)
+        n = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(n, codes, t.column("n").to_numpy().astype(np.int64))
+        cents = np.zeros(keys.size, dtype=np.int64)
+        np.add.at(cents, codes, t.column("cents").to_numpy().astype(np.int64))
+        ncust = np.bincount(codes, minlength=keys.size).astype(np.int64)
+        return pa.table(
+            {
+                "year": pa.array(keys // 100, pa.int64()),
+                "month": pa.array(keys % 100, pa.int64()),
+                "n_orders": pa.array(n, pa.int64()),
+                "sum_price": pa.array(cents / 100.0, pa.float64()),
+                "n_customers": pa.array(ncust, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST(month(o_orderdate) AS BIGINT) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_price,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY 1, 2
+"""

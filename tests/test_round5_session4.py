@@ -7,6 +7,7 @@ test_queries_oracle harness; these tests pin what SQL equality can't see
 (parser behavior on hostile URLs, tie-break determinism, dow arithmetic)."""
 
 import collections
+import pandas as pd
 import urllib.parse
 
 import numpy as np
@@ -540,3 +541,89 @@ def test_wave3_ops_empty_inputs(ray_session, tmp_path):
     res = transition_entropy(str(d))
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) == 0
+
+
+def test_civil_from_days_matches_datetime_sweep():
+    import datetime
+
+    from audio_feature_extraction_ray.functions.dates import civil_from_days
+
+    days = np.arange(-150_000, 150_000, 13, dtype=np.int64)  # ~820 years
+    y, m, d = civil_from_days(days)
+    epoch = datetime.date(1970, 1, 1)
+    for i in range(days.size):
+        want = epoch + datetime.timedelta(days=int(days[i]))
+        assert (int(y[i]), int(m[i]), int(d[i])) == (
+            want.year,
+            want.month,
+            want.day,
+        ), int(days[i])
+
+
+def test_asof_nearest_tie_and_direction_rules(ray_session, tmp_path):
+    """Backward wins exact-distance ties; a purchase matches itself at
+    dt 0; duplicate same-(user, ts) purchases pin the sig_id tie rules."""
+    from audio_feature_extraction_ray.pipelines.events import asof_join_nearest
+
+    s = 1_000_000
+    rows = [
+        (0, 10 * s, 1, "view", 0.0),      # exact tie: purchases at 5s and 15s
+        (1, 5 * s, 1, "purchase", 55.0),
+        (2, 15 * s, 1, "purchase", 66.0),
+        (3, 20 * s, 1, "purchase", 77.0),  # purchase: matches itself, dt 0
+        (4, 0, 2, "view", 0.0),           # user 2: only a later purchase
+        (5, 9 * s, 2, "purchase", 88.0),
+        (6, 0, 3, "view", 0.0),           # user 3: no purchase at all
+        # user 4: two purchases at the SAME ts, view strictly later ->
+        # backward tie by max sig_id
+        (7, 30 * s, 4, "purchase", 1.0),
+        (8, 30 * s, 4, "purchase", 2.0),
+        (9, 31 * s, 4, "view", 0.0),
+        # view strictly earlier -> forward tie by min sig_id
+        (10, 29 * s, 4, "view", 0.0),
+    ]
+    df = (
+        asof_join_nearest(_events_fixture(tmp_path, rows, "sfnear"))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert df.loc[0, "nearest_purchase_value"] == 55.0  # backward wins tie
+    assert df.loc[0, "nearest_dt_us"] == -5 * s
+    assert df.loc[3, "nearest_purchase_value"] == 77.0 and df.loc[3, "nearest_dt_us"] == 0
+    assert df.loc[4, "nearest_purchase_value"] == 88.0 and df.loc[4, "nearest_dt_us"] == 9 * s
+    assert np.isnan(df.loc[6, "nearest_purchase_value"])
+    assert pd.isna(df.loc[6, "nearest_dt_us"])
+    assert df.loc[9, "nearest_purchase_value"] == 2.0   # max sig_id backward
+    assert df.loc[10, "nearest_purchase_value"] == 1.0  # min sig_id forward
+
+
+def test_orders_monthly_volume_known_months(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.relational import orders_monthly_volume
+
+    day = 86_400_000_000
+    # 2024-01-31 = day 19753; 2024-02-01 = 19754 (month boundary);
+    # 2023-12-31 = 19722 (year boundary)
+    dates = [19753 * day, 19753 * day, 19754 * day, 19722 * day]
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([7, 7, 9, 9], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 4, pa.string()),
+            "o_totalprice": pa.array([10.25, 5.50, 1.00, 2.00], pa.float64()),
+            "o_orderdate": pa.array(dates, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 4, pa.string()),
+        }
+    )
+    sf = tmp_path / "sfmonth"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "orders.parquet", row_group_size=2)
+    df = (
+        orders_monthly_volume(str(sf))
+        .to_pandas()
+        .sort_values(["year", "month"])
+        .reset_index(drop=True)
+    )
+    assert df[["year", "month"]].values.tolist() == [[2023, 12], [2024, 1], [2024, 2]]
+    assert df["n_orders"].tolist() == [1, 2, 1]
+    assert df["sum_price"].tolist() == [2.0, 15.75, 1.0]
+    assert df["n_customers"].tolist() == [1, 1, 1]
