@@ -320,6 +320,11 @@ def run_bench() -> dict:
         ("docs_simpson_by_source", text_analysis.docs_simpson_by_source),
         ("docs_hapax_ratio", text_analysis.docs_hapax_ratio),
         ("orders_gap_stats", relational.orders_gap_stats),
+        ("docs_ttr", text_analysis.docs_ttr),
+        ("docs_compression_ratio", text_analysis.docs_compression_ratio),
+        ("events_transition_entropy", events.transition_entropy),
+        ("events_asof_nearest", events.asof_join_nearest),
+        ("orders_monthly_volume", relational.orders_monthly_volume),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],
