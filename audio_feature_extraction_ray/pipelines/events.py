@@ -5606,3 +5606,193 @@ FROM events e
 LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (event_id)
 LEFT JOIN (SELECT * FROM f WHERE rn = 1) f USING (event_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# ACTIVITY STREAKS — per-user longest run of consecutive active days (the
+# engagement-streak feature), the gaps-and-islands pattern: distinct
+# (user, epoch-day) pairs dedup per block, ride ONE user-keyed exchange,
+# and inside each partition a single sort + day-diff segmentation finds
+# run lengths — run boundaries where the day step != 1, max per user via
+# np.maximum.at. All int64; the SQL twin is the canonical
+# day - row_number() islands grouping, hash-exact by construction.
+
+
+def streak_features(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["user_id", "ts"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        t = pa.table(
+            {"user_id": pa.array(uid, pa.int64()), "day": pa.array(day, pa.int64())}
+        )
+        return t.group_by(["user_id", "day"]).aggregate([]).combine_chunks()
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["partition_id"]).group_by(["user_id", "day"]).aggregate([])
+        uid = t.column("user_id").to_numpy()
+        day = t.column("day").to_numpy()
+        order = np.lexsort((day, uid))
+        su, sd = uid[order], day[order]
+        head = np.ones(su.size, dtype=bool)
+        head[1:] = su[1:] != su[:-1]
+        gid = np.cumsum(head) - 1
+        n_user = int(gid[-1]) + 1 if su.size else 0
+        n_days = np.bincount(gid, minlength=n_user).astype(np.int64)
+        # run boundary: new user OR day step != 1
+        run_head = head.copy()
+        if su.size > 1:
+            run_head[1:] |= sd[1:] != sd[:-1] + 1
+        rid = np.cumsum(run_head) - 1
+        run_len = np.bincount(rid).astype(np.int64)
+        max_streak = np.zeros(n_user, dtype=np.int64)
+        np.maximum.at(max_streak, gid[run_head], run_len)
+        return pa.table(
+            {
+                "user_id": pa.array(su[head], pa.int64()),
+                "n_active_days": pa.array(n_days, pa.int64()),
+                "max_streak_days": pa.array(max_streak, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+STREAK_FEATURES_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS len FROM r GROUP BY user_id, grp
+)
+SELECT a.user_id, a.n_active_days, m.max_streak_days
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days FROM d GROUP BY 1) a
+JOIN (SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak_days
+      FROM runs GROUP BY 1) m USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TOP-USER CONCENTRATION — share of all events contributed by the top
+# ceil(10%) most active users (the power-user concentration scalar next
+# to activity_gini's full curve). The top-k SUM over sorted counts is
+# tie-independent (any k users with the same count multiset sum
+# identically), so the statistic is exact: per-user counts close under
+# the user exchange, collapse to a count-of-counts histogram (<= sqrt(2N)
+# rows, the activity_gini bound) through one more counters-only exchange,
+# and the driver takes the top-k mass from the histogram tail. k uses
+# integer arithmetic ((n_users + 9) // 10) on both sides.
+
+
+def top_user_share(sf_dir: str) -> pd.DataFrame:
+    from ..stages.fold import exchange_fold
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.drop_columns(["partition_id"])
+            .group_by("user_id")
+            .aggregate([("c", "sum")])
+            .rename_columns(["user_id", "c"])
+        )
+
+    partials = (
+        read_events(sf_dir, ["user_id"])
+        .map_batches(
+            lambda t: t.group_by("user_id")
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "c"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            functools.partial(_assign_pid, key="user_id", num_partitions=NUM_PARTITIONS),
+            batch_format="pyarrow",
+        )
+        .groupby("partition_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+    def hist_partial(tbl: pa.Table) -> pa.Table:
+        hv = pc.value_counts(tbl.column("c"))
+        return pa.table(
+            {
+                "c": hv.field("values").cast(pa.int64()),
+                "n_users": hv.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def hist_fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by("c")
+            .aggregate([("n_users", "sum")])
+            .rename_columns(["c", "n_users"])
+        )
+
+    folded = exchange_fold(
+        partials.map_batches(hist_partial, batch_format="pyarrow"), hist_fold
+    )
+    if folded is None:
+        return pd.DataFrame(
+            columns=["n_users", "k_top", "top_events", "total_events", "top_share"]
+        ).astype(
+            {
+                "n_users": np.int64,
+                "k_top": np.int64,
+                "top_events": np.int64,
+                "total_events": np.int64,
+                "top_share": np.float64,
+            }
+        )
+    c = folded.column("c").to_numpy().astype(np.int64)
+    n = folded.column("n_users").to_numpy().astype(np.int64)
+    order = np.argsort(-c, kind="stable")
+    c, n = c[order], n[order]
+    n_users = int(n.sum())
+    total = int((c * n).sum())
+    k = (n_users + 9) // 10
+    take = np.minimum(np.maximum(k - np.concatenate([[0], np.cumsum(n)[:-1]]), 0), n)
+    top_events = int((c * take).sum())
+    share = float(np.floor(top_events / total * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n_users)],
+            "k_top": [np.int64(k)],
+            "top_events": [np.int64(top_events)],
+            "total_events": [np.int64(total)],
+            "top_share": [share],
+        }
+    )
+
+
+TOP_USER_SHARE_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+), s AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC) AS rn FROM c
+), k AS (
+  SELECT (CAST(count(*) AS BIGINT) + 9) // 10 AS k,
+         CAST(sum(c) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS nu
+  FROM c
+)
+SELECT k.nu AS n_users, k.k AS k_top,
+       CAST(sum(CASE WHEN s.rn <= k.k THEN s.c ELSE 0 END) AS BIGINT) AS top_events,
+       k.tot AS total_events,
+       floor(CAST(sum(CASE WHEN s.rn <= k.k THEN s.c ELSE 0 END) AS DOUBLE)
+             / k.tot * 1e6 + 0.5) / 1e6 AS top_share
+FROM s, k GROUP BY k.nu, k.k, k.tot
+"""

@@ -627,3 +627,65 @@ def test_orders_monthly_volume_known_months(ray_session, tmp_path):
     assert df["n_orders"].tolist() == [1, 2, 1]
     assert df["sum_price"].tolist() == [2.0, 15.75, 1.0]
     assert df["n_customers"].tolist() == [1, 1, 1]
+
+
+def test_streak_features_known_runs(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import streak_features
+
+    day = 86_400_000_000
+    rows, eid = [], 0
+    # user 1: days 0,1,2, 5,6, 10 -> max streak 3, 6 active days
+    for d in (0, 1, 2, 5, 6, 10):
+        rows.append((eid, d * day + 123, 1, "a", 1.0)); eid += 1
+    # duplicate events on day 1 must not break the dedup
+    rows.append((eid, 1 * day + 999, 1, "b", 1.0)); eid += 1
+    # user 2: single day
+    rows.append((eid, 4 * day, 2, "a", 1.0)); eid += 1
+    df = (
+        streak_features(_events_fixture(tmp_path, rows, "sfstreak"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert df["n_active_days"].tolist() == [6, 1]
+    assert df["max_streak_days"].tolist() == [3, 1]
+
+
+def test_top_user_share_tie_at_boundary(ray_session, tmp_path):
+    """11 users -> k = 2; counts 5,3,3,1x8: top-2 mass = 8 regardless of
+    which tied 3-count user ranks second."""
+    from audio_feature_extraction_ray.pipelines.events import top_user_share
+
+    rows, eid = [], 0
+    counts = {1: 5, 2: 3, 3: 3}
+    counts.update({u: 1 for u in range(4, 12)})
+    for u, c in counts.items():
+        for i in range(c):
+            rows.append((eid, eid * 1000, u, "a", 1.0)); eid += 1
+    df = top_user_share(_events_fixture(tmp_path, rows, "sftop"))
+    assert df["n_users"][0] == 11 and df["k_top"][0] == 2
+    assert df["top_events"][0] == 8 and df["total_events"][0] == 19
+    assert df["top_share"][0] == np.floor(8 / 19 * 1e6 + 0.5) / 1e6
+
+
+def test_wave5_ops_empty_inputs(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.events import (
+        streak_features,
+        top_user_share,
+    )
+
+    etbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    d = tmp_path / "sfw5e0"
+    d.mkdir(exist_ok=True)
+    pq.write_table(etbl, d / "events.parquet")
+    assert len(streak_features(str(d)).to_pandas()) == 0
+    assert len(top_user_share(str(d))) == 0
