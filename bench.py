@@ -325,6 +325,8 @@ def run_bench() -> dict:
         ("events_transition_entropy", events.transition_entropy),
         ("events_asof_nearest", events.asof_join_nearest),
         ("orders_monthly_volume", relational.orders_monthly_volume),
+        ("events_streak_features", events.streak_features),
+        ("events_top_user_share", events.top_user_share),
         ("events_orc_roundtrip", __import__(
             "audio_feature_extraction_ray.pipelines.io_formats",
             fromlist=["events_orc_roundtrip"],
