@@ -1154,6 +1154,43 @@ WHERE i * {dedup.JJ_T_DEN} >= (na + nb - i) * {dedup.JJ_T_NUM}
 
 
 # ---------------------------------------------------------------------------
+# ASYMMETRIC containment join: directed near-dup pairs a -> b with
+# |toks(a) & toks(b)| / |toks(a)| >= 9/10 (stages/dedup.containment_join:
+# one-sided prefix filter + exact set verification). Finds snippet-inside-
+# superset relations the symmetric Jaccard threshold misses. Same oracle
+# contract as jaccard_join_docs: the quadratic SQL form must be reproduced
+# exactly, which also guards the one-sided prefix-filter theory.
+
+CT_N = 600  # query cap: the ORACLE is quadratic; the STAGE is uncapped
+
+
+def containment_join_docs(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CT_N)), batch_format="pyarrow"
+    )
+    return dedup.containment_join(ds)
+
+
+CONTAINMENT_JOIN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  WHERE doc_id < {CT_N}
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.toks, b.toks)) AS i,
+         len(a.toks) AS na
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+)
+SELECT a, b, CAST(i AS BIGINT) AS inter, CAST(na AS BIGINT) AS n_a,
+       floor(CAST(i AS DOUBLE) / na * 1e6 + 0.5) / 1e6 AS containment
+FROM p
+WHERE i * {dedup.CT_T_DEN} >= na * {dedup.CT_T_NUM}
+"""
+
+
+# ---------------------------------------------------------------------------
 # end-to-end FUZZY dedup macro: exact set-similarity join (J >= 0.9, PPJoin
 # prefix filtering) -> connected-components clustering -> keep the min-id
 # representative per cluster, survivors emitted via the distributed

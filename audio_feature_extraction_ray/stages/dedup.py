@@ -1202,3 +1202,303 @@ def jaccard_join(
         )
 
     return pairs_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ASYMMETRIC set-containment join: directed pairs (a -> b) with
+# C(a->b) = |toks(a) & toks(b)| / |toks(a)| >= t. The near-dup family's
+# missing direction — containment finds "a is (mostly) inside b" (quoted
+# snippets, boilerplate supersets, extended revisions) that the symmetric
+# Jaccard threshold misses whenever |b| >> |a|.
+#
+# Same architecture as jaccard_join above (candidates -> exact set
+# verification; scores are always exact, a dropped mega-bucket can only
+# LOSE candidates — the logged observable-truncation contract), but the
+# prefix filter is one-sided: a probe row a must share >= ceil(t*|a|)
+# tokens with b, so among a's first |a| - ceil(t*|a|) + 1 tokens in the
+# canonical (df asc, tok) order at least one lies in the intersection —
+# the INDEX side b cannot be prefix-pruned (the required overlap depends
+# on |a|, not |b|), so b posts all its tokens. Per-token candidate cost is
+# probes(tok) x index(tok), guarded by max_pairs with a log line.
+
+CT_T_NUM, CT_T_DEN = 9, 10  # containment threshold t = 9/10
+CT_MAX_PAIRS = 250_000      # per-token probe x index guard
+
+
+def containment_join(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+    max_pairs: int = CT_MAX_PAIRS,
+) -> ray.data.Dataset:
+    t_num, t_den = CT_T_NUM, CT_T_DEN
+
+    def tok_pid(tok: np.ndarray) -> np.ndarray:
+        return ((tok * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)).astype(np.int64) % num_partitions
+
+    # --- stage A: distinct (token, doc, ntok) rows, routed by token
+    def tok_rows(tbl: pa.Table) -> pa.Table:
+        hs, offs = _token_hashes64_batch(tbl.column(text_col))
+        did = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ntok = np.diff(offs)
+        row_rep = np.repeat(np.arange(ntok.size), ntok)
+        return pa.table(
+            {
+                "tok": pa.array(hs, pa.uint64()),
+                "doc_id": pa.array(did[row_rep], pa.int64()),
+                "ntok": pa.array(ntok[row_rep], pa.int64()),
+                "__pid": pa.array(tok_pid(hs).astype(np.int32)),
+            }
+        )
+
+    # --- stage B: per token partition, attach global df; route back by doc
+    def attach_df(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        tok = tbl.column("tok").to_numpy()
+        order = np.argsort(tok, kind="mergesort")
+        ts = tok[order]
+        head = np.ones(ts.size, dtype=bool)
+        head[1:] = ts[1:] != ts[:-1]
+        df_per_seg = np.diff(np.append(np.flatnonzero(head), ts.size))
+        df = np.empty(ts.size, dtype=np.int64)
+        df[order] = np.repeat(df_per_seg, df_per_seg)
+        did = tbl.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "tok": tbl.column("tok"),
+                "doc_id": tbl.column("doc_id"),
+                "ntok": tbl.column("ntok"),
+                "df": pa.array(df, pa.int64()),
+                "__pid2": pa.array((did.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32)),
+            }
+        )
+
+    # --- stage C: per doc partition, emit probe-prefix rows (side=0) and
+    # full index rows (side=1), both routed by token
+    def sided_rows(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid2"])
+        did = tbl.column("doc_id").to_numpy()
+        tok = tbl.column("tok").to_numpy()
+        df = tbl.column("df").to_numpy()
+        ntok = tbl.column("ntok").to_numpy()
+        order = np.lexsort((tok, df, did))  # per doc: ascending (df, tok)
+        d2, t2, n2 = did[order], tok[order], ntok[order]
+        head = np.ones(d2.size, dtype=bool)
+        head[1:] = d2[1:] != d2[:-1]
+        starts = np.flatnonzero(head)
+        sizes = np.diff(np.append(starts, d2.size))
+        n_doc = n2[starts]
+        ceil_tn = -((-t_num * n_doc) // t_den)
+        p = np.maximum(n_doc - ceil_tn + 1, 1)
+        local = np.arange(d2.size, dtype=np.int64) - np.repeat(starts, sizes)
+        probe = local < np.repeat(p, sizes)
+        t_all = np.concatenate([t2[probe], t2])
+        d_all = np.concatenate([d2[probe], d2])
+        n_all = np.concatenate([n2[probe], n2])
+        side = np.concatenate(
+            [np.zeros(int(probe.sum()), np.int8), np.ones(d2.size, np.int8)]
+        )
+        return pa.table(
+            {
+                "tok": pa.array(t_all, pa.uint64()),
+                "doc_id": pa.array(d_all, pa.int64()),
+                "ntok": pa.array(n_all, pa.int64()),
+                "side": pa.array(side),
+                "__pid3": pa.array(tok_pid(t_all).astype(np.int32)),
+            }
+        )
+
+    # --- stage D: directed candidates = probe x index per token segment
+    # (+ the min(na,nb) >= ceil(t*na) length prune), routed by packed pair
+    def candidates(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid3"])
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        tok = tbl.column("tok").to_numpy()
+        did = tbl.column("doc_id").to_numpy()
+        ntok = tbl.column("ntok").to_numpy()
+        pm = side == 0
+        tp, dp, np_ = tok[pm], did[pm], ntok[pm]
+        ti, di, ni = tok[~pm], did[~pm], ntok[~pm]
+        po = np.argsort(tp, kind="mergesort")
+        tp, dp, np_ = tp[po], dp[po], np_[po]
+        io = np.argsort(ti, kind="mergesort")
+        ti, di, ni = ti[io], di[io], ni[io]
+        lo = np.searchsorted(ti, tp, side="left")
+        hi = np.searchsorted(ti, tp, side="right")
+        cnt = hi - lo
+        # per-token pair-count guard: probes of a token all share (lo, hi);
+        # drop every probe row of a token whose probe_count x index_count
+        # exceeds max_pairs (logged observable truncation, as jaccard_join)
+        t_head = np.ones(tp.size, dtype=bool)
+        t_head[1:] = tp[1:] != tp[:-1]
+        t_starts = np.flatnonzero(t_head)
+        t_sizes = np.diff(np.append(t_starts, tp.size))
+        seg_pairs = t_sizes * cnt[t_starts]
+        big_seg = seg_pairs > max_pairs
+        if big_seg.any():
+            logger.warning(
+                "containment_join candidates: dropped %d mega-token(s) (%d pairs) over max_pairs=%d",
+                int(big_seg.sum()),
+                int(seg_pairs[big_seg].sum()),
+                max_pairs,
+            )
+        keep_row = ~np.repeat(big_seg, t_sizes)
+        tp, dp, np_, lo, hi, cnt = (
+            tp[keep_row], dp[keep_row], np_[keep_row], lo[keep_row], hi[keep_row], cnt[keep_row]
+        )
+        if dp.size == 0 or di.size == 0:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("na", pa.int64()), ("__pid4", pa.int32())]
+            ).empty_table()
+        # vectorized expansion: probe row r pairs with index rows lo[r]..hi[r]
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64()), ("na", pa.int64()), ("__pid4", pa.int32())]
+            ).empty_table()
+        rep = np.repeat(np.arange(dp.size, dtype=np.int64), cnt)
+        base = np.zeros(dp.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=base[1:])
+        j_idx = np.arange(total, dtype=np.int64) - base[rep] + lo[rep]
+        a, na = dp[rep], np_[rep]
+        b, nb = di[j_idx], ni[j_idx]
+        keep = (a != b) & (t_den * nb >= t_num * na)
+        a, b, na = a[keep], b[keep], na[keep]
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "na": pa.array(na, pa.int64()),
+                "__pid4": pa.array((key % np.uint64(num_partitions)).astype(np.int32)),
+            }
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid4"])
+        if tbl.num_rows == 0:
+            return tbl
+        a = tbl.column("a").to_numpy()
+        b = tbl.column("b").to_numpy()
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        order = np.argsort(key, kind="mergesort")
+        ks = key[order]
+        first = np.ones(ks.size, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        return tbl.take(pa.array(order[first]))
+
+    tokrows = ds.map_batches(tok_rows, batch_format="pyarrow")
+    with_df = tokrows.groupby("__pid").map_groups(attach_df, batch_format="pyarrow")
+    sided = with_df.groupby("__pid2").map_groups(sided_rows, batch_format="pyarrow")
+    pairs = (
+        sided.groupby("__pid3")
+        .map_groups(candidates, batch_format="pyarrow")
+        .groupby("__pid4")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # --- doc token-set side for exact verification (directed: na from a)
+    def doc_sets(tbl: pa.Table) -> pa.Table:
+        hs, offs = _token_hashes64_batch(tbl.column(text_col))
+        did = tbl.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int64()).cast(pa.int32()), pa.array(hs, pa.uint64())
+        )
+        return pa.table({"doc_id": pa.array(did, pa.int64()), "toks": lists})
+
+    sets_ds = ds.map_batches(doc_sets, batch_format="pyarrow")
+
+    def _attach_sets(pair_ds: ray.data.Dataset, key_col: str, out_col: str, extra: tuple[str, ...]):
+        def tag_pair(tbl: pa.Table) -> pa.Table:
+            k = tbl.column(key_col).to_numpy()
+            n = tbl.num_rows
+            cols = {c: tbl.column(c) for c in ("a", "b", "na")}
+            for c in extra:
+                cols[c] = tbl.column(c)
+            cols["toks"] = pa.nulls(n, pa.list_(pa.uint64()))
+            cols["__side"] = pa.array(np.zeros(n, np.int8))
+            cols["__pidX"] = pa.array((k.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32))
+            return pa.table(cols)
+
+        def tag_set(tbl: pa.Table) -> pa.Table:
+            k = tbl.column("doc_id").to_numpy()
+            n = tbl.num_rows
+            z = pa.array(np.zeros(n, np.int64), pa.int64())
+            cols = {"a": tbl.column("doc_id"), "b": z, "na": z}
+            for c in extra:
+                cols[c] = pa.nulls(n, pa.list_(pa.uint64()))
+            cols["toks"] = tbl.column("toks")
+            cols["__side"] = pa.array(np.ones(n, np.int8))
+            cols["__pidX"] = pa.array((k.astype(np.uint64) % np.uint64(num_partitions)).astype(np.int32))
+            return pa.table(cols)
+
+        def merge(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.drop_columns(["__pidX"])
+            side = tbl.column("__side").to_numpy(zero_copy_only=False)
+            dim = tbl.filter(pa.array(side == 1))
+            fact = tbl.filter(pa.array(side == 0)).drop_columns(["__side", "toks"])
+            dnode = dim.column("a").to_numpy()
+            order = np.argsort(dnode, kind="mergesort")
+            dnode = dnode[order]
+            dtoks = dim.column("toks").combine_chunks().take(pa.array(order))
+            if fact.num_rows == 0:
+                return fact.append_column(out_col, pa.array([], pa.list_(pa.uint64())))
+            k = fact.column(key_col).to_numpy()
+            pos = np.searchsorted(dnode, k)
+            return fact.append_column(out_col, dtoks.take(pa.array(pos)))
+
+        tagged = pair_ds.map_batches(tag_pair, batch_format="pyarrow").union(
+            sets_ds.map_batches(tag_set, batch_format="pyarrow")
+        )
+        return tagged.groupby("__pidX").map_groups(merge, batch_format="pyarrow")
+
+    pairs_a = _attach_sets(pairs, "a", "toks_a", extra=())
+    pairs_ab = _attach_sets(pairs_a, "b", "toks_b", extra=("toks_a",))
+
+    # --- exact verification: |A & B| counted from the co-shipped sets
+    def verify(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out_schema = pa.schema(
+            [
+                ("a", pa.int64()),
+                ("b", pa.int64()),
+                ("inter", pa.int64()),
+                ("n_a", pa.int64()),
+                ("containment", pa.float64()),
+            ]
+        )
+        if n == 0:
+            return out_schema.empty_table()
+        ta = tbl.column("toks_a").combine_chunks()
+        tb = tbl.column("toks_b").combine_chunks()
+        la = pc.list_value_length(ta).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(tb).to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = pc.list_flatten(ta).to_numpy(zero_copy_only=False)
+        fb = pc.list_flatten(tb).to_numpy(zero_copy_only=False)
+        pair_a = np.repeat(np.arange(n, dtype=np.int64), la)
+        pair_b = np.repeat(np.arange(n, dtype=np.int64), lb)
+        vals = np.concatenate([fa, fb])
+        pairs_idx = np.concatenate([pair_a, pair_b])
+        order = np.lexsort((vals, pairs_idx))
+        pv, vv = pairs_idx[order], vals[order]
+        dup = np.zeros(pv.size, dtype=np.int64)
+        if pv.size > 1:
+            dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])).astype(np.int64)
+        inter = np.bincount(pv, weights=dup, minlength=n).astype(np.int64)
+        keep = inter * t_den >= la * t_num  # integer-exact directed threshold
+        with np.errstate(invalid="ignore", divide="ignore"):
+            c = inter[keep].astype(np.float64) / la[keep]
+        cr = np.floor(c * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "a": pa.array(tbl.column("a").to_numpy()[keep], pa.int64()),
+                "b": pa.array(tbl.column("b").to_numpy()[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "n_a": pa.array(la[keep], pa.int64()),
+                "containment": pa.array(cr, pa.float64()),
+            }
+        )
+
+    return pairs_ab.map_batches(verify, batch_format="pyarrow")

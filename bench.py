@@ -224,6 +224,7 @@ def run_bench() -> dict:
         ("docs_length_histogram", text_analysis.length_histogram),
         ("docs_column_profile", text_analysis.column_profile),
         ("jaccard_join_docs", search_dedup.jaccard_join_docs),
+        ("containment_join_docs", search_dedup.containment_join_docs),
         ("near_dedup_keep", search_dedup.near_dedup_keep),
         ("q12_priority_by_status", relational.q12_priority_by_status),
         ("q4_order_priority", relational.q4_order_priority),

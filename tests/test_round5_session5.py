@@ -1,0 +1,86 @@
+"""Round-5 session-5 operators: asymmetric set-containment join (and any
+later session-5 additions). Oracle parity is covered by the parametrized
+test_queries_oracle harness; these tests pin what SQL equality can't see —
+the one-sided prefix-filter theory against a brute-force reference on a
+corpus built to stress it, directedness, and the 0-row flow."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from audio_feature_extraction_ray.stages import dedup
+
+
+def _docs_fixture(tmp_path, texts, name="sfd5"):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    return str(sf)
+
+
+def _read_docs(sf):
+    import ray
+
+    return ray.data.read_parquet(f"{sf}/documents.parquet")
+
+
+def _naive_containment(texts, t_num, t_den):
+    sets = [set(t.split(" ")) for t in texts]
+    out = set()
+    for a in range(len(sets)):
+        for b in range(len(sets)):
+            if a == b:
+                continue
+            i = len(sets[a] & sets[b])
+            if i * t_den >= len(sets[a]) * t_num:
+                out.add((a, b, i, len(sets[a])))
+    return out
+
+
+def test_containment_join_planted_subset_is_directed(ray_session, tmp_path):
+    """A 3-token snippet fully inside a 40-token superset: a->b fires at
+    containment 1.0; the reverse direction must NOT (3/40 < 0.9)."""
+    big = " ".join(f"w{i}" for i in range(40))
+    snippet = "w3 w17 w29"
+    sf = _docs_fixture(tmp_path, [snippet, big, "zz qq unrelated"], name="sfsub")
+    rows = dedup.containment_join(_read_docs(sf)).to_pandas()
+    pairs = set(zip(rows["a"], rows["b"]))
+    assert (0, 1) in pairs and (1, 0) not in pairs
+    r = rows[(rows["a"] == 0) & (rows["b"] == 1)].iloc[0]
+    assert r["inter"] == 3 and r["n_a"] == 3 and r["containment"] == 1.0
+
+
+def test_containment_join_matches_bruteforce(ray_session, tmp_path):
+    """Seeded corpus over a small vocabulary (dense overlap defeats lazy
+    pruning shortcuts): the full directed pair set must equal brute force."""
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(18)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 12), replace=True))
+        for _ in range(60)
+    ]
+    sf = _docs_fixture(tmp_path, texts, name="sfbf")
+    rows = dedup.containment_join(_read_docs(sf)).to_pandas()
+    got = set(zip(rows["a"], rows["b"], rows["inter"], rows["n_a"]))
+    want = _naive_containment(texts, dedup.CT_T_NUM, dedup.CT_T_DEN)
+    assert got == want
+    # scores are exact rationals rounded to 1e-6 — spot-check the float col
+    for _, r in rows.iterrows():
+        assert r["containment"] == np.floor(r["inter"] / r["n_a"] * 1e6 + 0.5) / 1e6
+
+
+def test_containment_join_empty_and_single(ray_session, tmp_path):
+    sf0 = _docs_fixture(tmp_path, [], name="sfc0")
+    assert dedup.containment_join(_read_docs(sf0)).count() == 0
+    sf1 = _docs_fixture(tmp_path, ["only one doc"], name="sfc1")
+    assert dedup.containment_join(_read_docs(sf1)).count() == 0
