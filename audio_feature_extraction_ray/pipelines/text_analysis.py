@@ -4546,6 +4546,128 @@ FROM f, t GROUP BY t.n1, t.n2
 
 
 # ---------------------------------------------------------------------------
+# TWO-SAMPLE MANN-WHITNEY U (Wilcoxon rank-sum) over document lengths
+# between two sources — the rank-based complement to ks_sources for
+# distribution-shift auditing (sensitive to location shift where KS is
+# sensitive to max ECDF gap). Exact and integer-core by the same ECDF
+# trick: per-(n_chars, source) counts ride ONE bounded exchange; with
+# average ranks for ties, 2*R_A = sum_v c1(v) * (2*cum_before(v) + t(v) + 1)
+# is an exact integer, so U is carried as the integer 2*U_A and the tie
+# term sum(t^3 - t) is exact too. The normal-approximation z uses one
+# fixed float expression over those integers, mirrored verbatim in the
+# SQL twin (both sides: cast-to-double then identical IEEE op order),
+# reported on the 1e-6 grid.
+
+
+def mannwhitney_sources(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["source", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        nc = tbl.column("n_chars").to_numpy()
+        side = np.where(src == KS_SOURCE_A, 0, np.where(src == KS_SOURCE_B, 1, -1))
+        keep = side >= 0
+        nc, side = nc[keep], side[keep]
+        key = nc * 2 + side
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(uniq // 2, pa.int64()),
+                "side": pa.array(uniq % 2, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["v", "side"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["v", "side", "cnt"])
+        ),
+        pid_of=lambda t: (
+            t.column("v").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            {
+                "n_a": [np.int64(0)], "n_b": [np.int64(0)],
+                "u2_a": [np.int64(0)], "tie_term": [np.int64(0)],
+                "mw_z": [np.float64(0.0)],
+            }
+        )
+    df = folded.to_pandas().groupby(["v", "side"], as_index=False)["cnt"].sum()
+    # bounded driver fold: <= distinct n_chars values x 2 rows
+    piv = df.pivot_table(index="v", columns="side", values="cnt",
+                         fill_value=0, aggfunc="sum").sort_index()
+    c1 = piv.get(0, pd.Series(dtype=np.int64)).to_numpy(dtype=np.int64)
+    c2 = piv.get(1, pd.Series(dtype=np.int64)).to_numpy(dtype=np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    t = c1 + c2
+    cumb = np.concatenate([[0], np.cumsum(t)[:-1]])  # ranks before value v
+    r2a = int((c1 * (2 * cumb + t + 1)).sum())       # 2 * rank-sum of A
+    u2a = r2a - n1 * (n1 + 1)                        # 2 * U_A (exact int)
+    tie = int((t.astype(object) ** 3 - t).sum()) if t.size else 0
+    n = n1 + n2
+    if n1 == 0 or n2 == 0 or n < 2:
+        z = 0.0
+    else:
+        d1 = np.float64(tie) / np.float64(n * (n - 1))
+        var = (np.float64(n1 * n2) / 12.0) * (np.float64(n + 1) - d1)
+        z = (
+            float(np.floor((np.float64(u2a - n1 * n2) / 2.0) / np.sqrt(var) * 1e6 + 0.5) / 1e6)
+            if var > 0.0
+            else 0.0
+        )
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(n1)], "n_b": [np.int64(n2)],
+            "u2_a": [np.int64(u2a)], "tie_term": [np.int64(tie)],
+            "mw_z": [np.float64(z)],
+        }
+    )
+
+
+MANNWHITNEY_SQL = f"""
+WITH c AS (
+  SELECT n_chars AS v,
+         CAST(sum(CASE WHEN source = '{KS_SOURCE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN source = '{KS_SOURCE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM documents WHERE source IN ('{KS_SOURCE_A}', '{KS_SOURCE_B}')
+  GROUP BY n_chars
+), f AS (
+  SELECT v, c1, c2, c1 + c2 AS t,
+         CAST(coalesce(sum(c1 + c2) OVER (
+             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cumb
+  FROM c
+), s AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(sum(c1 * (2 * cumb + t + 1)) AS BIGINT) AS r2a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie
+  FROM f
+), u AS (
+  SELECT n1, n2, r2a - n1 * (n1 + 1) AS u2a, tie,
+         (CAST(n1 * n2 AS DOUBLE) / 12.0)
+           * (CAST(n1 + n2 + 1 AS DOUBLE)
+              - CAST(tie AS DOUBLE) / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+           AS var
+  FROM s
+)
+SELECT n1 AS n_a, n2 AS n_b, u2a AS u2_a, tie AS tie_term,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 OR var <= 0.0 THEN 0.0
+            ELSE floor((CAST(u2a - n1 * n2 AS DOUBLE) / 2.0) / sqrt(var) * 1e6 + 0.5) / 1e6
+       END AS mw_z
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
 # MUTUAL INFORMATION between lang and source — the dependence audit for a
 # stratified corpus (MI ~ 0 means language mix is uniform across crawls;
 # high MI flags source-language skew). The (lang, source) contingency

@@ -293,6 +293,7 @@ def run_bench() -> dict:
         ("events_trend_slope", events.trend_slope),
         ("events_churn_labels", events.churn_labels),
         ("docs_ks_sources", text_analysis.ks_sources),
+        ("docs_mannwhitney", text_analysis.mannwhitney_sources),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
         ("events_user_entropy", events.user_entropy),

@@ -84,3 +84,69 @@ def test_containment_join_empty_and_single(ray_session, tmp_path):
     assert dedup.containment_join(_read_docs(sf0)).count() == 0
     sf1 = _docs_fixture(tmp_path, ["only one doc"], name="sfc1")
     assert dedup.containment_join(_read_docs(sf1)).count() == 0
+
+
+def _docs_sources_fixture(tmp_path, vals_a, vals_b, name="sfmw"):
+    n = len(vals_a) + len(vals_b)
+    nc = list(vals_a) + list(vals_b)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(
+                ["src0"] * len(vals_a) + ["src1"] * len(vals_b), pa.string()
+            ),
+            "n_chars": pa.array(nc, pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=3)
+    return str(sf)
+
+
+def test_mannwhitney_matches_naive_average_ranks(ray_session, tmp_path):
+    """Count-based 2*R_A must equal direct average-rank assignment on a
+    tie-heavy sample, and U_A + U_B = n1*n2 must hold exactly."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import mannwhitney_sources
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(5, 15, size=37).tolist()   # heavy ties in [5,15)
+    b = rng.integers(8, 18, size=23).tolist()
+    df = mannwhitney_sources(_docs_sources_fixture(tmp_path, a, b))
+    # naive: average ranks over the pooled sample
+    pooled = np.array(a + b, dtype=np.float64)
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(pooled.size, dtype=np.float64)
+    i = 0
+    pos = 1
+    srt = pooled[order]
+    while i < srt.size:
+        j = i
+        while j < srt.size and srt[j] == srt[i]:
+            j += 1
+        ranks[order[i:j]] = (pos + (pos + (j - i) - 1)) / 2.0
+        pos += j - i
+        i = j
+    r_a = ranks[: len(a)].sum()
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert df["n_a"][0] == len(a) and df["n_b"][0] == len(b)
+    assert df["u2_a"][0] == round(2 * u_a)
+    t = np.unique(pooled, return_counts=True)[1].astype(np.int64)
+    assert df["tie_term"][0] == int((t**3 - t).sum())
+    # symmetry: U_A + U_B = n1*n2  (2U_A + 2U_B = 2 n1 n2)
+    u2_b = 2 * len(a) * len(b) - df["u2_a"][0]
+    assert u2_b >= 0
+    # z sign follows the location shift (b drawn higher -> U_A below mean)
+    assert df["mw_z"][0] < 0
+
+
+def test_mannwhitney_degenerate_all_ties(ray_session, tmp_path):
+    """Every value identical: variance collapses to 0 -> z reported as 0."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import mannwhitney_sources
+
+    df = mannwhitney_sources(_docs_sources_fixture(tmp_path, [7] * 5, [7] * 9, name="sfmwt"))
+    assert df["mw_z"][0] == 0.0
+    # 2*U_A at all-ties = n1*n2 exactly (every comparison is a half-win)
+    assert df["u2_a"][0] == 5 * 9
