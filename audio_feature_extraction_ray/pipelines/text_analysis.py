@@ -4668,6 +4668,155 @@ FROM u
 
 
 # ---------------------------------------------------------------------------
+# SPEARMAN RANK CORRELATION between document length (n_chars) and token
+# count — the monotone-association audit (Pearson on average ranks, exact
+# tie handling). Distribution trick: Spearman needs per-ROW rank products,
+# but sum(rx*ry) = sum over distinct (x, y) cells of cnt(x,y)*rx(x)*ry(y),
+# so ONE bounded exchange of per-(x, y) cell counts suffices; marginals,
+# doubled average ranks (2r = 2*cum_before + t + 1, exact integers) and
+# the three centered sums are then a driver fold bounded by distinct
+# value-pair cells (value-domain product, NOT corpus size). Sums are
+# python-int exact on the engine side; the SQL twin's BIGINT sums hold to
+# ~2^53 of the same quantities (the double cast is the shared grid).
+
+
+def spearman_docs(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    docs = _read_docs(sf_dir, ["text", "n_chars"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        nonempty = pc.not_equal(pc.utf8_length(text), 0)
+        y = (
+            pc.if_else(nonempty, pc.add(pc.count_substring(text, " "), 1), 0)
+            .cast(pa.int64())
+            .to_numpy()
+        )
+        x = tbl.column("n_chars").to_numpy()
+        key = x * (1 << 31) + y  # both < 2^31 by schema contract
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "x": pa.array(uniq >> 31, pa.int64()),
+                "y": pa.array(uniq & ((1 << 31) - 1), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["x", "y"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["x", "y", "c"])
+        ),
+        pid_of=lambda t: (
+            t.column("x").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    zero = pd.DataFrame(
+        {
+            "n_rows": [np.int64(0)], "s_num": [np.int64(0)],
+            "d_xx": [np.int64(0)], "d_yy": [np.int64(0)],
+            "spearman": [np.float64(0.0)],
+        }
+    )
+    if folded is None:
+        return zero
+    df = folded.to_pandas().groupby(["x", "y"], as_index=False)["c"].sum()
+    if df.empty:
+        return zero
+    # bounded driver fold: <= distinct (x, y) cells
+    mx = df.groupby("x", as_index=False)["c"].sum().sort_values("x")
+    my = df.groupby("y", as_index=False)["c"].sum().sort_values("y")
+    n = int(df["c"].sum())
+
+    def r2_of(marg):
+        cnt = marg["c"].to_numpy(dtype=np.int64)
+        cumb = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        return 2 * cumb + cnt + 1  # doubled average rank, exact int
+
+    r2x = dict(zip(mx["x"].tolist(), (int(v) for v in r2_of(mx))))
+    r2y = dict(zip(my["y"].tolist(), (int(v) for v in r2_of(my))))
+    sxy = sum(
+        int(c) * r2x[x] * r2y[y]
+        for x, y, c in zip(df["x"].tolist(), df["y"].tolist(), df["c"].tolist())
+    )
+    sxx = sum(int(c) * r2x[x] * r2x[x] for x, c in zip(mx["x"].tolist(), mx["c"].tolist()))
+    syy = sum(int(c) * r2y[y] * r2y[y] for y, c in zip(my["y"].tolist(), my["c"].tolist()))
+    m = n * (n + 1) * (n + 1)
+    s_num, d_xx, d_yy = sxy - m, sxx - m, syy - m
+    if d_xx <= 0 or d_yy <= 0:
+        rho = 0.0
+    else:
+        rho = float(
+            np.floor(
+                np.float64(s_num) / np.sqrt(np.float64(d_xx) * np.float64(d_yy)) * 1e6 + 0.5
+            )
+            / 1e6
+        )
+    return pd.DataFrame(
+        {
+            "n_rows": [np.int64(n)], "s_num": [np.int64(s_num)],
+            "d_xx": [np.int64(d_xx)], "d_yy": [np.int64(d_yy)],
+            "spearman": [np.float64(rho)],
+        }
+    )
+
+
+SPEARMAN_SQL = """
+WITH d AS (
+  SELECT n_chars AS x,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS y
+  FROM documents
+), p AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x, y
+), mx AS (
+  SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM p GROUP BY x
+), rxx AS (
+  SELECT x, cx,
+         2 * CAST(coalesce(sum(cx) OVER (
+             ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) + cx + 1 AS r2x
+  FROM mx
+), my AS (
+  SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM p GROUP BY y
+), ryy AS (
+  SELECT y, cy,
+         2 * CAST(coalesce(sum(cy) OVER (
+             ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) + cy + 1 AS r2y
+  FROM my
+), s AS (
+  SELECT CAST(sum(p.c) AS BIGINT) AS n,
+         CAST(sum(p.c * rxx.r2x * ryy.r2y) AS BIGINT) AS sxy
+  FROM p JOIN rxx USING (x) JOIN ryy USING (y)
+), sx AS (
+  SELECT CAST(sum(cx * r2x * r2x) AS BIGINT) AS sxx FROM rxx
+), sy AS (
+  SELECT CAST(sum(cy * r2y * r2y) AS BIGINT) AS syy FROM ryy
+)
+SELECT s.n AS n_rows,
+       s.sxy - s.n * (s.n + 1) * (s.n + 1) AS s_num,
+       sx.sxx - s.n * (s.n + 1) * (s.n + 1) AS d_xx,
+       sy.syy - s.n * (s.n + 1) * (s.n + 1) AS d_yy,
+       CASE WHEN sx.sxx - s.n * (s.n + 1) * (s.n + 1) <= 0
+              OR sy.syy - s.n * (s.n + 1) * (s.n + 1) <= 0 THEN 0.0
+            ELSE floor(
+                CAST(s.sxy - s.n * (s.n + 1) * (s.n + 1) AS DOUBLE)
+                / sqrt(CAST(sx.sxx - s.n * (s.n + 1) * (s.n + 1) AS DOUBLE)
+                       * CAST(sy.syy - s.n * (s.n + 1) * (s.n + 1) AS DOUBLE))
+                * 1e6 + 0.5) / 1e6
+       END AS spearman
+FROM s, sx, sy
+"""
+
+
+# ---------------------------------------------------------------------------
 # MUTUAL INFORMATION between lang and source — the dependence audit for a
 # stratified corpus (MI ~ 0 means language mix is uniform across crawls;
 # high MI flags source-language skew). The (lang, source) contingency

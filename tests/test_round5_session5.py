@@ -150,3 +150,72 @@ def test_mannwhitney_degenerate_all_ties(ray_session, tmp_path):
     assert df["mw_z"][0] == 0.0
     # 2*U_A at all-ties = n1*n2 exactly (every comparison is a half-win)
     assert df["u2_a"][0] == 5 * 9
+
+
+def _docs_xy_fixture(tmp_path, texts, name="sfsp"):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=3)
+    return str(sf)
+
+
+def _avg_ranks(v):
+    v = np.asarray(v, dtype=np.float64)
+    order = np.argsort(v, kind="mergesort")
+    ranks = np.empty(v.size, dtype=np.float64)
+    srt = v[order]
+    i, pos = 0, 1
+    while i < srt.size:
+        j = i
+        while j < srt.size and srt[j] == srt[i]:
+            j += 1
+        ranks[order[i:j]] = (2 * pos + (j - i) - 1) / 2.0
+        pos += j - i
+        i = j
+    return ranks
+
+
+def test_spearman_matches_naive_rank_pearson(ray_session, tmp_path):
+    """Cell-count Spearman must equal Pearson over directly-assigned
+    average ranks on a tie-heavy corpus."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import spearman_docs
+
+    rng = np.random.default_rng(23)
+    # words of 1-3 chars, 1-9 tokens: dense ties in both n_chars and n_tokens
+    texts = [
+        " ".join("a" * rng.integers(1, 4) for _ in range(rng.integers(1, 10)))
+        for _ in range(80)
+    ]
+    df = spearman_docs(_docs_xy_fixture(tmp_path, texts))
+    x = np.array([len(t) for t in texts], dtype=np.float64)
+    y = np.array([t.count(" ") + 1 if t else 0 for t in texts], dtype=np.float64)
+    rx, ry = _avg_ranks(x), _avg_ranks(y)
+    num = ((rx - rx.mean()) * (ry - ry.mean())).sum()
+    den = np.sqrt(((rx - rx.mean()) ** 2).sum() * ((ry - ry.mean()) ** 2).sum())
+    want = np.floor(num / den * 1e6 + 0.5) / 1e6
+    assert df["n_rows"][0] == 80
+    assert abs(df["spearman"][0] - want) <= 1e-6
+
+
+def test_spearman_perfect_monotone_and_degenerate(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import spearman_docs
+
+    # tokens of width 2 ("ab"): n_chars = 3*k - 1 strictly increases with
+    # token count k -> perfect monotone association, rho = 1 exactly
+    texts = [" ".join(["ab"] * k) for k in range(1, 21)]
+    df = spearman_docs(_docs_xy_fixture(tmp_path, texts, name="sfsp1"))
+    assert df["spearman"][0] == 1.0
+    # constant x (all same length, same token count): zero variance -> 0.0
+    texts2 = ["cd ef"] * 7
+    df2 = spearman_docs(_docs_xy_fixture(tmp_path, texts2, name="sfsp0"))
+    assert df2["spearman"][0] == 0.0 and df2["d_xx"][0] == 0
