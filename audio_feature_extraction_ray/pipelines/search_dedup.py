@@ -1338,6 +1338,107 @@ FROM u GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
+# per-label per-dimension embedding VARIANCE — the spread companion to
+# embedding_centroids (cluster compactness / feature-scale audit before
+# whitening or quantization). Same integer-quantized one-exchange design:
+# per-block (label, dim) partials now carry (sum q, sum q^2, n); the
+# population second moment n*ss - s^2 is computed in python ints on the
+# <= labels x dims driver fold (s^2 can pass 2^63 — the SQL twin uses
+# HUGEINT for the same product), and the only float is the final
+# division, on the shared 1e-6 grid.
+
+
+def embedding_label_variance(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        m = ann._emb_matrix(tbl)
+        xq = np.rint(m.astype(np.float64) * CENTROID_Q).astype(np.int64)
+        lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lbl, return_inverse=True)
+        k, d = uniq.size, xq.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        sqs = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        np.add.at(sqs, inv, xq * xq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        lab_rep = np.repeat(uniq, d)
+        dim = np.tile(np.arange(d, dtype=np.int64), k)
+        return pa.table(
+            {
+                "label": pa.array(lab_rep, pa.int64()),
+                "dim": pa.array(dim, pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "ss": pa.array(sqs.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["label", "dim"])
+            .aggregate([("s", "sum"), ("ss", "sum"), ("n", "sum")])
+            .rename_columns(["label", "dim", "s", "ss", "n"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        lab = tbl.column("label").to_numpy().astype(np.uint64)
+        return (avalanche64(lab) % np.uint64(CENTROID_PARTS)).astype(np.int32)
+
+    folded = exchange_fold(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        fold,
+        parts=CENTROID_PARTS,
+        pid_of=pid_of,
+    )
+    if folded is None:
+        return pd.DataFrame(columns=["label", "dim", "n", "variance"])
+    rows = []
+    for lab, dim, s, ss, n in sorted(
+        zip(
+            folded.column("label").to_pylist(),
+            folded.column("dim").to_pylist(),
+            folded.column("s").to_pylist(),
+            folded.column("ss").to_pylist(),
+            folded.column("n").to_pylist(),
+        )
+    ):
+        m2 = n * ss - s * s  # exact python int (beyond int64 range is fine)
+        var = float(
+            np.floor(
+                float(m2) / (float(n) * float(n)) / 1e12 * 1e6 + 0.5
+            )
+            / 1e6
+        )
+        rows.append((lab, dim, n, var))
+    return pd.DataFrame(rows, columns=["label", "dim", "n", "variance"])
+
+
+EMBEDDING_LABEL_VARIANCE_SQL = f"""
+WITH u AS (
+  SELECT label, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), g AS (
+  SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         sum(CAST(q AS HUGEINT) * q) AS ss
+  FROM u GROUP BY label, dim
+)
+SELECT label, dim, n,
+       floor(CAST(ss * n - CAST(s AS HUGEINT) * s AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 * 1e6 + 0.5) / 1e6
+         AS variance
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # embedding-space QA: squared-L2 distance histogram over the deterministic
 # adjacent pairing (vec_id 2k vs 2k+1) — the quick "does this embedding
 # space look sane" scan (collapsed spaces pile into the low bins, scale

@@ -219,3 +219,35 @@ def test_spearman_perfect_monotone_and_degenerate(ray_session, tmp_path):
     texts2 = ["cd ef"] * 7
     df2 = spearman_docs(_docs_xy_fixture(tmp_path, texts2, name="sfsp0"))
     assert df2["spearman"][0] == 0.0 and df2["d_xx"][0] == 0
+
+
+def test_embedding_label_variance_matches_numpy(ray_session, tmp_path):
+    """Quantized population variance per (label, dim) equals numpy's on the
+    1e-6-quantized values (the exactness contract is over q = rint(x*1e6))."""
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        embedding_label_variance,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d = 50, 4
+    labels = rng.integers(0, 3, size=n).astype(np.int32)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1)), d
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    sf = tmp_path / "sfvar"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=7)
+    df = embedding_label_variance(str(sf))
+    q = np.rint(vecs.astype(np.float64) * 1e6)
+    for _, r in df.iterrows():
+        sel = q[labels == r["label"], int(r["dim"])]
+        want = np.floor(sel.var() / 1e12 * 1e6 + 0.5) / 1e6
+        assert r["n"] == sel.size
+        assert r["variance"] == want
