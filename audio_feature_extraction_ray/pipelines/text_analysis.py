@@ -6128,3 +6128,96 @@ def docs_compression_ratio(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# LOGISTIC QUALITY CLASSIFIER — model-scored filtering with a FIXED weight
+# vector (the fasttext/GPT-3-style "quality classifier" gate, distinct from
+# doc_quality's hand-tuned score and docs_gopher_rules' hard gates: this is
+# the linear-model form a trained classifier deploys as). The logit is
+# computed entirely in INTEGER 1e-6 units — integer feature extraction
+# (token counts, stopword counts, punctuation counts) combined with integer
+# weights and floor divisions — so the engine and the SQL oracle produce
+# bit-identical BIGINT logits; no float summation order can diverge.
+# keep = logit > 0 is then exact by construction. Purely per-row: one
+# map_batches, zero exchanges, scale-safe at any corpus size.
+#
+#   logit_1e6 = -900_000                        (bias)
+#     + 6_000 * min(ntok, 300)                  (length, saturating)
+#     + max(0, 1e6 - |mean_tok_len - 5| * 2e5) // 2   (word-length shape)
+#     + (800_000 * stop_cnt) // ntok            (stopword ratio)
+#     - (1_600_000 * punct_cnt) // charc        (symbol spam penalty)
+#   empty docs: logit_1e6 = -10_000_000 (hard reject)
+
+
+def quality_logistic(sf_dir: str) -> ray.data.Dataset:
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy().astype(np.int64)
+        sum_len = np.where(ntok > 0, charc - (ntok - 1), 0)
+        stop_cnt = _segment_sums(
+            pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False), offs
+        ).astype(np.int64)
+        punct_cnt = charc - pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
+        ).cast(pa.int64()).to_numpy()
+        safe_ntok = np.maximum(ntok, 1)
+        safe_charc = np.maximum(charc, 1)
+        # |mean_tok_len - 5| in 1e-6 units, exact: |sum_len*1e6 - 5e6*ntok| // ntok
+        d = np.abs(sum_len * 1_000_000 - 5_000_000 * ntok) // safe_ntok
+        wl_term = np.maximum(0, 1_000_000 - d // 5) // 2
+        logit = (
+            -900_000
+            + 6_000 * np.minimum(ntok, 300)
+            + wl_term
+            + (800_000 * stop_cnt) // safe_ntok
+            - (1_600_000 * punct_cnt) // safe_charc
+        )
+        logit = np.where((charc == 0) | (ntok == 0), -10_000_000, logit)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "logit_1e6": pa.array(logit, pa.int64()),
+                "keep": pa.array(logit > 0, pa.bool_()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+QUALITY_LOGISTIC_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS charc,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) END AS ntok,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> list_contains({_stoplist_sql(_EN_STOP)}, x))) AS BIGINT) AS stop_cnt,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')) AS BIGINT) AS punct_cnt
+  FROM documents
+), f AS (
+  SELECT doc_id, charc, ntok, stop_cnt, punct_cnt,
+         CASE WHEN ntok > 0 THEN charc - (ntok - 1) ELSE 0 END AS sum_len,
+         greatest(ntok, 1) AS sntok, greatest(charc, 1) AS scharc
+  FROM t
+), l AS (
+  SELECT doc_id, charc, ntok,
+         -900000
+         + 6000 * least(ntok, 300)
+         + greatest(0, 1000000 - (abs(sum_len * 1000000 - 5000000 * ntok) // sntok) // 5) // 2
+         + (800000 * stop_cnt) // sntok
+         - (1600000 * punct_cnt) // scharc AS raw_logit
+  FROM f
+)
+SELECT doc_id,
+       CASE WHEN charc = 0 OR ntok = 0 THEN CAST(-10000000 AS BIGINT)
+            ELSE CAST(raw_logit AS BIGINT) END AS logit_1e6,
+       CASE WHEN charc = 0 OR ntok = 0 THEN FALSE ELSE raw_logit > 0 END AS keep
+FROM l
+"""

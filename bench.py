@@ -295,6 +295,7 @@ def run_bench() -> dict:
         ("docs_ks_sources", text_analysis.ks_sources),
         ("docs_mannwhitney", text_analysis.mannwhitney_sources),
         ("docs_spearman", text_analysis.spearman_docs),
+        ("docs_quality_logistic", text_analysis.quality_logistic),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
         ("events_user_entropy", events.user_entropy),

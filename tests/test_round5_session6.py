@@ -1,0 +1,90 @@
+"""Round-5 session-6 operators. Oracle parity is covered by the
+parametrized test_queries_oracle harness; these tests pin what SQL
+equality can't see — integer-exactness edges, sentinel semantics, and
+0-row flows."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs_fixture(tmp_path, texts, name="sfd6"):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    return str(sf)
+
+
+def test_quality_logistic_edges(ray_session, tmp_path):
+    """Empty doc hard-rejects with the sentinel; the length term saturates
+    at 300 tokens; keep is strictly logit > 0 (a zero logit is a reject)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import quality_logistic
+
+    long_doc = " ".join(["token"] * 400)  # saturates min(ntok, 300)
+    cap_doc = " ".join(["token"] * 300)
+    texts = ["", long_doc, cap_doc, "the of a and in"]
+    df = (
+        quality_logistic(_docs_fixture(tmp_path, texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["logit_1e6"][0] == -10_000_000 and not df["keep"][0]
+    # saturation: 400-token and 300-token docs get the SAME length term;
+    # remaining terms are identical (same token), so logits are equal
+    assert df["logit_1e6"][1] == df["logit_1e6"][2]
+    # keep is exactly logit > 0 on every row
+    assert (df["keep"] == (df["logit_1e6"] > 0)).all()
+
+
+def test_quality_logistic_integer_exact_vs_naive(ray_session, tmp_path):
+    """Pin the engine's vectorized integer arithmetic against a scalar
+    per-doc reference (pure-python ints, no numpy) on a mixed corpus."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        _EN_STOP,
+        quality_logistic,
+    )
+
+    rng = np.random.default_rng(7)
+    words = ["the", "a", "of", "spark", "data", "merge", "xylophone", "q,!?."]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 120)).tolist())
+        for _ in range(60)
+    ] + [""]
+    df = (
+        quality_logistic(_docs_fixture(tmp_path, texts, name="sfq6"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stop = set(_EN_STOP)
+    punct_chars = set(".,;:!?'\"()-")
+    for i, t in enumerate(texts):
+        charc = len(t)
+        toks = t.lower().split(" ") if t else []
+        ntok = len(toks) if t else 0
+        if charc == 0 or ntok == 0:
+            want = -10_000_000
+        else:
+            sum_len = charc - (ntok - 1)
+            stop_cnt = sum(1 for w in toks if w in stop)
+            punct_cnt = sum(1 for c in t if c in punct_chars)
+            d = abs(sum_len * 1_000_000 - 5_000_000 * ntok) // ntok
+            want = (
+                -900_000
+                + 6_000 * min(ntok, 300)
+                + max(0, 1_000_000 - d // 5) // 2
+                + (800_000 * stop_cnt) // ntok
+                - (1_600_000 * punct_cnt) // charc
+            )
+        assert df["logit_1e6"][i] == want, (i, t)
