@@ -6221,3 +6221,152 @@ SELECT doc_id,
        CASE WHEN charc = 0 OR ntok = 0 THEN FALSE ELSE raw_logit > 0 END AS keep
 FROM l
 """
+
+
+# ---------------------------------------------------------------------------
+# TRIGRAM NOVELTY — per-doc fraction of its distinct word trigrams that
+# FIRST occur in that doc (corpus order = doc_id): the redundancy /
+# contribution audit a curation pipeline runs to find docs that add new
+# content vs docs that only repeat earlier material (the per-doc view of
+# token_heaps_curve's corpus-level vocabulary growth). Shape: distinct
+# (gram, doc) pairs are doc-local (one doc = one row = one batch), so stage
+# 1 is a stateless map; ONE gram-keyed exchange computes, per gram
+# partition, BOTH partials a doc needs — its distinct-gram count in that
+# partition and its first-owner count (grams whose corpus-min doc is this
+# doc; gram partitions are disjoint, so partition min = corpus min) — and
+# ONE doc-keyed exchange sums the partials and emits the final per-doc
+# rows, still distributed. Driver never materializes anything. novelty is
+# integer fixed-point ((n_novel * 1e6) // n_tri) so the SQL twin is
+# bit-identical. Docs with < 3 tokens have no trigrams and are excluded on
+# both sides.
+
+TRIGRAM_NOVELTY_PARTS = 32
+
+
+def trigram_novelty(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    P = TRIGRAM_NOVELTY_PARTS
+
+    def grams(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "__pid": pa.array([], pa.int32()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(text, " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        if nflat == 0:
+            return empty
+        offs = np.concatenate([[0], np.cumsum(ntok)])
+        row_id = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        pos_in_row = np.arange(nflat, dtype=np.int64) - offs[row_id]
+        head = pos_in_row < (ntok[row_id] - 2)
+        idx = np.nonzero(head)[0]
+        if idx.size == 0:
+            return empty
+        g = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)),
+            flat.take(pa.array(idx + 1)),
+            flat.take(pa.array(idx + 2)),
+            " ",
+        )
+        doc = tbl.column("doc_id").to_numpy()[row_id[idx]]
+        # distinct (doc, gram) within the batch == globally distinct (a doc
+        # is a single row, never split across batches)
+        pairs = pa.table({"gram": g, "doc_id": pa.array(doc, pa.int64())})
+        pairs = pairs.group_by(["doc_id", "gram"]).aggregate([])
+        pid = (string_hash_array(pairs.column("gram").combine_chunks()) % np.uint64(P)).astype(
+            np.int32
+        )
+        return pairs.append_column("__pid", pa.array(pid))
+
+    def per_gram(tbl: pa.Table) -> pa.Table:
+        # one gram partition: emit (doc_id, tri_partial, novel_partial)
+        gram = tbl.column("gram")
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
+        codes = pc.dictionary_encode(gram).indices.to_numpy(zero_copy_only=False)
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        d_tri, c_tri = np.unique(doc, return_counts=True)
+        order = np.lexsort((doc, codes))
+        sc, sd = codes[order], doc[order]
+        first = np.ones(sc.size, dtype=bool)
+        first[1:] = sc[1:] != sc[:-1]
+        d_nov, c_nov = np.unique(sd[first], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([d_tri, d_nov]), pa.int64()),
+                "tri": pa.array(
+                    np.concatenate([c_tri, np.zeros(d_nov.size, dtype=np.int64)]), pa.int64()
+                ),
+                "novel": pa.array(
+                    np.concatenate([np.zeros(d_tri.size, dtype=np.int64), c_nov]), pa.int64()
+                ),
+                "__pid2": pa.array(
+                    np.concatenate(
+                        [d_tri.astype(np.uint64), d_nov.astype(np.uint64)]
+                    ).astype(np.uint64)
+                    % np.uint64(P)
+                ).cast(pa.int32()),
+            }
+        )
+
+    def per_doc(tbl: pa.Table) -> pa.Table:
+        doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        tri = tbl.column("tri").to_numpy(zero_copy_only=False)
+        nov = tbl.column("novel").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        n_tri = np.bincount(inv, weights=tri).astype(np.int64)
+        n_nov = np.bincount(inv, weights=nov).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_tri": pa.array(n_tri, pa.int64()),
+                "n_novel": pa.array(n_nov, pa.int64()),
+                "novelty_1e6": pa.array((n_nov * 1_000_000) // n_tri, pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(grams, batch_format="pyarrow")
+    ds = ds.groupby("__pid").map_groups(
+        lambda t: per_gram(t.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
+    return ds.groupby("__pid2").map_groups(
+        lambda t: per_doc(t.drop_columns(["__pid2"])), batch_format="pyarrow"
+    )
+
+
+TRIGRAM_NOVELTY_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tri0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1), i ->
+             t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+  FROM tok WHERE len(t) >= 3
+), tri AS (
+  SELECT DISTINCT doc_id, gram FROM tri0
+), f AS (
+  SELECT gram, min(doc_id) AS first_doc FROM tri GROUP BY gram
+), nt AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM tri GROUP BY doc_id
+), nv AS (
+  SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel FROM f GROUP BY first_doc
+)
+SELECT nt.doc_id, nt.n_tri,
+       CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000) // nt.n_tri AS novelty_1e6
+FROM nt LEFT JOIN nv USING (doc_id)
+"""

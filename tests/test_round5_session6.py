@@ -88,3 +88,38 @@ def test_quality_logistic_integer_exact_vs_naive(ray_session, tmp_path):
                 - (1_600_000 * punct_cnt) // charc
             )
         assert df["logit_1e6"][i] == want, (i, t)
+
+
+def test_trigram_novelty_planted(ray_session, tmp_path):
+    """doc0 introduces every gram (novelty 1.0); an exact copy later has
+    novelty 0; short docs (<3 tokens) are excluded; counts are exact."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import trigram_novelty
+
+    texts = [
+        "a b c d e",          # doc0: grams abc bcd cde -> all novel
+        "a b c d e",          # doc1: exact copy -> novelty 0
+        "x y",                # doc2: <3 tokens -> excluded
+        "a b c z w v",        # doc3: 'a b c' seen, 'b c z','c z w','z w v' novel
+    ]
+    df = (
+        trigram_novelty(_docs_fixture(tmp_path, texts, name="sftn"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["doc_id"].tolist() == [0, 1, 3]
+    assert df["n_tri"].tolist() == [3, 3, 4]
+    assert df["n_novel"].tolist() == [3, 0, 3]
+    assert df["novelty_1e6"].tolist() == [1_000_000, 0, 750_000]
+
+
+def test_trigram_novelty_within_doc_distinct(ray_session, tmp_path):
+    """Repeated grams inside one doc count once (distinct per doc), and the
+    repeating doc still owns them if it is first."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import trigram_novelty
+
+    texts = ["p q r p q r p q r"]  # grams: pqr qrp rpq (x>1 each), 7 heads
+    df = trigram_novelty(_docs_fixture(tmp_path, texts, name="sftd")).to_pandas()
+    assert df["n_tri"].tolist() == [3]      # distinct, not 7
+    assert df["n_novel"].tolist() == [3]
+    assert df["novelty_1e6"].tolist() == [1_000_000]
