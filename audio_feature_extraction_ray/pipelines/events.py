@@ -5796,3 +5796,86 @@ SELECT k.nu AS n_users, k.k AS k_top,
              / k.tot * 1e6 + 0.5) / 1e6 AS top_share
 FROM s, k GROUP BY k.nu, k.k, k.tot
 """
+
+
+# ---------------------------------------------------------------------------
+# DAY-PEER RANK — for each event, its RANK() among ALL events of the same
+# calendar day ordered by value (cross-entity peer-group percentile: "how
+# did this observation compare to everything else that day"). The
+# cross-ENTITY counterpart of the per-user expanding stats: the partition
+# key is the day, not the user, so one exchange co-locates each day and the
+# kernel ranks whole days vectorized (lexsort by (day, value), first-equal-
+# value position forward-filled per day segment). Tie semantics are SQL
+# RANK() exactly (1 + count of strictly smaller); the percentile is integer
+# fixed-point ((rank-1)*1e6)//(day_n-1) so the twin is bit-identical. A
+# skewed day spreads nothing here — days are bounded (one partition holds
+# whole days; at 100 TB the day key would be (day, value-bucket) salted
+# with a final merge, noted for the scale path).
+
+
+def day_peer_rank(sf_dir: str) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "value"])
+
+    def add_day(tbl: pa.Table) -> pa.Table:
+        day = (
+            tbl.column("ts")
+            .cast(pa.timestamp("us"))
+            .cast(pa.date32())
+            .cast(pa.int32())
+            .cast(pa.int64())
+        )
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "day_num": day,
+                "value": tbl.column("value"),
+            }
+        )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        day = tbl.column("day_num").to_numpy(zero_copy_only=False)
+        val = tbl.column("value").to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        h_day = np.ones(n, dtype=bool)
+        h_day[1:] = day[1:] != day[:-1]
+        h_val = h_day.copy()
+        h_val[1:] |= val[1:] != val[:-1]
+        day_start = np.maximum.accumulate(np.where(h_day, pos, -1))
+        first_eq = np.maximum.accumulate(np.where(h_val, pos, -1))
+        rank = first_eq - day_start + 1
+        seg_id = np.cumsum(h_day) - 1
+        day_n = np.bincount(seg_id)[seg_id].astype(np.int64)
+        pct = np.where(day_n > 1, ((rank - 1) * 1_000_000) // np.maximum(day_n - 1, 1), 0)
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "day_num": tbl.column("day_num"),
+                "value": tbl.column("value"),
+                "day_n": pa.array(day_n, pa.int64()),
+                "rank_asc": pa.array(rank, pa.int64()),
+                "pct_1e6": pa.array(pct, pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    return partitioned_ordered(ds, kernel, key="day_num", order=("value", "event_id"))
+
+
+DAY_PEER_RANK_SQL = """
+WITH d AS (
+  SELECT event_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_num,
+         value
+  FROM events
+), r AS (
+  SELECT event_id, day_num, value,
+         CAST(rank() OVER (PARTITION BY day_num ORDER BY value) AS BIGINT) AS rank_asc,
+         CAST(count(*) OVER (PARTITION BY day_num) AS BIGINT) AS day_n
+  FROM d
+)
+SELECT event_id, day_num, value, day_n, rank_asc,
+       CASE WHEN day_n > 1 THEN ((rank_asc - 1) * 1000000) // (day_n - 1)
+            ELSE CAST(0 AS BIGINT) END AS pct_1e6
+FROM r
+"""

@@ -123,3 +123,44 @@ def test_trigram_novelty_within_doc_distinct(ray_session, tmp_path):
     assert df["n_tri"].tolist() == [3]      # distinct, not 7
     assert df["n_novel"].tolist() == [3]
     assert df["novelty_1e6"].tolist() == [1_000_000]
+
+
+def _events_fixture(tmp_path, ts_us, values, name="sfe6"):
+    n = len(ts_us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.asarray(ts_us, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "value": pa.array(np.asarray(values, dtype=np.float64)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    return str(sf)
+
+
+def test_day_peer_rank_ties_and_singleton(ray_session, tmp_path):
+    """RANK() tie semantics (equal values share the min rank, next rank
+    skips), percentile span is exactly [0, 1e6], and a singleton day gets
+    pct 0."""
+    from audio_feature_extraction_ray.pipelines.events import day_peer_rank
+
+    DAY = 86_400_000_000
+    # day 0: values 5, 1, 5, 3, 9  -> ranks 3, 1, 3, 2, 5 (tie at 5, skip 4)
+    # day 1: single event          -> rank 1, day_n 1, pct 0
+    ts = [10, 20, 30, 40, 50, DAY + 10]
+    vals = [5.0, 1.0, 5.0, 3.0, 9.0, 7.0]
+    df = (
+        day_peer_rank(_events_fixture(tmp_path, ts, vals))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert df["rank_asc"].tolist() == [3, 1, 3, 2, 5, 1]
+    assert df["day_n"].tolist() == [5, 5, 5, 5, 5, 1]
+    # pct: (rank-1)*1e6 // (n-1): rank 1 -> 0, rank 5 of 5 -> 1e6
+    assert df["pct_1e6"].tolist() == [500_000, 0, 500_000, 250_000, 1_000_000, 0]
