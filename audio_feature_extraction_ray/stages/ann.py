@@ -867,3 +867,109 @@ def embedding_semdedup(
         .groupby("gkey")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# GREEDY K-CENTER CORESET (Gonzalez 2-approximation) — embedding-space data
+# SELECTION: pick K maximally-spread vectors (each round adds the vector
+# farthest from everything chosen so far). The diversity-first counterpart
+# of SemDeDup's redundancy pruning: where semdedup drops near-duplicates,
+# k-center keeps a small cover whose max distance to any corpus vector is
+# within 2x optimal — the classic coreset for facility-location-style
+# training-data subset selection. Iterative by nature (rows-only query):
+# K rounds, each a streaming pass that broadcasts the <=K chosen centers
+# (ray.put once per round), computes the squared-L2 GEMM against them per
+# batch, and emits ONE (dist, vec_id) candidate per block; candidates merge
+# through the exchange_fold max (tie -> smaller vec_id), so driver traffic
+# is O(parts) rows per round, never O(blocks). No materialization between
+# rounds: like kmeans_fit, each pass recomputes against the tiny center
+# matrix rather than persisting a data-sized min-dist column.
+
+
+def kcenter_select(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Returns a pandas DataFrame (round, vec_id, radius2) — the selection
+    order and the coverage radius (max over corpus of min squared distance
+    to the already-chosen set) AT selection time; radius2 is non-increasing
+    by construction."""
+    import pandas as pd
+
+    from .fold import exchange_fold
+
+    def smallest_one(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        return tbl.take(pa.array([int(np.argmin(ids))])) if len(ids) else tbl
+
+    seed_tbl = exchange_fold(
+        ds.map_batches(smallest_one, batch_format="pyarrow"), smallest_one
+    )
+    if seed_tbl is None or seed_tbl.num_rows == 0:
+        return pd.DataFrame(
+            {"round": pa.array([], pa.int64()).to_pandas(),
+             "vec_id": pa.array([], pa.int64()).to_pandas(),
+             "radius2": pa.array([], pa.float64()).to_pandas()}
+        )
+    i0 = int(np.argmin(seed_tbl.column(id_col).to_numpy()))
+    centers = _emb_matrix(seed_tbl.take(pa.array([i0])), emb_col)
+    chosen_ids = [int(seed_tbl.column(id_col)[i0].as_py())]
+    rounds = [(0, chosen_ids[0], float("nan"))]
+
+    for r in range(1, k):
+        cref = ray.put(centers)
+
+        def cand(tbl: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            m = _emb_matrix(tbl, emb_col)
+            d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+            mind = d.min(axis=1)
+            ids = tbl.column(id_col).to_numpy()
+            # farthest point in this block; tie -> smaller id (stable argmax
+            # over (mind, -id) via lexsort)
+            best = np.lexsort((ids, -mind))[0]
+            return pa.table(
+                {
+                    "dist": pa.array([float(mind[best])], pa.float64()),
+                    "vid": pa.array([int(ids[best])], pa.int64()),
+                }
+            )
+
+        def pick_fold(tbl: pa.Table) -> pa.Table:
+            d = tbl.column("dist").to_numpy(zero_copy_only=False)
+            v = tbl.column("vid").to_numpy(zero_copy_only=False)
+            best = np.lexsort((v, -d))[0]
+            return tbl.take(pa.array([int(best)]))
+
+        winner = exchange_fold(ds.map_batches(cand, batch_format="pyarrow"), pick_fold)
+        wtbl = pick_fold(winner)
+        vid = int(wtbl.column("vid")[0].as_py())
+        radius2 = float(wtbl.column("dist")[0].as_py())
+        if radius2 <= 0.0:  # corpus exhausted (all points are chosen points)
+            break
+        # fetch the winning vector (tiny targeted filter pass)
+        row = exchange_fold(
+            ds.map_batches(
+                lambda t, vid=vid: t.filter(pc.equal(t.column(id_col), vid)),
+                batch_format="pyarrow",
+            ),
+            lambda t: t.slice(0, 1),
+        )
+        centers = np.vstack([centers, _emb_matrix(row.slice(0, 1), emb_col)])
+        chosen_ids.append(vid)
+        rounds.append((r, vid, radius2))
+
+    return pd.DataFrame(
+        {
+            "round": np.array([r for r, _, _ in rounds], dtype=np.int64),
+            "vec_id": np.array([v for _, v, _ in rounds], dtype=np.int64),
+            "radius2": np.array([d for _, _, d in rounds], dtype=np.float64),
+        }
+    )
+
+
+def embedding_kcenter(sf_dir: str, k: int = 16):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=k)

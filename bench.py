@@ -298,6 +298,7 @@ def run_bench() -> dict:
         ("docs_quality_logistic", text_analysis.quality_logistic),
         ("docs_trigram_novelty", text_analysis.trigram_novelty),
         ("events_day_peer_rank", events.day_peer_rank),
+        ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
         ("events_user_entropy", events.user_entropy),

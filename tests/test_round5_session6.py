@@ -164,3 +164,63 @@ def test_day_peer_rank_ties_and_singleton(ray_session, tmp_path):
     assert df["day_n"].tolist() == [5, 5, 5, 5, 5, 1]
     # pct: (rank-1)*1e6 // (n-1): rank 1 -> 0, rank 5 of 5 -> 1e6
     assert df["pct_1e6"].tolist() == [500_000, 0, 500_000, 250_000, 1_000_000, 0]
+
+
+def test_kcenter_matches_naive_gonzalez(ray_session, tmp_path):
+    """Distributed greedy k-center must reproduce the single-process
+    Gonzalez selection exactly (same seed = smallest id, same GEMM distance
+    formula, ties to smaller id), and radius2 must be non-increasing."""
+    from audio_feature_extraction_ray.stages.ann import kcenter_select
+    import ray as _ray
+
+    rng = np.random.default_rng(31)
+    n, d, k = 200, 8, 10
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)  # ids NOT in row order
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    sf = tmp_path / "sfkc"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=17)
+    ds = _ray.data.read_parquet(str(sf / "embeddings.parquet"))
+    df = kcenter_select(ds, k=k).reset_index(drop=True)
+
+    order = np.argsort(ids)
+    sids, sm = ids[order], m[order].astype(np.float64)
+    cidx = [0]
+    want = [(0, int(sids[0]))]
+    for r in range(1, k):
+        c = sm[cidx]
+        dist = (sm * sm).sum(1)[:, None] - 2.0 * (sm @ c.T) + (c * c).sum(1)[None, :]
+        mind = dist.min(1)
+        best = np.lexsort((sids, -mind))[0]
+        want.append((r, int(sids[best])))
+        cidx.append(best)
+    assert list(zip(df["round"], df["vec_id"])) == want
+    r2 = df["radius2"].to_numpy()[1:]
+    assert (np.diff(r2) <= 1e-12).all()  # non-increasing coverage radius
+
+
+def test_kcenter_exhausted_corpus_stops_early(ray_session, tmp_path):
+    """k greater than the number of distinct points stops once the radius
+    hits zero instead of re-selecting chosen points."""
+    from audio_feature_extraction_ray.stages.ann import kcenter_select
+    import ray as _ray
+
+    m = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    sf = tmp_path / "sfkx"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet")
+    ds = _ray.data.read_parquet(str(sf / "embeddings.parquet"))
+    df = kcenter_select(ds, k=10)
+    assert len(df) == 3  # 3 distinct points -> 3 rounds, then radius 0
