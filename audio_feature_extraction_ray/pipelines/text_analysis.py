@@ -6370,3 +6370,113 @@ SELECT nt.doc_id, nt.n_tri,
        (CAST(coalesce(nv.n_novel, 0) AS BIGINT) * 1000000) // nt.n_tri AS novelty_1e6
 FROM nt LEFT JOIN nv USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# CLUSTER LABELING — top terms per embedding label: the step AFTER
+# clustering (kmeans / semdedup) that names each cluster by its most
+# characteristic vocabulary. Cross-modal: documents join embeddings on
+# doc_id = vec_id (both tables are corpus-keyed), then per-(label, token)
+# document frequency, then the exact grouped top-K (df DESC, token ASC —
+# SQL row_number order). Shape: distinct (doc, token) pairs are doc-local;
+# the label arrives via the co-partitioned equijoin (NO broadcast — at
+# 100 TB both sides are corpus-sized); counts finalize on one
+# (label,token)-keyed exchange; the grouped top-K uses the shared combiner
+# (<= K rows per label per batch on the wire). Stopwords and empty tokens
+# are excluded so the labels are informative.
+
+LABEL_TOP_TERMS_K = 5
+
+
+def label_top_terms(sf_dir: str, k: int = LABEL_TOP_TERMS_K) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+    from ..stages.join import copartitioned_equijoin
+    from ..stages.window import grouped_topk
+
+    P = 32
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    def doc_tokens(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy()
+        doc = np.repeat(tbl.column("doc_id").to_numpy(), np.diff(offs))
+        keep = np.asarray(
+            pc.and_(
+                pc.invert(pc.is_in(flat, value_set=stop_set)),
+                pc.not_equal(pc.utf8_length(flat), 0),
+            ).to_numpy(zero_copy_only=False)
+        )
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "tok": flat.filter(pa.array(keep)),
+            }
+        )
+        return pairs.group_by(["doc_id", "tok"]).aggregate([])  # distinct per doc
+
+    toks = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        doc_tokens, batch_format="pyarrow"
+    )
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    joined = copartitioned_equijoin(
+        toks,
+        emb,
+        fact_key="doc_id",
+        dim_key="vec_id",
+        fact_cols=["tok"],
+        dim_cols=["label"],
+        fact_col_types={"doc_id": pa.int64(), "tok": pa.string()},
+        dim_col_types={"vec_id": pa.int64(), "label": pa.int32()},
+        key_type=pa.int64(),
+    )
+
+    def count_partial(tbl: pa.Table) -> pa.Table:
+        lab = tbl.column("label").cast(pa.int64())
+        t = pa.table({"label": lab, "tok": tbl.column("tok")})
+        c = t.group_by(["label", "tok"]).aggregate([("label", "count")])
+        c = c.rename_columns(["label", "tok", "df"])
+        pid = (
+            (
+                string_hash_array(c.column("tok").combine_chunks())
+                ^ c.column("label").to_numpy().astype(np.uint64)
+            )
+            % np.uint64(P)
+        ).astype(np.int32)
+        return c.append_column("__pidc", pa.array(pid))
+
+    def count_final(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["__pidc"])
+        c = t.group_by(["label", "tok"]).aggregate([("df", "sum")])
+        return c.rename_columns(["label", "tok", "df"]).set_column(
+            2, "df", c.column("df_sum").cast(pa.int64())
+        )
+
+    counts = (
+        joined.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("__pidc")
+        .map_groups(count_final, batch_format="pyarrow")
+    )
+    return grouped_topk(counts, key="label", order_col="df", tiebreak="tok", k=k)
+
+
+LABEL_TOP_TERMS_SQL = f"""
+WITH tok0 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+), tok AS (
+  SELECT DISTINCT doc_id, tok FROM tok0
+  WHERE tok <> '' AND NOT list_contains({_stoplist_sql(_EN_STOP)}, tok)
+), j AS (
+  SELECT e.label, t.tok FROM tok t JOIN embeddings e ON t.doc_id = e.vec_id
+), c AS (
+  SELECT CAST(label AS BIGINT) AS label, tok, CAST(count(*) AS BIGINT) AS df
+  FROM j GROUP BY label, tok
+), r AS (
+  SELECT label, tok, df,
+         CAST(row_number() OVER (PARTITION BY label ORDER BY df DESC, tok) AS BIGINT) AS rank
+  FROM c
+)
+SELECT label, tok, df, rank FROM r WHERE rank <= {LABEL_TOP_TERMS_K}
+"""

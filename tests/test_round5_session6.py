@@ -224,3 +224,41 @@ def test_kcenter_exhausted_corpus_stops_early(ray_session, tmp_path):
     ds = _ray.data.read_parquet(str(sf / "embeddings.parquet"))
     df = kcenter_select(ds, k=10)
     assert len(df) == 3  # 3 distinct points -> 3 rounds, then radius 0
+
+
+def test_label_top_terms_planted(ray_session, tmp_path):
+    """Cluster labeling: per-label doc-frequency top-k with exact
+    row_number() tie order (df DESC, token ASC); stopwords and repeats
+    within a doc never count."""
+    import ray as _ray
+    from audio_feature_extraction_ray.pipelines.text_analysis import label_top_terms
+
+    texts = [
+        "apple apple banana the",   # label 0: apple(df1) banana(df1)
+        "apple cherry",             # label 0: apple(df2) cherry(df1)
+        "dog dog dog",              # label 1: dog(df1)
+        "dog emu",                  # label 1: dog(df2) emu(df1)
+    ]
+    sf = _docs_fixture(tmp_path, texts, name="sflt")
+    emb = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+            "embedding": pa.array([[0.0, 0.0]] * 4, pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 1, 1], pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{sf}/embeddings.parquet")
+    df = (
+        label_top_terms(sf, k=2)
+        .to_pandas()
+        .sort_values(["label", "rank"])
+        .reset_index(drop=True)
+    )
+    # label 0: apple df2 rank1; banana/cherry tie df1 -> banana (token asc)
+    # label 1: dog df2 rank1; emu df1 rank2
+    assert df[["label", "tok", "df", "rank"]].values.tolist() == [
+        [0, "apple", 2, 1],
+        [0, "banana", 1, 2],
+        [1, "dog", 2, 1],
+        [1, "emu", 1, 2],
+    ]
