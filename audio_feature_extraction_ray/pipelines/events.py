@@ -5879,3 +5879,76 @@ SELECT event_id, day_num, value, day_n, rank_asc,
             ELSE CAST(0 AS BIGINT) END AS pct_1e6
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# DEBOUNCE — keep the FIRST event of each burst per (user, event_type),
+# where a burst is the chained window [kept_ts, kept_ts + DEBOUNCE_US]: an
+# event is kept iff it lands strictly after the last KEPT event plus the
+# window (retry-storm / duplicate-webhook suppression). NOT sessionization:
+# the window chains from kept events only, so a dense run longer than the
+# window keeps its first event, then the first one past the window, etc.
+# Inherently sequential per (user, type) chain (same class as greedy
+# packing): the kernel walks KEPT events only — each step jumps via
+# searchsorted, so work is O(kept x log n) per partition, not O(rows) —
+# after the ONE user-keyed exchange of the shared partitioned_ordered
+# idiom. The SQL twin is a linear recursive CTE stepping row_number()+1
+# per group, carrying the last kept timestamp.
+
+DEBOUNCE_US = 48 * 3600 * 1_000_000  # 48 h chained suppression window
+
+
+def debounce(sf_dir: str, window_us: int = DEBOUNCE_US) -> ray.data.Dataset:
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = pc.dictionary_encode(et).indices.to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        kept = np.zeros(n, dtype=bool)
+        if n:
+            head = np.ones(n, dtype=bool)
+            head[1:] = (uid[1:] != uid[:-1]) | (codes[1:] != codes[:-1])
+            bounds = np.concatenate([np.nonzero(head)[0], [n]])
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                i = s
+                while i < e:  # iterates once per KEPT event, not per row
+                    kept[i] = True
+                    i = s + int(np.searchsorted(ts[s:e], ts[i] + window_us, side="right"))
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id"),
+                "user_id": tbl.column("user_id"),
+                "event_type": tbl.column("event_type"),
+                "ts_us": pa.array(ts, pa.int64()),
+                "kept": pa.array(kept, pa.bool_()),
+            }
+        )
+
+    return partitioned_ordered(ds, kernel, key="user_id", order=("event_type", "ts", "event_id"))
+
+
+DEBOUNCE_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), k AS (
+  SELECT user_id, event_type, event_id, ts_us, rn,
+         ts_us AS kept_ts, TRUE AS kept
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.ts_us, e.rn,
+         CASE WHEN e.ts_us > k.kept_ts + {DEBOUNCE_US} THEN e.ts_us
+              ELSE k.kept_ts END,
+         e.ts_us > k.kept_ts + {DEBOUNCE_US}
+  FROM k JOIN e ON e.user_id = k.user_id
+              AND e.event_type = k.event_type AND e.rn = k.rn + 1
+)
+SELECT event_id, user_id, event_type, ts_us, kept FROM k
+"""

@@ -262,3 +262,47 @@ def test_label_top_terms_planted(ray_session, tmp_path):
         [1, "dog", 2, 1],
         [1, "emu", 1, 2],
     ]
+
+
+def test_debounce_chained_window(ray_session, tmp_path):
+    """The suppression window chains from KEPT events only: a dense run
+    longer than the window keeps the first event and the first one PAST
+    kept_ts + window — unlike gap sessionization, which would keep only
+    the run head."""
+    from audio_feature_extraction_ray.pipelines.events import debounce
+
+    W = 48 * 3600 * 1_000_000
+    # one user/type; events at 0, W/2, W (dropped: <= 0+W), W+1 (kept),
+    # then W+1+W+1 (kept: strictly after (W+1)+W)
+    ts = [0, W // 2, W, W + 1, 2 * W + 2]
+    df = (
+        debounce(_events_fixture(tmp_path, ts, [1.0] * 5, name="sfdb"))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert df["kept"].tolist() == [True, False, False, True, True]
+
+
+def test_debounce_independent_per_type(ray_session, tmp_path):
+    """Windows never chain across (user, type) chains."""
+    from audio_feature_extraction_ray.pipelines.events import debounce
+
+    n = 6
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.array([0, 1, 2, 3, 4, 5], dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.array([1, 1, 1, 1, 2, 2], dtype=np.int64)),
+            "event_type": pa.array(["a", "b", "a", "b", "a", "a"], pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / "sfdb2"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=2)
+    df = debounce(str(sf)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # first event of each (user, type) chain is kept; the rest are inside
+    # the window of their chain head
+    assert df["kept"].tolist() == [True, True, False, False, True, False]
