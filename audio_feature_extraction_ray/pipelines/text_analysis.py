@@ -6480,3 +6480,289 @@ WITH tok0 AS (
 )
 SELECT label, tok, df, rank FROM r WHERE rank <= {LABEL_TOP_TERMS_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# RAKE KEYWORD EXTRACTION (Rose et al. 2010) — corpus-level top keyphrases:
+# candidate phrases are maximal stopword-free token runs; each word scores
+# deg(w)/freq(w) (deg = sum of lengths of phrases containing it, freq = its
+# occurrence count in candidates); a phrase scores the sum of its member
+# word scores; the corpus answer is the top-K distinct phrases. Word scores
+# round to INTEGER 1e-6 units ((deg*1e6)//freq) BEFORE the phrase sum, so
+# addition order cannot diverge from the SQL twin (the bm25 idiom). Shape:
+# phrase runs are doc-local (stage 1 stateless, contiguous-run detection on
+# the flat token buffer); word stats and member-score joins ride ONE
+# word-keyed exchange (side-tagged union, the join-stage idiom); phrase
+# scores finalize on ONE phrase-keyed exchange with membership dedup by
+# (phrase, word_idx); the global top-K is a per-partition local top-K +
+# bounded driver fold (<= K x parts rows).
+
+RAKE_TOPK = 20
+RAKE_PARTS = 32
+
+
+def rake_keywords(sf_dir: str, k: int = RAKE_TOPK) -> ray.data.Dataset:
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    P = RAKE_PARTS
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    W_SCHEMA = pa.schema(
+        [
+            ("word", pa.string()),
+            ("phrase", pa.string()),
+            ("word_idx", pa.int64()),
+            ("f", pa.int64()),
+            ("d", pa.int64()),
+            ("n_occ", pa.int64()),
+            ("side", pa.int8()),
+            ("__pid", pa.int32()),
+        ]
+    )
+
+    def stage1(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return W_SCHEMA.empty_table()
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok_a, flat, offs = _token_lists(text)
+        nflat = len(flat)
+        if nflat == 0:
+            return W_SCHEMA.empty_table()
+        stop = (
+            pc.or_(
+                pc.is_in(flat, value_set=stop_set), pc.equal(pc.utf8_length(flat), 0)
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        row_id = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), np.diff(offs))
+        nonstop = ~stop
+        head = nonstop.copy()
+        head[1:] &= stop[:-1] | (row_id[1:] != row_id[:-1])
+        idx = np.nonzero(nonstop)[0]
+        if idx.size == 0:
+            return W_SCHEMA.empty_table()
+        head_at = head[idx]
+        run_id = np.cumsum(head_at) - 1
+        run_len = np.bincount(run_id).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(run_len)])
+        values = flat.take(pa.array(idx))
+        lists = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), values)
+        phrases = pc.binary_join(lists, " ")
+        # --- side 0: word stat partials over ALL instances
+        L_inst = run_len[run_id]
+        wtbl = pa.table(
+            {"word": values, "f1": pa.array(np.ones(idx.size, dtype=np.int64)),
+             "d1": pa.array(L_inst, pa.int64())}
+        )
+        ws = wtbl.group_by(["word"]).aggregate([("f1", "sum"), ("d1", "sum")])
+        n0 = ws.num_rows
+        side0 = pa.table(
+            {
+                "word": ws.column("word"),
+                "phrase": pa.array([""] * n0, pa.string()),
+                "word_idx": pa.array(np.zeros(n0, dtype=np.int64)),
+                "f": ws.column("f1_sum").cast(pa.int64()),
+                "d": ws.column("d1_sum").cast(pa.int64()),
+                "n_occ": pa.array(np.zeros(n0, dtype=np.int64)),
+                "side": pa.array(np.zeros(n0, dtype=np.int8)),
+            }
+        )
+        # --- distinct phrases in batch: members (side 1) + occurrence counts (side 2)
+        ph_np = np.asarray(phrases.to_pylist(), dtype=object)
+        uniq, first_run, occ = np.unique(ph_np, return_index=True, return_counts=True)
+        # member words of each distinct phrase = the word slice of its first run
+        mem_word_chunks, mem_phrase, mem_idx = [], [], []
+        for u, fr in zip(uniq.tolist(), first_run.tolist()):
+            s, e = starts[fr], starts[fr + 1]
+            mem_word_chunks.append(values.slice(s, e - s))
+            mem_phrase.extend([u] * (e - s))
+            mem_idx.extend(range(e - s))
+        mem_words = pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in mem_word_chunks]
+        )
+        n1 = len(mem_words)
+        side1 = pa.table(
+            {
+                "word": mem_words,
+                "phrase": pa.array(mem_phrase, pa.string()),
+                "word_idx": pa.array(np.array(mem_idx, dtype=np.int64)),
+                "f": pa.array(np.zeros(n1, dtype=np.int64)),
+                "d": pa.array(np.zeros(n1, dtype=np.int64)),
+                "n_occ": pa.array(np.zeros(n1, dtype=np.int64)),
+                "side": pa.array(np.ones(n1, dtype=np.int8)),
+            }
+        )
+        n2 = uniq.size
+        side2 = pa.table(
+            {
+                "word": pa.array([""] * n2, pa.string()),
+                "phrase": pa.array(uniq.tolist(), pa.string()),
+                "word_idx": pa.array(np.zeros(n2, dtype=np.int64)),
+                "f": pa.array(np.zeros(n2, dtype=np.int64)),
+                "d": pa.array(np.zeros(n2, dtype=np.int64)),
+                "n_occ": pa.array(occ.astype(np.int64)),
+                "side": pa.array(np.full(n2, 2, dtype=np.int8)),
+            }
+        )
+        out = pa.concat_tables([side0, side1, side2])
+        word_h = string_hash_array(out.column("word").combine_chunks())
+        phrase_h = string_hash_array(out.column("phrase").combine_chunks())
+        side = out.column("side").to_numpy(zero_copy_only=False)
+        pid = np.where(side == 2, phrase_h % np.uint64(P), word_h % np.uint64(P)).astype(
+            np.int32
+        )
+        return out.append_column("__pid", pa.array(pid))
+
+    def word_join(tbl: pa.Table) -> pa.Table:
+        # one word partition: finalize word scores from side-0 partials,
+        # attach them to side-1 member rows; pass side-2 rows through.
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        t0 = tbl.filter(pa.array(side == 0))
+        t1 = tbl.filter(pa.array(side == 1))
+        t2 = tbl.filter(pa.array(side == 2))
+        out_cols = {
+            "phrase": [], "word_idx": [], "wscore": [], "n_occ": [], "side": []
+        }
+        frames = []
+        if t1.num_rows:
+            ws = (
+                t0.group_by(["word"]).aggregate([("f", "sum"), ("d", "sum")])
+                if t0.num_rows
+                else None
+            )
+            wsdf = ws.to_pandas() if ws is not None else None
+            score = dict(
+                zip(
+                    wsdf["word"].tolist(),
+                    ((wsdf["d_sum"].to_numpy() * 1_000_000) // wsdf["f_sum"].to_numpy()),
+                )
+            ) if wsdf is not None else {}
+            w1 = t1.column("word").to_pylist()
+            frames.append(
+                pa.table(
+                    {
+                        "phrase": t1.column("phrase"),
+                        "word_idx": t1.column("word_idx"),
+                        "wscore": pa.array(
+                            np.array([score[w] for w in w1], dtype=np.int64)
+                        ),
+                        "n_occ": pa.array(np.zeros(t1.num_rows, dtype=np.int64)),
+                        "side": pa.array(np.ones(t1.num_rows, dtype=np.int8)),
+                    }
+                )
+            )
+        if t2.num_rows:
+            frames.append(
+                pa.table(
+                    {
+                        "phrase": t2.column("phrase"),
+                        "word_idx": t2.column("word_idx"),
+                        "wscore": pa.array(np.zeros(t2.num_rows, dtype=np.int64)),
+                        "n_occ": t2.column("n_occ"),
+                        "side": pa.array(np.full(t2.num_rows, 2, dtype=np.int8)),
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "phrase": pa.array([], pa.string()),
+                    "word_idx": pa.array([], pa.int64()),
+                    "wscore": pa.array([], pa.int64()),
+                    "n_occ": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        out = pa.concat_tables(frames)
+        pid2 = (
+            string_hash_array(out.column("phrase").combine_chunks()) % np.uint64(P)
+        ).astype(np.int32)
+        return out.append_column("__pid2", pa.array(pid2))
+
+    def phrase_final(tbl: pa.Table) -> pa.Table:
+        side = tbl.column("side").to_numpy(zero_copy_only=False)
+        t1 = tbl.filter(pa.array(side == 1))
+        t2 = tbl.filter(pa.array(side == 2))
+        # dedupe memberships emitted by multiple batches: keep one
+        # (phrase, word_idx) row — wscores are identical by construction
+        m = (
+            t1.select(["phrase", "word_idx", "wscore"])
+            .group_by(["phrase", "word_idx"])
+            .aggregate([("wscore", "min")])
+        )
+        sc = m.group_by(["phrase"]).aggregate([("wscore_min", "sum")])
+        oc = t2.group_by(["phrase"]).aggregate([("n_occ", "sum")])
+        sdf = sc.to_pandas().rename(columns={"wscore_min_sum": "score_1e6"})
+        odf = oc.to_pandas().rename(columns={"n_occ_sum": "n_occ"})
+        df = sdf.merge(odf, on="phrase", how="inner")
+        # local top-k (superset property: each phrase lives in ONE partition)
+        df = df.sort_values(["score_1e6", "phrase"], ascending=[False, True]).head(k)
+        return pa.table(
+            {
+                "phrase": pa.array(df["phrase"].tolist(), pa.string()),
+                "n_occ": pa.array(df["n_occ"].to_numpy(), pa.int64()),
+                "score_1e6": pa.array(df["score_1e6"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(stage1, batch_format="pyarrow")
+    ds = ds.groupby("__pid").map_groups(
+        lambda t: word_join(t.drop_columns(["__pid"])), batch_format="pyarrow"
+    )
+    ds = ds.groupby("__pid2").map_groups(
+        lambda t: phrase_final(t.drop_columns(["__pid2"])), batch_format="pyarrow"
+    )
+
+    def topk_fold(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas().sort_values(
+            ["score_1e6", "phrase"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # bounded driver fold: <= k rows per phrase partition
+    folded = exchange_fold(ds, topk_fold)
+    if folded is None:
+        return pd.DataFrame({"phrase": [], "n_occ": [], "score_1e6": []})
+    return topk_fold(folded).to_pandas()
+
+
+RAKE_KEYWORDS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM tk
+), t2 AS (
+  SELECT doc_id, tok, pos,
+         CASE WHEN tok = '' OR list_contains({_stoplist_sql(_EN_STOP)}, tok)
+              THEN 1 ELSE 0 END AS is_stop,
+         sum(CASE WHEN tok = '' OR list_contains({_stoplist_sql(_EN_STOP)}, tok)
+              THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM tok
+), w AS (
+  SELECT doc_id, grp, tok, pos FROM t2 WHERE is_stop = 0
+), ph AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS L
+  FROM w GROUP BY doc_id, grp
+), wstat AS (
+  SELECT w.tok, CAST(count(*) AS BIGINT) AS freq, CAST(sum(ph.L) AS BIGINT) AS deg
+  FROM w JOIN ph ON w.doc_id = ph.doc_id AND w.grp = ph.grp
+  GROUP BY w.tok
+), wsc AS (
+  SELECT tok, (deg * 1000000) // freq AS wscore FROM wstat
+), pscore AS (
+  SELECT ph.doc_id, ph.grp, ph.phrase, CAST(sum(wsc.wscore) AS BIGINT) AS score
+  FROM ph JOIN w ON w.doc_id = ph.doc_id AND w.grp = ph.grp
+       JOIN wsc ON w.tok = wsc.tok
+  GROUP BY ph.doc_id, ph.grp, ph.phrase
+)
+SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, min(score) AS score_1e6
+FROM pscore GROUP BY phrase
+ORDER BY score_1e6 DESC, phrase LIMIT {RAKE_TOPK}
+"""

@@ -306,3 +306,26 @@ def test_debounce_independent_per_type(ray_session, tmp_path):
     # first event of each (user, type) chain is kept; the rest are inside
     # the window of their chain head
     assert df["kept"].tolist() == [True, True, False, False, True, False]
+
+
+def test_rake_keywords_hand_computed(ray_session, tmp_path):
+    """RAKE on a hand-checkable corpus: phrase segmentation at stopwords,
+    deg/freq word scores, phrase score = sum of member word scores, and
+    repeated phrases aggregate with one score."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import rake_keywords
+
+    # stopwords include 'the' and 'of'. Corpus:
+    #   doc0: "deep learning of the deep learning"
+    #     phrases: "deep learning" (x2, split by 'of the')
+    #   doc1: "deep nets"
+    # word stats over candidate instances:
+    #   deep: freq 3 (two in d0 phrases, one in d1), deg = 2+2+2 = 6 -> 2.0
+    #   learning: freq 2, deg 4 -> 2.0 ; nets: freq 1, deg 2 -> 2.0
+    # scores: "deep learning" = 4.0 (n_occ 2), "deep nets" = 4.0 (n_occ 1)
+    texts = ["deep learning of the deep learning", "deep nets"]
+    df = rake_keywords(_docs_fixture(tmp_path, texts, name="sfrk")).reset_index(drop=True)
+    got = {r["phrase"]: (r["n_occ"], r["score_1e6"]) for _, r in df.iterrows()}
+    assert got["deep learning"] == (2, 4_000_000)
+    assert got["deep nets"] == (1, 4_000_000)
+    # tie order: score DESC then phrase ASC
+    assert df["phrase"].tolist()[:2] == ["deep learning", "deep nets"]
