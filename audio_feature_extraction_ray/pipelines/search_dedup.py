@@ -1523,3 +1523,146 @@ d AS (
 SELECT CAST(floor(d2 * {DIST_HIST_WIDTH}) AS BIGINT) AS bin, count(*) AS n
 FROM d GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# HARD-NEGATIVE / HARD-POSITIVE MINING — the metric-learning data-prep op:
+# for each anchor vector, the most-similar DIFFERENT-label vector (hardest
+# negative) and the least-similar SAME-label vector (hardest positive),
+# excluding self. Shape: anchors are a bounded broadcast (ray.put once, the
+# ann_bruteforce idiom); every corpus block computes one float64 GEMM
+# against them and emits <= 1 candidate row per anchor per block (argmax /
+# argmin with tie -> smaller id, sentinel +-inf when a block has no
+# candidate of that class); candidates merge through ONE exchange_fold
+# keyed by anchor, so driver traffic is O(anchors x parts). Sims round to
+# the shared 1e-6 grid only at OUTPUT (ranking is on raw float64, same as
+# the SQL twin's row_number over raw sim — the knn_join_exact contract).
+
+HARDMINE_ANCHORS = 50
+
+
+def embedding_hard_negatives(sf_dir: str):
+    import pandas as pd
+
+    from ..stages import ann
+    from ..stages.fold import exchange_fold
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", HARDMINE_ANCHORS)],
+    )
+    a_ids = qt.column("vec_id").to_numpy().astype(np.int64)
+    a_lab = qt.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    am = ann._emb_matrix(qt)
+    an = am / np.linalg.norm(am, axis=1, keepdims=True)
+    aref = ray.put((a_ids, a_lab, an))
+
+    def cand(tbl: pa.Table) -> pa.Table:
+        ids_a, lab_a, an_ = ray.get(aref)
+        k = ids_a.size
+        m = ann._emb_matrix(tbl)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ an_.T  # (rows, anchors)
+        nid = tbl.column("vec_id").to_numpy().astype(np.int64)
+        nlab = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        neg_sim = np.full(k, -np.inf)
+        neg_id = np.full(k, -1, dtype=np.int64)
+        pos_sim = np.full(k, np.inf)
+        pos_id = np.full(k, -1, dtype=np.int64)
+        for j in range(k):  # anchors are a small constant, not data-sized
+            s = sims[:, j]
+            diff = (nlab != lab_a[j]) & (nid != ids_a[j])
+            same = (nlab == lab_a[j]) & (nid != ids_a[j])
+            if diff.any():
+                di = np.nonzero(diff)[0]
+                best = di[np.lexsort((nid[di], -s[di]))[0]]
+                neg_sim[j], neg_id[j] = s[best], nid[best]
+            if same.any():
+                si = np.nonzero(same)[0]
+                best = si[np.lexsort((nid[si], s[si]))[0]]
+                pos_sim[j], pos_id[j] = s[best], nid[best]
+        return pa.table(
+            {
+                "anchor_id": pa.array(ids_a, pa.int64()),
+                "label": pa.array(lab_a, pa.int64()),
+                "neg_id": pa.array(neg_id, pa.int64()),
+                "neg_sim": pa.array(neg_sim, pa.float64()),
+                "pos_id": pa.array(pos_id, pa.int64()),
+                "pos_sim": pa.array(pos_sim, pa.float64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        rows = []
+        for aid, g in df.groupby("anchor_id", sort=True):
+            gn = g.sort_values(["neg_sim", "neg_id"], ascending=[False, True]).iloc[0]
+            gp = g.sort_values(["pos_sim", "pos_id"], ascending=[True, True]).iloc[0]
+            rows.append(
+                (aid, int(g["label"].iloc[0]), int(gn["neg_id"]), float(gn["neg_sim"]),
+                 int(gp["pos_id"]), float(gp["pos_sim"]))
+            )
+        out = pd.DataFrame(
+            rows, columns=["anchor_id", "label", "neg_id", "neg_sim", "pos_id", "pos_sim"]
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    folded = exchange_fold(
+        ds.map_batches(cand, batch_format="pyarrow"),
+        fold,
+        pid_of=lambda t: (
+            t.column("anchor_id").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(
+            columns=["anchor_id", "label", "hard_neg_id", "hard_neg_sim",
+                     "hard_pos_id", "hard_pos_sim"]
+        )
+    df = fold(folded).to_pandas()
+    df = df[(df["neg_id"] >= 0) & (df["pos_id"] >= 0)].sort_values("anchor_id")
+    return pd.DataFrame(
+        {
+            "anchor_id": df["anchor_id"].to_numpy(np.int64),
+            "label": df["label"].to_numpy(np.int64),
+            "hard_neg_id": df["neg_id"].to_numpy(np.int64),
+            "hard_neg_sim": np.floor(df["neg_sim"].to_numpy() * 1e6 + 0.5) / 1e6,
+            "hard_pos_id": df["pos_id"].to_numpy(np.int64),
+            "hard_pos_sim": np.floor(df["pos_sim"].to_numpy() * 1e6 + 0.5) / 1e6,
+        }
+    ).reset_index(drop=True)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS aid, label AS alab, CAST(embedding AS DOUBLE[]) AS ae
+  FROM embeddings WHERE vec_id < {HARDMINE_ANCHORS}
+), c AS (
+  SELECT vec_id AS nid, label AS nlab, CAST(embedding AS DOUBLE[]) AS ne
+  FROM embeddings
+), s AS (
+  SELECT aid, alab, nid, nlab,
+         list_dot_product(ae, ne)
+           / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(ne, ne))) AS sim
+  FROM a CROSS JOIN c WHERE aid != nid
+), neg AS (
+  SELECT aid, nid, sim,
+         row_number() OVER (PARTITION BY aid ORDER BY sim DESC, nid) AS rn
+  FROM s WHERE nlab != alab
+), pos AS (
+  SELECT aid, nid, sim,
+         row_number() OVER (PARTITION BY aid ORDER BY sim ASC, nid) AS rn
+  FROM s WHERE nlab = alab
+)
+SELECT a.aid AS anchor_id, CAST(a.alab AS BIGINT) AS label,
+       n.nid AS hard_neg_id, floor(n.sim * 1e6 + 0.5) / 1e6 AS hard_neg_sim,
+       p.nid AS hard_pos_id, floor(p.sim * 1e6 + 0.5) / 1e6 AS hard_pos_sim
+FROM a
+JOIN neg n ON n.aid = a.aid AND n.rn = 1
+JOIN pos p ON p.aid = a.aid AND p.rn = 1
+ORDER BY anchor_id
+"""

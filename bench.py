@@ -299,6 +299,7 @@ def run_bench() -> dict:
         ("docs_trigram_novelty", text_analysis.trigram_novelty),
         ("label_top_terms", text_analysis.label_top_terms),
         ("docs_rake_keywords", text_analysis.rake_keywords),
+        ("embedding_hard_negatives", search_dedup.embedding_hard_negatives),
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),

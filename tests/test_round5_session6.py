@@ -329,3 +329,37 @@ def test_rake_keywords_hand_computed(ray_session, tmp_path):
     assert got["deep nets"] == (1, 4_000_000)
     # tie order: score DESC then phrase ASC
     assert df["phrase"].tolist()[:2] == ["deep learning", "deep nets"]
+
+
+def test_hard_negatives_planted(ray_session, tmp_path):
+    """Planted geometry: the hardest negative is the different-label vector
+    closest to the anchor; the hardest positive is the same-label vector
+    farthest from it; self never matches."""
+    import ray as _ray
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        embedding_hard_negatives,
+    )
+
+    # 2-D unit vectors by angle; labels: 0 for ids 0-2, 1 for ids 3-5.
+    # anchor 0 at angle 0. same-label: id1 (10 deg), id2 (80 deg) ->
+    # hardest positive = id2. diff-label: id3 (30 deg), id4 (170 deg),
+    # id5 (90 deg) -> hardest negative = id3 (most similar).
+    ang = np.deg2rad(np.array([0, 10, 80, 30, 170, 90], dtype=np.float64))
+    m = np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+            "label": pa.array(np.array([0, 0, 0, 1, 1, 1], dtype=np.int32), pa.int32()),
+        }
+    )
+    sf = tmp_path / "sfhn"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=2)
+    df = embedding_hard_negatives(str(sf))
+    r0 = df[df["anchor_id"] == 0].iloc[0]
+    assert r0["hard_neg_id"] == 3 and r0["hard_pos_id"] == 2
+    # similarity sanity on the 1e-6 grid
+    assert abs(r0["hard_neg_sim"] - np.floor(np.cos(np.deg2rad(30)) * 1e6 + 0.5) / 1e6) < 2e-6
+    # every anchor present exactly once, with both sides mined
+    assert len(df) == 6 and df["anchor_id"].tolist() == list(range(6))
