@@ -5952,3 +5952,61 @@ WITH RECURSIVE e AS (
 )
 SELECT event_id, user_id, event_type, ts_us, kept FROM k
 """
+
+
+# ---------------------------------------------------------------------------
+# MARKOV STATIONARY DISTRIBUTION over event types — the long-run occupancy
+# of the user-stream transition chain ("where does a user's activity settle
+# if the observed transition dynamics persist"). The event-type domain is
+# bounded, so the distributed part is exactly transition_entropy's ONE
+# (prev,next)-keyed count exchange; the driver then solves the tiny chain:
+# row-normalize counts (dangling types redistribute uniformly), power-
+# iterate from uniform with a FIXED iteration count (deterministic floats —
+# same counts always produce the same vector). Rows-only query (an
+# eigenproblem, not SQL); the closed-form two-state chain pins it in
+# pytest.
+
+MARKOV_ITERS = 500
+
+
+def markov_stationary(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["prev_type", "next_type"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["prev_type", "next_type", "n"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        p = tbl.column("prev_type")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        return (string_hash_strong(p) % np.uint64(16)).astype(np.int32)
+
+    folded = exchange_fold(_transition_counts(sf_dir), fold, parts=16, pid_of=pid_of)
+    if folded is None:
+        return pd.DataFrame({"event_type": [], "n_out": [], "stationary_p": []})
+    df = fold(folded).to_pandas()
+    types = sorted(set(df["prev_type"]) | set(df["next_type"]))
+    k = len(types)
+    tix = {t: i for i, t in enumerate(types)}
+    C = np.zeros((k, k), dtype=np.float64)
+    for p, nx, n in zip(df["prev_type"], df["next_type"], df["n"]):
+        C[tix[p], tix[nx]] += float(n)
+    out = C.sum(axis=1)
+    P = np.where(out[:, None] > 0, C / np.maximum(out[:, None], 1.0), 1.0 / k)
+    pi = np.full(k, 1.0 / k)
+    for _ in range(MARKOV_ITERS):
+        pi = pi @ P
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "n_out": out.astype(np.int64),
+            "stationary_p": np.floor(pi * 1e9 + 0.5) / 1e9,
+        }
+    )

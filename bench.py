@@ -302,6 +302,7 @@ def run_bench() -> dict:
         ("embedding_hard_negatives", search_dedup.embedding_hard_negatives),
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
+        ("events_markov_stationary", events.markov_stationary),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

@@ -363,3 +363,35 @@ def test_hard_negatives_planted(ray_session, tmp_path):
     assert abs(r0["hard_neg_sim"] - np.floor(np.cos(np.deg2rad(30)) * 1e6 + 0.5) / 1e6) < 2e-6
     # every anchor present exactly once, with both sides mined
     assert len(df) == 6 and df["anchor_id"].tolist() == list(range(6))
+
+
+def test_markov_stationary_two_state_closed_form(ray_session, tmp_path):
+    """Closed form: a 2-state chain with P(a->b)=2/3, P(b->a)=1 has
+    stationary (q/(p+q), p/(p+q)) = (0.6, 0.4)."""
+    from audio_feature_extraction_ray.pipelines.events import markov_stationary
+
+    # one user; type sequence a a b a b a b a a -> transitions:
+    # a->a:2, a->b:3, b->a:3  => P(a->b)=3/5... build explicitly instead:
+    # sequence: a b a b a b a a a -> a->b:3, b->a:3, a->a:2
+    seq = ["a", "b", "a", "b", "a", "b", "a", "a", "a"]
+    n = len(seq)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.arange(n, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(seq, pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / "sfms"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    df = markov_stationary(str(sf)).sort_values("event_type").reset_index(drop=True)
+    # counts: a->b 3, a->a 2 (p = 3/5); b->a 3 (q = 1)
+    p, q = 3 / 5, 1.0
+    want_a, want_b = q / (p + q), p / (p + q)
+    assert abs(df["stationary_p"][0] - want_a) < 1e-9
+    assert abs(df["stationary_p"][1] - want_b) < 1e-9
+    assert df["n_out"].tolist() == [5, 3]
