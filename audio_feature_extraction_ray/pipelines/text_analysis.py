@@ -6766,3 +6766,88 @@ SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, min(score) AS score_1e6
 FROM pscore GROUP BY phrase
 ORDER BY score_1e6 DESC, phrase LIMIT {RAKE_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# WINNOWING FINGERPRINTS (Schleimer, Wilkerson, Aiken 2003) — the robust
+# local document fingerprinting behind MOSS-style overlap detection:
+# char-k-gram hashes, sliding window of w consecutive hashes, select the
+# window MIN (rightmost on ties), dedupe consecutive re-selections. The
+# guarantee: any shared substring of length >= k + w - 1 shares at least
+# one fingerprint — positional robustness exact Jaccard/minhash grams lack.
+# Purely doc-local (one stateless map_batches, zero exchanges); the k-gram
+# hash is 5 shifted multiply-adds on the byte buffer (vectorized uint64
+# wraparound) + a splitmix avalanche, and window selection is a
+# sliding_window_view argmin — no Python arithmetic per char. Rows-only
+# query (hash-set semantics, not SQL); a scalar naive reference and the
+# shared-substring guarantee are pinned in pytest.
+
+WINNOW_K = 5  # k-gram length (chars)
+WINNOW_W = 4  # winnowing window (hashes)
+_WINNOW_B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
+
+
+def _winnow_hashes(data: np.ndarray, k: int = WINNOW_K) -> np.ndarray:
+    """uint64 polynomial hashes of all k-grams of a byte array (avalanched)."""
+    m = data.size - k + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):  # k is a small constant, each step is vectorized
+            h = h * _WINNOW_B + data[j : j + m].astype(np.uint64)
+        # splitmix64 avalanche
+        h = (h + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return h
+
+
+def _winnow_select(h: np.ndarray, w: int = WINNOW_W) -> np.ndarray:
+    """Selected fingerprint hashes (winnowing: per-window min, rightmost tie,
+    consecutive duplicate selections collapsed). Returns selected hashes in
+    position order."""
+    m = h.size
+    if m == 0:
+        return h
+    if m < w:
+        return np.array([h.min()], dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    rev_arg = np.argmin(wins[:, ::-1], axis=1)
+    pos = np.arange(m - w + 1, dtype=np.int64) + (w - 1 - rev_arg)
+    keep = np.ones(pos.size, dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return h[pos[keep]]
+
+
+def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    def fn(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = tbl.num_rows
+        n_grams = np.zeros(n, dtype=np.int64)
+        n_fps = np.zeros(n, dtype=np.int64)
+        fp_xor = np.zeros(n, dtype=np.uint64)
+        fp_min = np.zeros(n, dtype=np.uint64)
+        for i, s in enumerate(text.to_pylist()):
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            h = _winnow_hashes(b)
+            n_grams[i] = h.size
+            sel = _winnow_select(h)
+            n_fps[i] = sel.size
+            if sel.size:
+                fp_xor[i] = np.bitwise_xor.reduce(sel)
+                fp_min[i] = sel.min()
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_fps": pa.array(n_fps, pa.int64()),
+                "fp_xor": pa.array(fp_xor.view(np.int64), pa.int64()),
+                "fp_min": pa.array(fp_min.view(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")

@@ -303,6 +303,7 @@ def run_bench() -> dict:
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
         ("events_markov_stationary", events.markov_stationary),
+        ("docs_winnow_fps", text_analysis.winnow_fingerprints),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

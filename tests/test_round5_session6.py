@@ -395,3 +395,64 @@ def test_markov_stationary_two_state_closed_form(ray_session, tmp_path):
     assert abs(df["stationary_p"][0] - want_a) < 1e-9
     assert abs(df["stationary_p"][1] - want_b) < 1e-9
     assert df["n_out"].tolist() == [5, 3]
+
+
+def _naive_winnow(s, k=5, w=4):
+    """Scalar reference: polynomial k-gram hashes + per-window rightmost
+    min + consecutive dedup — pure python ints, mod 2**64."""
+    B = 1099511628211
+    M = (1 << 64) - 1
+    b = s.encode("utf-8")
+    m = len(b) - k + 1
+    hs = []
+    for i in range(max(m, 0)):
+        h = 0
+        for j in range(k):
+            h = (h * B + b[i + j]) & M
+        h = (h + 0x9E3779B97F4A7C15) & M
+        h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+        h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+        h = h ^ (h >> 31)
+        hs.append(h)
+    if not hs:
+        return []
+    if len(hs) < w:
+        return [min(hs)]
+    sel, last = [], -1
+    for i in range(len(hs) - w + 1):
+        win = hs[i : i + w]
+        mn = min(win)
+        pos = i + max(j for j in range(w) if win[j] == mn)
+        if pos != last:
+            sel.append(hs[pos])
+            last = pos
+    return sel
+
+
+def test_winnow_matches_naive_and_shares_substring_fp(ray_session, tmp_path):
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        _winnow_hashes,
+        _winnow_select,
+        winnow_fingerprints,
+    )
+
+    rng = np.random.default_rng(13)
+    alpha = list("abcdefg ")
+    texts = ["".join(rng.choice(alpha, size=rng.integers(0, 60)).tolist()) for _ in range(40)]
+    # plant a shared substring of length >= k + w - 1 in two docs
+    shared = "zqxjwvkzqxjwvk"  # 14 >= 5 + 4 - 1
+    texts += ["AAA" + shared + "BBB", "CCCC" + shared + "D"]
+    for t in texts:
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        got = _winnow_select(_winnow_hashes(b)).tolist()
+        assert got == _naive_winnow(t, WINNOW_K, WINNOW_W), t
+    # winnowing guarantee: the two planted docs share >= 1 fingerprint
+    f1 = set(_winnow_select(_winnow_hashes(np.frombuffer(texts[-2].encode(), dtype=np.uint8))).tolist())
+    f2 = set(_winnow_select(_winnow_hashes(np.frombuffer(texts[-1].encode(), dtype=np.uint8))).tolist())
+    assert f1 & f2
+    # end-to-end query flow over a fixture (schema + row count)
+    df = winnow_fingerprints(_docs_fixture(tmp_path, texts, name="sfwn")).to_pandas()
+    assert len(df) == len(texts)
+    assert (df["n_fps"] <= np.maximum(df["n_grams"], 1)).all()
