@@ -6010,3 +6010,100 @@ def markov_stationary(sf_dir: str):
             "stationary_p": np.floor(pi * 1e9 + 0.5) / 1e9,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TOP SESSION PATHS — the most common session OPENINGS: per session, the
+# first <= 3 event types joined 'a>b>c', counted corpus-wide, top-K by
+# (count DESC, path ASC). The sequence-pattern summary a funnel designer
+# reads before committing to steps. Shape: sessions are user-local, so the
+# per-partition kernel (shared sessionize arithmetic) emits per-partition
+# (path, n) partials; ONE path-keyed exchange finalizes counts; the global
+# top-K is per-partition local top-K + bounded driver fold (the grouped
+# top-K superset property — each path lives in one partition).
+
+FUNNEL_PATHS_K = 10
+FUNNEL_PATHS_LEN = 3
+
+
+def funnel_paths_topk(sf_dir: str, k: int = FUNNEL_PATHS_K):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_strong
+    from ..stages.fold import exchange_fold
+
+    ds = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({"path": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        dt = np.full(n, np.nan)
+        if n > 1:
+            dt[1:] = (ts[1:] - ts[:-1]) / 1e6
+        dt[head] = np.nan
+        with np.errstate(invalid="ignore"):
+            seg_head = head | (dt > SESSION_GAP_S)
+        sess = np.cumsum(seg_head) - 1
+        ar = np.arange(n, dtype=np.int64)
+        start = _propagate_last(np.where(seg_head, ar, 0), seg_head)
+        rn = ar - start
+        mask = rn < FUNNEL_PATHS_LEN
+        et = np.asarray(tbl.column("event_type").to_pylist(), dtype=object)
+        df = pd.DataFrame({"sess": sess[mask], "t": et[mask]})
+        paths = df.groupby("sess", sort=True)["t"].agg(">".join)
+        vc = paths.value_counts()
+        return pa.table(
+            {
+                "path": pa.array(vc.index.tolist(), pa.string()),
+                "n": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = partitioned_ordered(ds, kernel, key="user_id", order=("ts", "event_id"))
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        c = tbl.group_by(["path"]).aggregate([("n", "sum")]).rename_columns(["path", "n"])
+        df = c.to_pandas().sort_values(["n", "path"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    folded = exchange_fold(
+        partials,
+        fold,
+        pid_of=lambda t: (
+            string_hash_strong(t.column("path").combine_chunks()) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame({"path": [], "n": []})
+    return fold(folded).to_pandas().reset_index(drop=True)
+
+
+FUNNEL_PATHS_SQL = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts, event_type,
+         date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(CASE WHEN gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= {FUNNEL_PATHS_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY path
+ORDER BY n DESC, path LIMIT {FUNNEL_PATHS_K}
+"""

@@ -456,3 +456,34 @@ def test_winnow_matches_naive_and_shares_substring_fp(ray_session, tmp_path):
     df = winnow_fingerprints(_docs_fixture(tmp_path, texts, name="sfwn")).to_pandas()
     assert len(df) == len(texts)
     assert (df["n_fps"] <= np.maximum(df["n_grams"], 1)).all()
+
+
+def test_funnel_paths_prefix_and_gap(ray_session, tmp_path):
+    """Paths take the first 3 events of each session in time order; a gap
+    beyond SESSION_GAP_S starts a new session/path."""
+    from audio_feature_extraction_ray.pipelines.events import (
+        SESSION_GAP_S,
+        funnel_paths_topk,
+    )
+
+    G = int(SESSION_GAP_S * 1e6)
+    n = 7
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            # session 1: 4 events (path = first 3); session 2: 3 events
+            "ts": pa.array(
+                np.array([0, 1, 2, 3, 3 + G + 1, 4 + G + 1, 5 + G + 1], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(["a", "b", "c", "d", "a", "b", "c"], pa.string()),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / "sffp"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    df = funnel_paths_topk(str(sf))
+    assert df["path"].tolist() == ["a>b>c"] and df["n"].tolist() == [2]
