@@ -6851,3 +6851,79 @@ def winnow_fingerprints(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TEMPLATE DETECTION — boilerplate structure groups: two docs share a
+# template when their token-LENGTH sequences are identical (same skeleton
+# md5), the structural near-dup class (form letters, generated pages,
+# mad-libs spam) that content-hash dedup misses because the words differ.
+# Output is per-doc: skeleton digest, group size, and is_canonical
+# (doc_id == group min) — the keep mask a template-dedup pass would apply.
+# Shape: skeleton is doc-local (per-row md5 over the length sequence); ONE
+# skeleton-keyed exchange computes group size + min and the per-doc rows
+# stay distributed.
+
+TEMPLATE_PARTS = 32
+
+
+def template_groups(sf_dir: str) -> ray.data.Dataset:
+    import hashlib as _hashlib
+
+    from ..functions.hashing import string_hash_array
+
+    def skel(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        sks = [
+            _hashlib.md5(
+                ",".join(str(len(t)) for t in s.split(" ")).encode()
+            ).hexdigest()
+            for s in text.to_pylist()
+        ]
+        sk = pa.array(sks, pa.string())
+        pid = (string_hash_array(sk) % np.uint64(TEMPLATE_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "skeleton_md5": sk,
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["__pid"])
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sk = t.column("skeleton_md5")
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        codes = pc.dictionary_encode(sk).indices.to_numpy(zero_copy_only=False)
+        size = np.bincount(codes).astype(np.int64)
+        gmin = np.full(size.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(gmin, codes, doc)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "skeleton_md5": sk,
+                "group_size": pa.array(size[codes], pa.int64()),
+                "is_canonical": pa.array(doc == gmin[codes], pa.bool_()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(skel, batch_format="pyarrow")
+    return ds.groupby("__pid").map_groups(finish, batch_format="pyarrow")
+
+
+TEMPLATE_GROUPS_SQL = """
+WITH sk AS (
+  SELECT doc_id,
+         md5(array_to_string(list_transform(string_split(text, ' '),
+             x -> CAST(length(x) AS VARCHAR)), ',')) AS skeleton_md5
+  FROM documents
+)
+SELECT doc_id, skeleton_md5,
+       CAST(count(*) OVER (PARTITION BY skeleton_md5) AS BIGINT) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY skeleton_md5) AS is_canonical
+FROM sk
+"""

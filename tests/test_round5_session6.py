@@ -487,3 +487,26 @@ def test_funnel_paths_prefix_and_gap(ray_session, tmp_path):
     pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
     df = funnel_paths_topk(str(sf))
     assert df["path"].tolist() == ["a>b>c"] and df["n"].tolist() == [2]
+
+
+def test_template_groups_planted(ray_session, tmp_path):
+    """Docs with the same token-LENGTH sequence group together even when
+    every word differs; the smallest doc_id is canonical."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import template_groups
+
+    texts = [
+        "dear bob your order nr 1234 shipped",   # lengths 4,3,4,5,2,4,7
+        "dear ann your quote nr 9876 expired",   # same skeleton
+        "completely different text",
+        "dear sue your offer nr 1111 updated",   # same skeleton again
+    ]
+    df = (
+        template_groups(_docs_fixture(tmp_path, texts, name="sftg"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert df["group_size"].tolist() == [3, 3, 1, 3]
+    assert df["is_canonical"].tolist() == [True, False, True, False]
+    assert df["skeleton_md5"][0] == df["skeleton_md5"][1] == df["skeleton_md5"][3]
+    assert df["skeleton_md5"][0] != df["skeleton_md5"][2]
