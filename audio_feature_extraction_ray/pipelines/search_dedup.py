@@ -1552,6 +1552,12 @@ def embedding_hard_negatives(sf_dir: str):
         columns=["vec_id", "embedding", "label"],
         filters=[("vec_id", "<", HARDMINE_ANCHORS)],
     )
+    empty = pd.DataFrame(
+        columns=["anchor_id", "label", "hard_neg_id", "hard_neg_sim",
+                 "hard_pos_id", "hard_pos_sim"]
+    )
+    if qt.num_rows == 0:
+        return empty
     a_ids = qt.column("vec_id").to_numpy().astype(np.int64)
     a_lab = qt.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
     am = ann._emb_matrix(qt)
@@ -1561,6 +1567,17 @@ def embedding_hard_negatives(sf_dir: str):
     def cand(tbl: pa.Table) -> pa.Table:
         ids_a, lab_a, an_ = ray.get(aref)
         k = ids_a.size
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "anchor_id": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                    "neg_sim": pa.array([], pa.float64()),
+                    "pos_id": pa.array([], pa.int64()),
+                    "pos_sim": pa.array([], pa.float64()),
+                }
+            )
         m = ann._emb_matrix(tbl)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = mn @ an_.T  # (rows, anchors)

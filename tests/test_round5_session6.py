@@ -510,3 +510,102 @@ def test_template_groups_planted(ray_session, tmp_path):
     assert df["is_canonical"].tolist() == [True, False, True, False]
     assert df["skeleton_md5"][0] == df["skeleton_md5"][1] == df["skeleton_md5"][3]
     assert df["skeleton_md5"][0] != df["skeleton_md5"][2]
+
+
+def test_session6_ops_empty_and_single_row_inputs(ray_session, tmp_path):
+    """0-row and 1-row flow guard for every session-6 operator: no crashes,
+    sane cardinality."""
+    import ray as _ray
+    from audio_feature_extraction_ray.pipelines.events import (
+        day_peer_rank,
+        debounce,
+        funnel_paths_topk,
+        markov_stationary,
+    )
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        embedding_hard_negatives,
+    )
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        label_top_terms,
+        quality_logistic,
+        rake_keywords,
+        template_groups,
+        trigram_novelty,
+        winnow_fingerprints,
+    )
+    from audio_feature_extraction_ray.stages.ann import kcenter_select
+
+    for n in (0, 1):
+        # --- documents ---
+        if n:
+            sfd = _docs_fixture(tmp_path, ["one small doc"], name=f"sfd6f{n}")
+        else:
+            tbl = pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "source": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+            d = tmp_path / "sfd6f0"
+            d.mkdir(exist_ok=True)
+            pq.write_table(tbl, d / "documents.parquet")
+            sfd = str(d)
+        for fn in (quality_logistic, trigram_novelty, template_groups,
+                   winnow_fingerprints):
+            res = fn(sfd)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) <= max(n, 1), (fn.__name__, len(df))
+        df = rake_keywords(sfd)
+        assert len(df) <= 20
+        # --- events ---
+        if n:
+            sfe = _events_fixture(tmp_path, [10], [1.0], name=f"sfe6f{n}")
+        else:
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "props": pa.array([], pa.string()),
+                }
+            )
+            d = tmp_path / "sfe6f0"
+            d.mkdir(exist_ok=True)
+            pq.write_table(tbl, d / "events.parquet")
+            sfe = str(d)
+        for fn in (day_peer_rank, debounce):
+            res = fn(sfe)
+            df = res.to_pandas() if hasattr(res, "to_pandas") else res
+            assert len(df) == n, (fn.__name__, len(df))
+        assert len(funnel_paths_topk(sfe)) == n
+        # markov: 1 event -> no transitions -> empty
+        assert len(markov_stationary(sfe)) == 0
+        # --- embeddings ---
+        if n:
+            et = pa.table(
+                {
+                    "vec_id": pa.array([0], pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+                    "label": pa.array([0], pa.int32()),
+                }
+            )
+        else:
+            et = pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "label": pa.array([], pa.int32()),
+                }
+            )
+        d = tmp_path / f"sfem6f{n}"
+        d.mkdir(exist_ok=True)
+        pq.write_table(et, d / "embeddings.parquet")
+        # hard negatives: 0 or 1 vectors -> no (neg AND pos) pair -> empty
+        assert len(embedding_hard_negatives(str(d))) == 0
+        ds = _ray.data.read_parquet(str(d / "embeddings.parquet"))
+        assert len(kcenter_select(ds, k=4)) == n
