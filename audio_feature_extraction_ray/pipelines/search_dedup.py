@@ -1683,3 +1683,93 @@ JOIN neg n ON n.aid = a.aid AND n.rn = 1
 JOIN pos p ON p.aid = a.aid AND p.rn = 1
 ORDER BY anchor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# COSINE BALL COUNT (range search) — for each anchor, how many corpus
+# vectors lie within cosine >= tau: the neighborhood-DENSITY feature that
+# tunes semdedup thresholds and flags embedding-space outliers (density 1 =
+# only itself). Dual of top-k search: the radius is fixed, the count is the
+# answer. Broadcast anchors (ray.put once), per-batch GEMM emits one
+# partial-count row per anchor per block (counters only), ONE anchor-keyed
+# exchange_fold sums them — O(anchors x parts) driver traffic. The tau
+# comparison happens on the 1e-6-rounded similarity on BOTH sides, so the
+# boundary is grid-exact against the SQL twin.
+
+BALL_ANCHORS = 50
+BALL_TAU = 0.2
+
+
+def embedding_ball_count(sf_dir: str):
+    import pandas as pd
+
+    from ..stages import ann
+    from ..stages.fold import exchange_fold
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", BALL_ANCHORS)],
+    )
+    if qt.num_rows == 0:
+        return pd.DataFrame(columns=["anchor_id", "n_in_ball"])
+    a_ids = qt.column("vec_id").to_numpy().astype(np.int64)
+    am = ann._emb_matrix(qt)
+    an = am / np.linalg.norm(am, axis=1, keepdims=True)
+    aref = ray.put((a_ids, an))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        ids_a, an_ = ray.get(aref)
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"anchor_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        m = ann._emb_matrix(tbl)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.floor(mn @ an_.T * 1e6 + 0.5) / 1e6  # shared grid
+        cnt = (sims >= BALL_TAU).sum(axis=0).astype(np.int64)
+        return pa.table(
+            {"anchor_id": pa.array(ids_a, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["anchor_id"]).aggregate([("n", "sum")])
+            .rename_columns(["anchor_id", "n"])
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    folded = exchange_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        fold,
+        pid_of=lambda t: (
+            t.column("anchor_id").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(columns=["anchor_id", "n_in_ball"])
+    df = fold(folded).to_pandas().sort_values("anchor_id").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "anchor_id": df["anchor_id"].to_numpy(np.int64),
+            "n_in_ball": df["n"].to_numpy(np.int64),
+        }
+    )
+
+
+BALL_COUNT_SQL = f"""
+WITH a AS (
+  SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS ae
+  FROM embeddings WHERE vec_id < {BALL_ANCHORS}
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings
+), s AS (
+  SELECT aid,
+         floor(list_dot_product(ae, ne)
+           / (sqrt(list_dot_product(ae, ae)) * sqrt(list_dot_product(ne, ne)))
+           * 1e6 + 0.5) / 1e6 AS sim
+  FROM a CROSS JOIN c
+)
+SELECT aid AS anchor_id, CAST(count(*) FILTER (WHERE sim >= {BALL_TAU}) AS BIGINT) AS n_in_ball
+FROM s GROUP BY aid ORDER BY aid
+"""

@@ -300,6 +300,7 @@ def run_bench() -> dict:
         ("label_top_terms", text_analysis.label_top_terms),
         ("docs_rake_keywords", text_analysis.rake_keywords),
         ("embedding_hard_negatives", search_dedup.embedding_hard_negatives),
+        ("embedding_ball_count", search_dedup.embedding_ball_count),
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
         ("events_markov_stationary", events.markov_stationary),

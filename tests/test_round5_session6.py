@@ -609,3 +609,31 @@ def test_session6_ops_empty_and_single_row_inputs(ray_session, tmp_path):
         assert len(embedding_hard_negatives(str(d))) == 0
         ds = _ray.data.read_parquet(str(d / "embeddings.parquet"))
         assert len(kcenter_select(ds, k=4)) == n
+
+
+def test_ball_count_planted_radius(ray_session, tmp_path):
+    """Exact range-search counts on planted angles around anchor 0 (tau on
+    the 1e-6 grid both sides; self always counts)."""
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        BALL_TAU,
+        embedding_ball_count,
+    )
+
+    # anchor at angle 0; tau = 0.2 -> cutoff angle ~78.46 deg.
+    # neighbors at 10 (in), 60 (in), 85 (out), 170 (out) degrees.
+    ang = np.deg2rad(np.array([0, 10, 60, 85, 170], dtype=np.float64))
+    m = np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(5, dtype=np.int32), pa.int32()),
+        }
+    )
+    sf = tmp_path / "sfbc"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=2)
+    df = embedding_ball_count(str(sf))
+    r0 = df[df["anchor_id"] == 0]["n_in_ball"].iloc[0]
+    assert r0 == 3  # self + 10deg + 60deg
+    assert BALL_TAU == 0.2
