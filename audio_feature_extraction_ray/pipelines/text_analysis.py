@@ -6927,3 +6927,117 @@ SELECT doc_id, skeleton_md5,
        doc_id = min(doc_id) OVER (PARTITION BY skeleton_md5) AS is_canonical
 FROM sk
 """
+
+
+# ---------------------------------------------------------------------------
+# QUALITY CALIBRATION — the reliability table crossing the hand-tuned
+# quality score (deciles of doc_quality's fixed-point score) with the
+# logistic gate's keep decision: the audit that tells you whether the two
+# quality signals agree before you stack them in a curation pipeline (a
+# well-calibrated gate keeps ~0% of the bottom bucket and ~100% of the
+# top). Both scores are per-row integer/fixed-point reuses of the existing
+# kernels; ONE bucket-keyed exchange (bucket domain <= 10) folds counts;
+# keep_rate is integer fixed-point so the twin is bit-identical.
+
+QUALITY_CAL_BUCKETS = 10
+
+
+def quality_calibration(sf_dir: str) -> ray.data.Dataset:
+    from ..stages.fold import exchange_fold
+    import pandas as pd
+
+    stop_set = pa.array(_EN_STOP, pa.string())
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        q = quality_scores(text)  # fixed-point 1e-6 grid
+        bucket = np.minimum(
+            np.floor(q * QUALITY_CAL_BUCKETS).astype(np.int64), QUALITY_CAL_BUCKETS - 1
+        )
+        # logistic gate (same integer arithmetic as quality_logistic)
+        charc = pc.utf8_length(text).cast(pa.int64()).to_numpy()
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy().astype(np.int64)
+        sum_len = np.where(ntok > 0, charc - (ntok - 1), 0)
+        stop_cnt = _segment_sums(
+            pc.is_in(flat, value_set=stop_set).to_numpy(zero_copy_only=False), offs
+        ).astype(np.int64)
+        punct_cnt = charc - pc.utf8_length(
+            pc.replace_substring_regex(text, pattern="[.,;:!?'\"()\\-]", replacement="")
+        ).cast(pa.int64()).to_numpy()
+        safe_ntok = np.maximum(ntok, 1)
+        safe_charc = np.maximum(charc, 1)
+        d = np.abs(sum_len * 1_000_000 - 5_000_000 * ntok) // safe_ntok
+        logit = (
+            -900_000
+            + 6_000 * np.minimum(ntok, 300)
+            + np.maximum(0, 1_000_000 - d // 5) // 2
+            + (800_000 * stop_cnt) // safe_ntok
+            - (1_600_000 * punct_cnt) // safe_charc
+        )
+        keep = np.where((charc == 0) | (ntok == 0), False, logit > 0)
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        nk = np.bincount(inv, weights=keep.astype(np.int64)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(uniq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "n_keep": pa.array(nk, pa.int64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        c = tbl.group_by(["bucket"]).aggregate([("n", "sum"), ("n_keep", "sum")])
+        return c.rename_columns(["bucket", "n", "n_keep"])
+
+    folded = exchange_fold(
+        _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow"),
+        fold,
+        pid_of=lambda t: (
+            t.column("bucket").to_numpy().astype(np.uint64) % np.uint64(8)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(columns=["bucket", "n", "n_keep", "keep_rate_1e6"])
+    df = fold(folded).to_pandas().sort_values("bucket").reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "bucket": df["bucket"].to_numpy(np.int64),
+            "n": df["n"].to_numpy(np.int64),
+            "n_keep": df["n_keep"].to_numpy(np.int64),
+            "keep_rate_1e6": (df["n_keep"].to_numpy(np.int64) * 1_000_000)
+            // df["n"].to_numpy(np.int64),
+        }
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH {QUALITY_T_CTE}, qs AS (
+  SELECT doc_id, {QUALITY_EXPR} AS q, charc, ntok, stop_cnt, punct_cnt
+  FROM t
+), f AS (
+  SELECT *, CASE WHEN ntok > 0 THEN CAST(charc - (ntok - 1) AS BIGINT) ELSE 0 END AS sum_len,
+         CAST(greatest(ntok, 1) AS BIGINT) AS sntok,
+         CAST(greatest(charc, 1) AS BIGINT) AS scharc
+  FROM qs
+), l AS (
+  SELECT q,
+         CASE WHEN charc = 0 OR ntok = 0 THEN FALSE ELSE
+           -900000
+           + 6000 * least(CAST(ntok AS BIGINT), 300)
+           + greatest(0, 1000000 - (abs(sum_len * 1000000 - 5000000 * CAST(ntok AS BIGINT)) // sntok) // 5) // 2
+           + (800000 * CAST(stop_cnt AS BIGINT)) // sntok
+           - (1600000 * CAST(punct_cnt AS BIGINT)) // scharc > 0 END AS keep
+  FROM f
+), b AS (
+  SELECT least(CAST(floor(q * {QUALITY_CAL_BUCKETS}) AS BIGINT), {QUALITY_CAL_BUCKETS - 1}) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep
+  FROM l GROUP BY 1
+)
+SELECT bucket, n, n_keep, (n_keep * 1000000) // n AS keep_rate_1e6
+FROM b ORDER BY bucket
+"""

@@ -307,6 +307,7 @@ def run_bench() -> dict:
         ("docs_winnow_fps", text_analysis.winnow_fingerprints),
         ("events_funnel_paths", events.funnel_paths_topk),
         ("docs_template_groups", text_analysis.template_groups),
+        ("docs_quality_calibration", text_analysis.quality_calibration),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

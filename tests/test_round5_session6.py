@@ -637,3 +637,22 @@ def test_ball_count_planted_radius(ray_session, tmp_path):
     r0 = df[df["anchor_id"] == 0]["n_in_ball"].iloc[0]
     assert r0 == 3  # self + 10deg + 60deg
     assert BALL_TAU == 0.2
+
+
+def test_quality_calibration_monotone_on_planted(ray_session, tmp_path):
+    """A corpus spanning short junk to long fluent docs must land in
+    multiple buckets, totals must sum to the corpus, and the gate's keep
+    rate must be non-decreasing across the populated buckets (the two
+    signals share the length/stopword features on this corpus)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import quality_calibration
+
+    texts = (
+        ["x y"] * 5                                             # junk: short
+        + ["the quick brown fox jumps over a lazy dog today"] * 5
+        + [" ".join(["the quick brown fox jumps over a lazy dog"] * 12)] * 5
+    )
+    df = quality_calibration(_docs_fixture(tmp_path, texts, name="sfqc"))
+    assert df["n"].sum() == len(texts)
+    rates = df.sort_values("bucket")["keep_rate_1e6"].to_numpy()
+    assert (np.diff(rates) >= 0).all()
+    assert len(df) >= 2
