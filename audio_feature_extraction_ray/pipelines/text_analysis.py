@@ -7041,3 +7041,87 @@ WITH {QUALITY_T_CTE}, qs AS (
 SELECT bucket, n, n_keep, (n_keep * 1000000) // n AS keep_rate_1e6
 FROM b ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# TOKEN POSITION PROFILE — where in documents each token tends to appear
+# (mean relative position over its occurrences): the head/body/tail
+# placement signal behind title-word detection and boilerplate-position
+# priors. Relative position is INTEGER fixed-point per occurrence
+# (((pos-1)*1e6)//(ntok-1), docs with a single token are excluded), so the
+# per-token sums are order-free and the SQL twin is bit-identical. ONE
+# token-keyed exchange of (n, sum_relpos) partials; output keeps tokens
+# with >= TOKEN_POS_MIN occurrences.
+
+TOKEN_POS_MIN = 5
+
+
+def token_position_profile(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok_a, flat, offs = _token_lists(text)
+        ntok = ntok_a.to_numpy()
+        nflat = len(flat)
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64()), "__pid": pa.array([], pa.int32())}
+        )
+        if nflat == 0:
+            return empty
+        row_id = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), np.diff(offs))
+        pos = np.arange(nflat, dtype=np.int64) - offs[row_id]  # 0-based
+        keep = (ntok[row_id] > 1) & (
+            pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        )
+        if not keep.any():
+            return empty
+        idx = np.nonzero(keep)[0]
+        rel = (pos[idx] * 1_000_000) // (ntok[row_id[idx]] - 1)
+        toks = flat.take(pa.array(idx))
+        t = pa.table({"token": toks, "one": pa.array(np.ones(idx.size, dtype=np.int64)),
+                      "rel": pa.array(rel, pa.int64())})
+        g = t.group_by(["token"]).aggregate([("one", "sum"), ("rel", "sum")])
+        g = g.rename_columns(["token", "n", "s"])
+        pid = (string_hash_array(g.column("token").combine_chunks()) % np.uint64(32)).astype(
+            np.int32
+        )
+        return g.append_column("__pid", pa.array(pid))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["__pid"])
+        g = t.group_by(["token"]).aggregate([("n", "sum"), ("s", "sum")])
+        n = g.column("n_sum").to_numpy().astype(np.int64)
+        s = g.column("s_sum").to_numpy().astype(np.int64)
+        keep = n >= TOKEN_POS_MIN
+        return pa.table(
+            {
+                "token": g.column("token").filter(pa.array(keep)),
+                "n": pa.array(n[keep], pa.int64()),
+                "mean_relpos_1e6": pa.array(s[keep] // n[keep], pa.int64()),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("__pid").map_groups(finish, batch_format="pyarrow")
+
+
+TOKEN_POSITION_SQL = f"""
+WITH tk AS (
+  SELECT string_split(lower(text), ' ') AS ts FROM documents
+), tok AS (
+  SELECT unnest(ts) AS token, unnest(range(1, len(ts) + 1)) AS pos, len(ts) AS ntok
+  FROM tk WHERE len(ts) > 1
+), r AS (
+  SELECT token, ((pos - 1) * 1000000) // (ntok - 1) AS rel
+  FROM tok WHERE token <> ''
+), g AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n, CAST(sum(rel) AS BIGINT) AS s
+  FROM r GROUP BY token
+)
+SELECT token, n, s // n AS mean_relpos_1e6
+FROM g WHERE n >= {TOKEN_POS_MIN}
+"""

@@ -308,6 +308,7 @@ def run_bench() -> dict:
         ("events_funnel_paths", events.funnel_paths_topk),
         ("docs_template_groups", text_analysis.template_groups),
         ("docs_quality_calibration", text_analysis.quality_calibration),
+        ("token_position_profile", text_analysis.token_position_profile),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

@@ -656,3 +656,27 @@ def test_quality_calibration_monotone_on_planted(ray_session, tmp_path):
     rates = df.sort_values("bucket")["keep_rate_1e6"].to_numpy()
     assert (np.diff(rates) >= 0).all()
     assert len(df) >= 2
+
+
+def test_token_position_profile_planted(ray_session, tmp_path):
+    """A token always first has mean relpos 0; always last -> 1e6; midpoint
+    occurrences average exactly; single-token docs are excluded."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        token_position_profile,
+    )
+
+    texts = (
+        ["head x x x x tail"] * 5   # head at rel 0, tail at rel 1e6
+        + ["x head x"] * 0
+        + ["solo"] * 3              # single-token docs excluded entirely
+    )
+    df = (
+        token_position_profile(_docs_fixture(tmp_path, texts, name="sftp"))
+        .to_pandas()
+        .set_index("token")
+    )
+    assert df.loc["head", "mean_relpos_1e6"] == 0
+    assert df.loc["tail", "mean_relpos_1e6"] == 1_000_000
+    # x occurs at positions 1,2,3,4 of 0..5 -> rels 200000,400000,600000,800000
+    assert df.loc["x", "mean_relpos_1e6"] == 500_000
+    assert "solo" not in df.index
