@@ -973,3 +973,135 @@ def kcenter_select(
 def embedding_kcenter(sf_dir: str, k: int = 16):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return kcenter_select(ds, k=k)
+
+
+# ---------------------------------------------------------------------------
+# PRODUCT QUANTIZATION (Jegou et al. 2011) — the standard scale path for
+# billion-vector ANN: split each embedding into S subspaces, k-means each
+# subspace to K codes, store each vector as S small codes (here S x 4 bits
+# of information per K=16). Training runs ALL subspaces simultaneously:
+# one streaming pass per Lloyd iteration, broadcast (S,K,subdim) codebook,
+# per-batch GEMM assignments, (S*K*subdim sums + S*K counts) partials
+# through ONE exchange_fold — the kmeans_fit shape, S-fold wider. Encoding
+# is a final stateless pass emitting (vec_id, subspace, code, sq_err).
+# Deterministic: init = subvectors of the K smallest-id vectors, argmin
+# ties to the lowest code. Rows-only query (iterative); pinned against the
+# naive single-process PQ in pytest.
+
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+PQ_ITERS = 5
+
+
+def pq_train(
+    ds: "ray.data.Dataset",
+    subspaces: int = PQ_SUBSPACES,
+    codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Returns the trained codebook (subspaces, codes, subdim)."""
+    from .fold import exchange_fold
+
+    def smallest_k(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).to_numpy()
+        take = np.argsort(ids, kind="stable")[:codes]
+        return tbl.take(pa.array(np.sort(take)))
+
+    cand = exchange_fold(ds.map_batches(smallest_k, batch_format="pyarrow"), smallest_k)
+    if cand is None or cand.num_rows < codes:
+        raise ValueError("pq_train needs at least `codes` vectors")
+    order = np.argsort(cand.column(id_col).to_numpy(), kind="stable")[:codes]
+    init = _emb_matrix(cand.take(pa.array(np.sort(order))))
+    dim = init.shape[1]
+    if dim % subspaces:
+        raise ValueError(f"dim {dim} not divisible by {subspaces} subspaces")
+    sub = dim // subspaces
+    # (S, K, subdim)
+    cent = np.stack([init[:, s * sub : (s + 1) * sub] for s in range(subspaces)])
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+
+        def partials(tbl: pa.Table, cref=cref) -> pa.Table:
+            c = ray.get(cref)
+            S, K, sd = c.shape
+            m = _emb_matrix(tbl)
+            sums = np.zeros((S, K, sd), dtype=np.float64)
+            counts = np.zeros((S, K), dtype=np.int64)
+            for s in range(S):  # S is a small constant
+                x = m[:, s * sd : (s + 1) * sd]
+                d = (x * x).sum(1)[:, None] - 2.0 * (x @ c[s].T) + (c[s] * c[s]).sum(1)[None, :]
+                a = d.argmin(axis=1)
+                np.add.at(sums[s], a, x)
+                counts[s] += np.bincount(a, minlength=K)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([counts.ravel().tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        S, K, sd = cent.shape
+
+        def fold(tbl: pa.Table, S=S, K=K, sd=sd) -> pa.Table:
+            s = (
+                tbl.column("sums").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, S * K * sd).sum(axis=0)
+            )
+            n = (
+                tbl.column("counts").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False).reshape(-1, S * K).sum(axis=0)
+            )
+            return pa.table(
+                {
+                    "sums": pa.array([s.tolist()], pa.list_(pa.float64())),
+                    "counts": pa.array([n.tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        folded = exchange_fold(ds.map_batches(partials, batch_format="pyarrow"), fold)
+        ftbl = fold(folded)
+        sums = np.asarray(ftbl.column("sums")[0].as_py()).reshape(S, K, sd)
+        counts = np.asarray(ftbl.column("counts")[0].as_py()).reshape(S, K)
+        nz = counts > 0
+        cent = np.where(nz[:, :, None], sums / np.maximum(counts, 1)[:, :, None], cent)
+    return cent
+
+
+def embedding_pq(sf_dir: str) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = pq_train(ds)
+    cref = ray.put(cent)
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        S, K, sd = c.shape
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "subspace": pa.array([], pa.int64()),
+                 "code": pa.array([], pa.int64()), "sq_err": pa.array([], pa.float64())}
+            )
+        m = _emb_matrix(tbl)
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        out_s, out_c, out_e = [], [], []
+        for s in range(S):
+            x = m[:, s * sd : (s + 1) * sd]
+            d = (x * x).sum(1)[:, None] - 2.0 * (x @ c[s].T) + (c[s] * c[s]).sum(1)[None, :]
+            a = d.argmin(axis=1)
+            out_s.append(np.full(ids.size, s, dtype=np.int64))
+            out_c.append(a.astype(np.int64))
+            out_e.append(np.maximum(d[np.arange(ids.size), a], 0.0))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.tile(ids, S), pa.int64()),
+                "subspace": pa.array(np.concatenate(out_s), pa.int64()),
+                "code": pa.array(np.concatenate(out_c), pa.int64()),
+                "sq_err": pa.array(
+                    np.floor(np.concatenate(out_e) * 1e9 + 0.5) / 1e9, pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -301,6 +301,7 @@ def run_bench() -> dict:
         ("docs_rake_keywords", text_analysis.rake_keywords),
         ("embedding_hard_negatives", search_dedup.embedding_hard_negatives),
         ("embedding_ball_count", search_dedup.embedding_ball_count),
+        ("embedding_pq", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_pq(sf)),
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
         ("events_markov_stationary", events.markov_stationary),

@@ -680,3 +680,70 @@ def test_token_position_profile_planted(ray_session, tmp_path):
     # x occurs at positions 1,2,3,4 of 0..5 -> rels 200000,400000,600000,800000
     assert df.loc["x", "mean_relpos_1e6"] == 500_000
     assert "solo" not in df.index
+
+
+def test_pq_matches_naive_and_reduces_error(ray_session, tmp_path):
+    """Distributed PQ training vs the naive single-process loop: identical
+    codes on a tie-free corpus; quantization error shrinks vs iteration 0;
+    every (vec, subspace) has exactly one code in [0, K)."""
+    import ray as _ray
+    from audio_feature_extraction_ray.stages.ann import (
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_SUBSPACES,
+        embedding_pq,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim = 300, 16
+    m = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    sf = tmp_path / "sfpq"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=64)
+    df = (
+        embedding_pq(str(sf))
+        .to_pandas()
+        .sort_values(["vec_id", "subspace"])
+        .reset_index(drop=True)
+    )
+    assert len(df) == n * PQ_SUBSPACES
+    assert df["code"].between(0, PQ_CODES - 1).all()
+
+    # naive reference (same init, same update rule)
+    md = m.astype(np.float64)
+    sub = dim // PQ_SUBSPACES
+    cent = np.stack(
+        [md[:PQ_CODES, s * sub : (s + 1) * sub].copy() for s in range(PQ_SUBSPACES)]
+    )
+    for _ in range(PQ_ITERS):
+        new = cent.copy()
+        for s in range(PQ_SUBSPACES):
+            x = md[:, s * sub : (s + 1) * sub]
+            d = (x * x).sum(1)[:, None] - 2.0 * (x @ cent[s].T) + (cent[s] * cent[s]).sum(1)[None, :]
+            a = d.argmin(axis=1)
+            for c in range(PQ_CODES):
+                msk = a == c
+                if msk.any():
+                    new[s, c] = x[msk].mean(axis=0)
+        cent = new
+    want_codes = []
+    err0, err1 = 0.0, 0.0
+    for s in range(PQ_SUBSPACES):
+        x = md[:, s * sub : (s + 1) * sub]
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ cent[s].T) + (cent[s] * cent[s]).sum(1)[None, :]
+        want_codes.append(d.argmin(axis=1))
+        err1 += d.min(axis=1).sum()
+        c0 = md[:PQ_CODES, s * sub : (s + 1) * sub]
+        d0 = (x * x).sum(1)[:, None] - 2.0 * (x @ c0.T) + (c0 * c0).sum(1)[None, :]
+        err0 += d0.min(axis=1).sum()
+    got = df.sort_values(["subspace", "vec_id"])["code"].to_numpy()
+    assert (got == np.concatenate(want_codes)).all()
+    assert err1 < err0  # Lloyd strictly improved the codebook here
+    assert abs(df["sq_err"].sum() - err1) < 1e-5
