@@ -1105,3 +1105,120 @@ def embedding_pq(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PQ ADC SEARCH — approximate top-k with the trained PQ codebook via
+# asymmetric distance computation: each query precomputes an (S, K) lookup
+# table of subspace distances to every code; a corpus vector's approximate
+# distance is then S table lookups summed over its codes — the memory-bound
+# scan that makes billion-vector search feasible. One streaming pass:
+# encode the batch with the broadcast codebook AND score all broadcast
+# queries via LUT gather (no full-dim GEMM per query x corpus), emit
+# per-block top-k partials, merge through the bounded query-keyed fold
+# (the brute_force_topk contract: k x parts driver rows). Rows-only;
+# exactness of the ADC arithmetic and planted-cluster recall pinned in
+# pytest.
+
+PQ_SEARCH_QUERIES = 20
+PQ_SEARCH_K = 5
+
+
+def pq_adc_search(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    cent: np.ndarray,
+    k: int = PQ_SEARCH_K,
+):
+    """Top-k by ADC distance. cent: (S, K, subdim) codebook. Ties break to
+    the smaller neighbor id. Returns pandas (query_id, rank, neighbor_id,
+    adc_dist)."""
+    import pandas as pd
+
+    from .fold import exchange_fold
+
+    S, K, sd = cent.shape
+    # (Q, S, K) lookup tables
+    luts = np.stack(
+        [
+            [
+                ((q[s * sd : (s + 1) * sd][None, :] - cent[s]) ** 2).sum(axis=1)
+                for s in range(S)
+            ]
+            for q in queries.astype(np.float64)
+        ]
+    )
+    qref = ray.put((luts, query_ids.astype(np.int64)))
+    cref = ray.put(cent)
+
+    def part(tbl: pa.Table) -> pa.Table:
+        luts_, qids = ray.get(qref)
+        c = ray.get(cref)
+        S_, K_, sd_ = c.shape
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "neighbor_id": pa.array([], pa.int64()),
+                 "adc_dist": pa.array([], pa.float64())}
+            )
+        m = _emb_matrix(tbl)
+        ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+        codes = np.empty((ids.size, S_), dtype=np.int64)
+        for s in range(S_):
+            x = m[:, s * sd_ : (s + 1) * sd_]
+            d = (x * x).sum(1)[:, None] - 2.0 * (x @ c[s].T) + (c[s] * c[s]).sum(1)[None, :]
+            codes[:, s] = d.argmin(axis=1)
+        out_q, out_n, out_d = [], [], []
+        sub_idx = np.arange(S_)
+        for qi, lut in zip(qids, luts_):
+            adc = lut[sub_idx[None, :], codes].sum(axis=1)  # (rows,)
+            take = min(k, adc.size)
+            best = np.lexsort((ids, adc))[:take]
+            out_q.append(np.full(take, qi, dtype=np.int64))
+            out_n.append(ids[best])
+            out_d.append(adc[best])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "adc_dist": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        df = tbl.to_pandas()
+        df = (
+            df.sort_values(["query_id", "adc_dist", "neighbor_id"])
+            .groupby("query_id", sort=True)
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    folded = exchange_fold(
+        ds.map_batches(part, batch_format="pyarrow"),
+        fold,
+        pid_of=lambda t: (
+            t.column("query_id").to_numpy().astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32),
+    )
+    if folded is None:
+        return pd.DataFrame(columns=["query_id", "rank", "neighbor_id", "adc_dist"])
+    df = fold(folded).to_pandas()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["adc_dist"] = np.floor(df["adc_dist"].to_numpy() * 1e9 + 0.5) / 1e9
+    return df[["query_id", "rank", "neighbor_id", "adc_dist"]].reset_index(drop=True)
+
+
+def embedding_pq_search(sf_dir: str):
+    import pyarrow.parquet as pqt
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = pq_train(ds)
+    qt = pqt.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", PQ_SEARCH_QUERIES)],
+    )
+    q = _emb_matrix(qt)
+    qids = qt.column("vec_id").to_numpy().astype(np.int64)
+    return pq_adc_search(ds, q, qids, cent)

@@ -302,6 +302,7 @@ def run_bench() -> dict:
         ("embedding_hard_negatives", search_dedup.embedding_hard_negatives),
         ("embedding_ball_count", search_dedup.embedding_ball_count),
         ("embedding_pq", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_pq(sf)),
+        ("embedding_pq_search", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_pq_search(sf)),
         ("events_day_peer_rank", events.day_peer_rank),
         ("events_debounce", events.debounce),
         ("events_markov_stationary", events.markov_stationary),

@@ -747,3 +747,59 @@ def test_pq_matches_naive_and_reduces_error(ray_session, tmp_path):
     assert (got == np.concatenate(want_codes)).all()
     assert err1 < err0  # Lloyd strictly improved the codebook here
     assert abs(df["sq_err"].sum() - err1) < 1e-5
+
+
+def test_pq_adc_search_planted_clusters(ray_session, tmp_path):
+    """With vectors sitting exactly ON codebook points (plus the 16
+    smallest-id init vectors as the codebook), ADC distance is exact and
+    recall is perfect; ADC arithmetic matches the naive LUT sum."""
+    import ray as _ray
+    from audio_feature_extraction_ray.stages.ann import (
+        PQ_SUBSPACES,
+        pq_adc_search,
+        pq_train,
+        _emb_matrix,
+    )
+
+    rng = np.random.default_rng(9)
+    dim, K = 8, 16
+    protos = rng.normal(size=(K, dim)).astype(np.float64) * 3
+    # corpus = the 16 prototypes (ids 0-15, the deterministic init) plus
+    # 100 copies of prototypes with tiny noise
+    reps = protos[rng.integers(0, K, size=100)] + rng.normal(size=(100, dim)) * 1e-3
+    m = np.vstack([protos, reps]).astype(np.float32)
+    ids = np.arange(m.shape[0], dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    sf = tmp_path / "sfadc"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=32)
+    ds = _ray.data.read_parquet(str(sf / "embeddings.parquet"))
+    cent = pq_train(ds)
+    q = m[:5]
+    df = pq_adc_search(ds, q, ids[:5], cent, k=3)
+    # query 0..4 are prototypes: their own id must be rank 1 (ADC dist ~0)
+    r1 = df[df["rank"] == 1]
+    assert (r1["query_id"].to_numpy() == r1["neighbor_id"].to_numpy()).all()
+    assert (r1["adc_dist"].to_numpy() < 1e-3).all()
+    # naive ADC for query 0 equals the engine's reported distances
+    md = m.astype(np.float64)
+    S, KK, sd = cent.shape
+    codes = np.empty((md.shape[0], S), dtype=np.int64)
+    for s in range(S):
+        x = md[:, s * sd : (s + 1) * sd]
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ cent[s].T) + (cent[s] * cent[s]).sum(1)[None, :]
+        codes[:, s] = d.argmin(axis=1)
+    lut = np.stack(
+        [((md[0, s * sd : (s + 1) * sd][None, :] - cent[s]) ** 2).sum(axis=1) for s in range(S)]
+    )
+    adc = lut[np.arange(S)[None, :], codes].sum(axis=1)
+    order = np.lexsort((ids, adc))[:3]
+    got0 = df[df["query_id"] == 0].sort_values("rank")
+    assert got0["neighbor_id"].tolist() == ids[order].tolist()
+    want = np.floor(adc[order] * 1e9 + 0.5) / 1e9
+    assert np.allclose(got0["adc_dist"].to_numpy(), want, atol=1e-9)
