@@ -7125,3 +7125,136 @@ WITH tk AS (
 SELECT token, n, s // n AS mean_relpos_1e6
 FROM g WHERE n >= {TOKEN_POS_MIN}
 """
+
+
+# ---------------------------------------------------------------------------
+# TYPO / SPELLING-VARIANT PAIRS — vocabulary normalization prep: all token
+# pairs within Levenshtein distance <= 2 (the SymSpell construction: a
+# pair is a candidate iff the two tokens share a deletion variant of depth
+# <= 2 — substitution deletes the differing char on both sides, indels
+# delete on the longer side — then candidates are verified with the exact
+# DP). Quadratic all-pairs never happens: candidates are generated by ONE
+# variant-keyed exchange (each vocab token emits 1 + L + C(L,2) delete
+# variants), verified within variant partitions, and deduped on ONE final
+# pair-keyed exchange. The SQL twin IS the quadratic definition (DuckDB
+# levenshtein cross join), so the oracle gate also pins SymSpell
+# completeness on the fixture.
+
+TYPO_MAX_ED = 2
+
+
+def _lev(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def token_typo_pairs(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    P = 32
+
+    def vocab_partial(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        _, flat, _ = _token_lists(text)
+        toks = pc.unique(flat)
+        keep = pc.not_equal(pc.utf8_length(toks), 0)
+        toks = toks.filter(keep)
+        pid = (string_hash_array(toks) % np.uint64(P)).astype(np.int32)
+        return pa.table({"token": toks, "__pid": pa.array(pid)})
+
+    def variants(tbl: pa.Table) -> pa.Table:
+        toks = pc.unique(tbl.drop_columns(["__pid"]).column("token"))
+        out_v, out_t = [], []
+        for t in toks.to_pylist():  # vocab-sized, not corpus-sized
+            seen = {t}
+            for i in range(len(t)):
+                seen.add(t[:i] + t[i + 1 :])
+            for v in list(seen):
+                if len(v) < len(t):  # depth-2 deletes
+                    for i in range(len(v)):
+                        seen.add(v[:i] + v[i + 1 :])
+            for v in seen:
+                out_v.append(v)
+                out_t.append(t)
+        va = pa.array(out_v, pa.string())
+        pid = (string_hash_array(va) % np.uint64(P)).astype(np.int32)
+        return pa.table(
+            {"variant": va, "token": pa.array(out_t, pa.string()), "__pid2": pa.array(pid)}
+        )
+
+    def candidate_pairs(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["__pid2"])
+        var = t.column("variant")
+        if isinstance(var, pa.ChunkedArray):
+            var = var.combine_chunks()
+        codes = pc.dictionary_encode(var).indices.to_numpy(zero_copy_only=False)
+        toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+        order = np.argsort(codes, kind="stable")
+        codes, toks = codes[order], toks[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(codes[1:] != codes[:-1])[0] + 1, [codes.size]]
+        )
+        pa_, pb_, d_ = [], [], []
+        emitted = set()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            group = sorted(set(toks[s:e].tolist()))
+            for i in range(len(group)):
+                for j in range(i + 1, len(group)):
+                    a, b = group[i], group[j]
+                    if (a, b) in emitted:
+                        continue
+                    emitted.add((a, b))
+                    d = _lev(a, b)
+                    if d <= TYPO_MAX_ED:
+                        pa_.append(a)
+                        pb_.append(b)
+                        d_.append(d)
+        aarr = pa.array(pa_, pa.string())
+        pid = (
+            (string_hash_array(aarr) if len(pa_) else np.empty(0, np.uint64))
+            % np.uint64(P)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "token_a": aarr,
+                "token_b": pa.array(pb_, pa.string()),
+                "dist": pa.array(np.array(d_, dtype=np.int64), pa.int64()),
+                "__pid3": pa.array(pid),
+            }
+        )
+
+    def dedup_pairs(tbl: pa.Table) -> pa.Table:
+        t = tbl.drop_columns(["__pid3"])
+        return t.group_by(["token_a", "token_b"]).aggregate([("dist", "min")]).rename_columns(
+            ["token_a", "token_b", "dist"]
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(vocab_partial, batch_format="pyarrow")
+    ds = ds.groupby("__pid").map_groups(variants, batch_format="pyarrow")
+    ds = ds.groupby("__pid2").map_groups(candidate_pairs, batch_format="pyarrow")
+    return ds.groupby("__pid3").map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+TOKEN_TYPO_SQL = f"""
+WITH v AS (
+  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS t FROM documents
+), w AS (
+  SELECT t FROM v WHERE t <> ''
+)
+SELECT a.t AS token_a, b.t AS token_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM w a JOIN w b ON a.t < b.t AND levenshtein(a.t, b.t) <= {TYPO_MAX_ED}
+"""

@@ -803,3 +803,32 @@ def test_pq_adc_search_planted_clusters(ray_session, tmp_path):
     assert got0["neighbor_id"].tolist() == ids[order].tolist()
     want = np.floor(adc[order] * 1e9 + 0.5) / 1e9
     assert np.allclose(got0["adc_dist"].to_numpy(), want, atol=1e-9)
+
+
+def test_token_typo_pairs_planted(ray_session, tmp_path):
+    """SymSpell deletion-variant candidates + exact DP verify: ED1
+    (substitution, indel), ED2, and beyond-threshold pairs behave; output
+    pairs are (a < b) unique."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import token_typo_pairs
+
+    texts = [
+        "spark spork",          # substitution -> ED1
+        "data date dat gate",   # date/data ED1; dat/data, dat/date ED1; dat/gate ED2
+        "zzzzzz completely",    # no near pair
+    ]
+    df = (
+        token_typo_pairs(_docs_fixture(tmp_path, texts, name="sfty"))
+        .to_pandas()
+        .sort_values(["token_a", "token_b"])
+        .reset_index(drop=True)
+    )
+    got = {(a, b): d for a, b, d in df.itertuples(index=False)}
+    assert got[("spark", "spork")] == 1
+    assert got[("data", "date")] == 1
+    assert got[("dat", "data")] == 1
+    assert got[("dat", "date")] == 1   # one insertion
+    assert got[("dat", "gate")] == 2   # substitution + insertion
+    assert ("completely", "zzzzzz") not in got
+    # uniqueness and ordering invariants
+    assert len(df) == len(set(zip(df["token_a"], df["token_b"])))
+    assert (df["token_a"] < df["token_b"]).all()
