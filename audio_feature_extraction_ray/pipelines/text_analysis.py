@@ -6438,13 +6438,7 @@ def label_top_terms(sf_dir: str, k: int = LABEL_TOP_TERMS_K) -> ray.data.Dataset
         t = pa.table({"label": lab, "tok": tbl.column("tok")})
         c = t.group_by(["label", "tok"]).aggregate([("label", "count")])
         c = c.rename_columns(["label", "tok", "df"])
-        pid = (
-            (
-                string_hash_array(c.column("tok").combine_chunks())
-                ^ c.column("label").to_numpy().astype(np.uint64)
-            )
-            % np.uint64(P)
-        ).astype(np.int32)
+        pid = (string_hash_array(c.column("tok").combine_chunks()) % np.uint64(P)).astype(np.int32)
         return c.append_column("__pidc", pa.array(pid))
 
     def count_final(tbl: pa.Table) -> pa.Table:
@@ -6611,12 +6605,10 @@ def rake_keywords(sf_dir: str, k: int = RAKE_TOPK) -> ray.data.Dataset:
             }
         )
         out = pa.concat_tables([side0, side1, side2])
-        word_h = string_hash_array(out.column("word").combine_chunks())
-        phrase_h = string_hash_array(out.column("phrase").combine_chunks())
+        word_pid = (string_hash_array(out.column("word").combine_chunks()) % np.uint64(P)).astype(np.int32)
+        phrase_pid = (string_hash_array(out.column("phrase").combine_chunks()) % np.uint64(P)).astype(np.int32)
         side = out.column("side").to_numpy(zero_copy_only=False)
-        pid = np.where(side == 2, phrase_h % np.uint64(P), word_h % np.uint64(P)).astype(
-            np.int32
-        )
+        pid = np.where(side == 2, phrase_pid, word_pid).astype(np.int32)
         return out.append_column("__pid", pa.array(pid))
 
     def word_join(tbl: pa.Table) -> pa.Table:
@@ -7223,10 +7215,10 @@ def token_typo_pairs(sf_dir: str) -> ray.data.Dataset:
                         pb_.append(b)
                         d_.append(d)
         aarr = pa.array(pa_, pa.string())
-        pid = (
-            (string_hash_array(aarr) if len(pa_) else np.empty(0, np.uint64))
-            % np.uint64(P)
-        ).astype(np.int32)
+        if len(pa_):
+            pid = (string_hash_array(aarr) % np.uint64(P)).astype(np.int32)
+        else:
+            pid = np.empty(0, dtype=np.int32)
         return pa.table(
             {
                 "token_a": aarr,
