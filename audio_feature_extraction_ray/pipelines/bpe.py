@@ -375,3 +375,151 @@ def bpe_encode(sf_dir: str, n_merges: int = N_MERGES) -> ray.data.Dataset:
         )
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# UNIGRAM-LM TOKENIZER (Kudo 2018, the SentencePiece unigram model) — the
+# other major subword algorithm beside BPE, trained here with hard EM:
+# candidate pieces are all substrings up to UNI_MAX_PIECE chars over the
+# distinct-word table; each round Viterbi-segments every word under the
+# current piece log-probs, recounts piece usage (weighted by word counts),
+# prunes to single chars + the top UNI_VOCAB multi-char pieces
+# (count DESC, piece ASC — integer-deterministic), and rescores. All
+# corpus-scale work is the ONE word_counts exchange; per round the pieces
+# travel driver->workers once (ray.put) and counts come back through one
+# piece-keyed exchange bounded by the candidate vocabulary. Single chars
+# are never pruned, so every word stays segmentable. Rows-only query
+# (iterative EM); pinned against a naive single-process reference in
+# pytest.
+
+UNI_MAX_PIECE = 4
+UNI_VOCAB = 48
+UNI_ITERS = 3
+UNI_MIN_COUNT = 2
+
+
+def _viterbi_counts(words, cnts, scores: dict, max_len: int):
+    """Hard-EM E-step for one word batch: best segmentation per word under
+    `scores` (log probs), returning piece usage counts weighted by word
+    counts. DP tie-break: a candidate replaces the incumbent only on
+    strictly better score, with pieces tried shortest-first — deterministic
+    for any dict content."""
+    usage: dict = {}
+    for w, c in zip(words, cnts):
+        n = len(w)
+        best = np.full(n + 1, -np.inf)
+        best[0] = 0.0
+        back = np.zeros(n + 1, dtype=np.int64)
+        for j in range(1, n + 1):
+            for L in range(1, min(max_len, j) + 1):
+                piece = w[j - L : j]
+                sc = scores.get(piece)
+                if sc is None:
+                    continue
+                cand = best[j - L] + sc
+                if cand > best[j]:
+                    best[j] = cand
+                    back[j] = L
+        j = n
+        while j > 0:
+            L = int(back[j])
+            if L == 0:  # unreachable while the alphabet is pinned; hard stop
+                raise ValueError(f"unsegmentable word {w!r}")
+            piece = w[j - L : j]
+            usage[piece] = usage.get(piece, 0) + int(c)
+            j -= L
+    return usage
+
+
+def unigram_pieces(sf_dir: str, vocab: int = UNI_VOCAB, iters: int = UNI_ITERS):
+    import pandas as pd
+    import ray
+
+    from ..stages.fold import exchange_fold
+
+    words = _pin(word_counts(sf_dir))
+
+    # --- candidate harvest: substring counts over the word table
+    def cand_partial(tbl: pa.Table) -> pa.Table:
+        ws = tbl.column("word").to_pylist()
+        cs = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        counts: dict = {}
+        for w, c in zip(ws, cs):
+            for i in range(len(w)):
+                for L in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                    p = w[i : i + L]
+                    counts[p] = counts.get(p, 0) + int(c)
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "piece": pa.array([k for k, _ in items], pa.string()),
+                "n": pa.array(np.array([v for _, v in items], dtype=np.int64)),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        return (
+            tbl.group_by(["piece"]).aggregate([("n", "sum")]).rename_columns(["piece", "n"])
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        p = tbl.column("piece")
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        return (string_hash_strong(p) % np.uint64(16)).astype(np.int32)
+
+    folded = exchange_fold(
+        words.map_batches(cand_partial, batch_format="pyarrow"), fold, pid_of=pid_of
+    )
+    if folded is None:
+        return pd.DataFrame(columns=["piece", "cnt", "score_1e6"])
+    cdf = fold(folded).to_pandas()
+    # the alphabet is pinned for the whole run: a char whose occurrences are
+    # all covered by multi-char pieces must STILL be segmentable next round
+    alphabet = sorted(cdf[cdf["piece"].str.len() == 1]["piece"])
+
+    def prune(df: pd.DataFrame) -> dict:
+        chars = pd.DataFrame({"piece": alphabet}).merge(
+            df[df["piece"].str.len() == 1], on="piece", how="left"
+        )
+        chars["n"] = chars["n"].fillna(0).astype(np.int64) + 1  # +1 floor
+        multi = df[(df["piece"].str.len() > 1) & (df["n"] >= UNI_MIN_COUNT)]
+        multi = multi.sort_values(["n", "piece"], ascending=[False, True]).head(vocab)
+        kept = pd.concat([chars, multi])
+        total = float(kept["n"].sum())
+        return dict(zip(kept["piece"], np.log(kept["n"].to_numpy() / total)))
+
+    scores = prune(cdf)
+
+    for _ in range(iters):
+        sref = ray.put(scores)
+
+        def em_partial(tbl: pa.Table, sref=sref) -> pa.Table:
+            sc = ray.get(sref)
+            usage = _viterbi_counts(
+                tbl.column("word").to_pylist(),
+                tbl.column("cnt").to_numpy(zero_copy_only=False),
+                sc,
+                UNI_MAX_PIECE,
+            )
+            items = sorted(usage.items())
+            return pa.table(
+                {
+                    "piece": pa.array([k for k, _ in items], pa.string()),
+                    "n": pa.array(np.array([v for _, v in items], dtype=np.int64)),
+                }
+            )
+
+        folded = exchange_fold(
+            words.map_batches(em_partial, batch_format="pyarrow"), fold, pid_of=pid_of
+        )
+        udf = fold(folded).to_pandas()
+        scores = prune(udf)
+
+    out = pd.DataFrame(
+        {"piece": list(scores.keys())}
+    )
+    cnts = udf.set_index("piece")["n"]
+    out["cnt"] = [int(cnts.get(p, 0)) for p in out["piece"]]
+    out["score_1e6"] = np.floor(np.array([scores[p] for p in out["piece"]]) * 1e6) / 1e6
+    return out.sort_values(["cnt", "piece"], ascending=[False, True]).reset_index(drop=True)

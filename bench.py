@@ -312,6 +312,7 @@ def run_bench() -> dict:
         ("docs_quality_calibration", text_analysis.quality_calibration),
         ("token_position_profile", text_analysis.token_position_profile),
         ("token_typo_pairs", text_analysis.token_typo_pairs),
+        ("docs_unigram_pieces", bpe.unigram_pieces),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

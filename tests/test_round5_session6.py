@@ -560,6 +560,14 @@ def test_session6_ops_empty_and_single_row_inputs(ray_session, tmp_path):
             assert len(df) <= max(n, 1), (fn.__name__, len(df))
         df = rake_keywords(sfd)
         assert len(df) <= 20
+        from audio_feature_extraction_ray.pipelines.bpe import UNI_VOCAB, unigram_pieces
+
+        df = unigram_pieces(sfd)
+        assert list(df.columns) == ["piece", "cnt", "score_1e6"]
+        if n == 0:
+            assert len(df) == 0
+        else:
+            assert 0 < len(df) <= UNI_VOCAB + 64  # alphabet + capped multi pieces
         # --- events ---
         if n:
             sfe = _events_fixture(tmp_path, [10], [1.0], name=f"sfe6f{n}")
@@ -832,3 +840,81 @@ def test_token_typo_pairs_planted(ray_session, tmp_path):
     # uniqueness and ordering invariants
     assert len(df) == len(set(zip(df["token_a"], df["token_b"])))
     assert (df["token_a"] < df["token_b"]).all()
+
+
+def test_unigram_pieces_matches_naive_hard_em(ray_session, tmp_path):
+    """Distributed hard-EM unigram tokenizer vs a plain-python reference:
+    identical kept pieces, usage counts, and 1e-6-floored scores."""
+    import math
+
+    from audio_feature_extraction_ray.pipelines.bpe import (
+        UNI_ITERS,
+        UNI_MAX_PIECE,
+        UNI_MIN_COUNT,
+        UNI_VOCAB,
+        unigram_pieces,
+    )
+
+    rng = np.random.default_rng(17)
+    base = ["lowering", "lowest", "low", "newer", "newest", "wider", "widest", "apple"]
+    texts = [" ".join(rng.choice(base, size=rng.integers(2, 9)).tolist()) for _ in range(50)]
+    got = unigram_pieces(_docs_fixture(tmp_path, texts, name="sfun"))
+
+    # ---- naive single-process reference ----
+    wc: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    cand: dict = {}
+    for w, c in wc.items():
+        for i in range(len(w)):
+            for L in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                p = w[i : i + L]
+                cand[p] = cand.get(p, 0) + c
+    alphabet = sorted(p for p in cand if len(p) == 1)
+
+    def prune(counts):
+        kept = {}
+        for ch in alphabet:
+            kept[ch] = counts.get(ch, 0) + 1
+        multi = sorted(
+            ((p, n) for p, n in counts.items() if len(p) > 1 and n >= UNI_MIN_COUNT),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:UNI_VOCAB]
+        kept.update(dict(multi))
+        total = float(sum(kept.values()))
+        return {p: math.log(n / total) for p, n in kept.items()}
+
+    def viterbi(scores):
+        usage = {}
+        for w, c in wc.items():
+            n = len(w)
+            best = [-math.inf] * (n + 1)
+            best[0] = 0.0
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                for L in range(1, min(UNI_MAX_PIECE, j) + 1):
+                    sc = scores.get(w[j - L : j])
+                    if sc is None:
+                        continue
+                    cd = best[j - L] + sc
+                    if cd > best[j]:
+                        best[j], back[j] = cd, L
+            j = n
+            while j > 0:
+                L = back[j]
+                usage[w[j - L : j]] = usage.get(w[j - L : j], 0) + c
+                j -= L
+        return usage
+
+    scores = prune(cand)
+    for _ in range(UNI_ITERS):
+        usage = viterbi(scores)
+        scores = prune(usage)
+    want = sorted(
+        ((p, usage.get(p, 0), math.floor(scores[p] * 1e6) / 1e6) for p in scores),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got_rows = list(zip(got["piece"], got["cnt"], got["score_1e6"]))
+    assert got_rows == want
