@@ -7250,3 +7250,248 @@ SELECT a.t AS token_a, b.t AS token_b,
        CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
 FROM w a JOIN w b ON a.t < b.t AND levenshtein(a.t, b.t) <= {TYPO_MAX_ED}
 """
+
+
+# ---------------------------------------------------------------------------
+# CORPUS KEYNESS + DISPERSION — two classic corpus-linguistics signals used
+# when curating multi-source training mixes: (1) chi-square keyness (which
+# tokens are over-represented in a source vs the rest of the corpus — the
+# "what makes this domain distinctive" audit before up/down-weighting it),
+# and (2) Gries' deviation-of-proportions DP (how evenly a token spreads
+# across sources: 0 = perfectly proportional, →1 = confined to one source —
+# the boilerplate-vs-general-vocabulary separator).
+#
+# Shared scale shape: per-batch (source, token) occurrence counts (the
+# combiner: each token string crosses the wire once per batch at most),
+# ONE token-hash exchange so every source's count for a token co-locates,
+# and corpus/source token totals folded separately from spaces+1 per doc
+# (no second tokenize; the count = spaces+1 == len(string_split) identity
+# is the same contract the token_stats family pins). Source totals are a
+# handful of scalars and ride into the per-partition finish as a closure
+# dict. All ratio arithmetic is IEEE-double in an operation order mirrored
+# exactly by the SQL twin, then floored to a 1e6 grid, so the oracle is
+# hash-exact. Keyness output is bounded (top-K per source via the
+# grouped_topk combiner); dispersion output stays distributed (one row per
+# token above min support).
+
+CHI2_TOPK = 15
+CHI2_MIN_A = 5
+DISP_MIN_F = 10
+TOKSRC_PARTS = 32
+
+
+def _token_source_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-batch (source, token, cnt) occurrence partials tagged with a
+    token-hash __pid: after groupby(__pid) every source's count for a given
+    token sits in one partition."""
+    from ..functions.hashing import string_hash_array
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = np.repeat(tbl.column("source").to_numpy(zero_copy_only=False), nw)
+        t = pa.table({"source": pa.array(src, pa.string()), "token": flat})
+        out = (
+            t.group_by(["source", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "token", "cnt"])
+        )
+        tok = out.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        pid = (string_hash_array(tok) % np.uint64(TOKSRC_PARTS)).astype(np.int32)
+        return out.append_column("__pid", pa.array(pid))
+
+    return _read_docs(sf_dir, ["source", "text"]).map_batches(partial, batch_format="pyarrow")
+
+
+def _source_token_totals(sf_dir: str) -> dict:
+    """{source: corpus token total} via the spaces+1 identity — a
+    counters-only fold, no tokenization pass."""
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(tbl.column("text"), " ").to_numpy(zero_copy_only=False)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        us, code = np.unique(src, return_inverse=True)
+        tot = np.bincount(code, weights=spaces + 1, minlength=us.size).astype(np.int64)
+        return pa.table({"source": pa.array(us, pa.string()), "tot": pa.array(tot, pa.int64())})
+
+    folded = exchange_fold(
+        _read_docs(sf_dir, ["source", "text"]).map_batches(partial, batch_format="pyarrow"),
+        lambda t: t.group_by(["source"]).aggregate([("tot", "sum")]).rename_columns(["source", "tot"]),
+    )
+    if folded is None:
+        return {}
+    df = folded.to_pandas().groupby("source", as_index=False)["tot"].sum()
+    return dict(zip(df["source"], df["tot"].astype(np.int64)))
+
+
+def chi2_keywords(sf_dir: str) -> ray.data.Dataset:
+    """Top-K over-represented tokens per source by 2x2 chi-square keyness.
+    Over-representation gate a*N > c*f is exact integer; the chi2 ratio is
+    IEEE double in the SQL twin's exact operation order, floored to 1e6."""
+    from ..stages.window import grouped_topk
+
+    totals = _source_token_totals(sf_dir)
+    n_total = int(sum(totals.values()))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = tbl.group_by(["source", "token"]).aggregate([("cnt", "sum")]).rename_columns(
+            ["source", "token", "cnt"]
+        )
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        a = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-token corpus frequency: every source's count for this token is
+        # in this partition (token-hash co-location), so a local segment sum
+        # over the token is the GLOBAL f
+        order = np.argsort(tok, kind="stable")
+        ts = tok[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        seg = np.zeros(ts.size, dtype=np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        fsum = np.bincount(seg, weights=a[order]).astype(np.int64)
+        f = np.empty(ts.size, dtype=np.int64)
+        f[order] = fsum[seg]
+        c = np.array([totals[s] for s in src], dtype=np.int64)
+        n = np.int64(n_total)
+        keep = (a >= CHI2_MIN_A) & (a * n > c * f)
+        if not keep.any():
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "chi2_1e6": pa.array([], pa.int64()),
+                }
+            )
+        a, c, f, src, tok = a[keep], c[keep], f[keep], src[keep], tok[keep]
+        o12 = c - a
+        o21 = f - a
+        o22 = n - c - o21
+        d = (a * o22 - o12 * o21).astype(np.float64)
+        num = (np.float64(n) * d) * d
+        den = ((c.astype(np.float64) * (n - c).astype(np.float64)) * f.astype(np.float64)) * (
+            n - f
+        ).astype(np.float64)
+        chi2 = np.floor(num / den * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "token": pa.array(tok, pa.string()),
+                "cnt": pa.array(a, pa.int64()),
+                "chi2_1e6": pa.array(chi2, pa.int64()),
+            }
+        )
+
+    scored = _token_source_counts(sf_dir).groupby("__pid").map_groups(
+        finish, batch_format="pyarrow"
+    )
+    return grouped_topk(scored, "source", "chi2_1e6", "token", CHI2_TOPK)
+
+
+CHI2_KEYWORDS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), cst AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS a FROM tok GROUP BY source, token
+), st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source
+), ft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+x AS (
+  SELECT cst.source, cst.token, cst.a,
+         CAST(floor(
+           ((CAST(tot.n AS DOUBLE) * CAST(cst.a * (tot.n - st.c - (ft.f - cst.a))
+                                          - (st.c - cst.a) * (ft.f - cst.a) AS DOUBLE))
+            * CAST(cst.a * (tot.n - st.c - (ft.f - cst.a))
+                   - (st.c - cst.a) * (ft.f - cst.a) AS DOUBLE))
+           / (((CAST(st.c AS DOUBLE) * CAST(tot.n - st.c AS DOUBLE)) * CAST(ft.f AS DOUBLE))
+              * CAST(tot.n - ft.f AS DOUBLE))
+           * 1e6 + 0.5) AS BIGINT) AS chi2_1e6
+  FROM cst JOIN st USING (source) JOIN ft USING (token), tot
+  WHERE cst.a >= {CHI2_MIN_A} AND cst.a * tot.n > st.c * ft.f
+), r AS (
+  SELECT source, token, a AS cnt, chi2_1e6,
+         row_number() OVER (PARTITION BY source ORDER BY chi2_1e6 DESC, token) AS rank
+  FROM x
+)
+SELECT source, token, cnt, chi2_1e6, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {CHI2_TOPK}
+"""
+
+
+def token_dispersion(sf_dir: str) -> ray.data.Dataset:
+    """Gries' DP per token: 0.5 * sum_i |v_i/f - s_i| over sources, computed
+    from present cells only via DP = 0.5*(1 + sum_present(|v/f - s| - s)).
+    Each |..| term is floored to a 1e12 integer grid (order-free sum), the
+    final value to 1e6 — both mirrored exactly by the SQL twin."""
+    totals = _source_token_totals(sf_dir)
+    n_total = int(sum(totals.values()))
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = tbl.group_by(["source", "token"]).aggregate([("cnt", "sum")]).rename_columns(
+            ["source", "token", "cnt"]
+        )
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        v = g.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tok, kind="stable")
+        ts, vs, ss = tok[order], v[order], src[order]
+        starts = np.flatnonzero(np.r_[True, ts[1:] != ts[:-1]])
+        seg = np.zeros(ts.size, dtype=np.int64)
+        seg[starts] = 1
+        seg = np.cumsum(seg) - 1
+        f = np.bincount(seg, weights=vs).astype(np.int64)
+        s = np.array([totals[x] for x in ss], dtype=np.float64) / np.float64(n_total)
+        term = np.floor(
+            (np.abs(vs.astype(np.float64) / f[seg].astype(np.float64) - s) - s) * 1e12 + 0.5
+        ).astype(np.int64)
+        tsum = np.bincount(seg, weights=term).astype(np.int64)
+        keep = f >= DISP_MIN_F
+        dp = np.floor((np.int64(10**12) + tsum[keep]).astype(np.float64) / 1e12 * 500000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "token": pa.array(ts[starts][keep], pa.string()),
+                "f": pa.array(f[keep], pa.int64()),
+                "dp_1e6": pa.array(dp, pa.int64()),
+            }
+        )
+
+    return _token_source_counts(sf_dir).groupby("__pid").map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+TOKEN_DISPERSION_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), cst AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS v FROM tok GROUP BY source, token
+), st AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY source
+), ft AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY token
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+terms AS (
+  SELECT cst.token, ft.f,
+         CAST(floor(
+           (abs(CAST(cst.v AS DOUBLE) / CAST(ft.f AS DOUBLE)
+                - CAST(st.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+            - CAST(st.c AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS term
+  FROM cst JOIN st USING (source) JOIN ft USING (token), tot
+  WHERE ft.f >= {DISP_MIN_F}
+)
+SELECT token, f,
+       CAST(floor(CAST(1000000000000 + sum(term) AS DOUBLE) / 1e12 * 500000.0 + 0.5) AS BIGINT)
+         AS dp_1e6
+FROM terms GROUP BY token, f
+"""

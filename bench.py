@@ -313,6 +313,8 @@ def run_bench() -> dict:
         ("token_position_profile", text_analysis.token_position_profile),
         ("token_typo_pairs", text_analysis.token_typo_pairs),
         ("docs_unigram_pieces", bpe.unigram_pieces),
+        ("docs_chi2_keywords", text_analysis.chi2_keywords),
+        ("token_dispersion", text_analysis.token_dispersion),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),
