@@ -6107,3 +6107,75 @@ SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY path
 ORDER BY n DESC, path LIMIT {FUNNEL_PATHS_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# K-ANONYMITY AUDIT — the data-governance gate before releasing event-level
+# training data: any quasi-identifier combination shared by fewer than K
+# records re-identifies its members. QI here = (event_type, hour-of-day,
+# day-of-week), the same integer calendar kernel as time_features (Sunday=0,
+# matching DuckDB dayofweek). Per-batch combo bincount is the combiner
+# (domain-bounded: types x 24 x 7 rows per batch at most), ONE counters-only
+# exchange_fold keyed on event_type, then the < K filter. Output is the
+# violating combos themselves — bounded by the QI domain, never by data size.
+
+K_ANON = 5
+
+
+def k_anonymity(sf_dir: str):
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["ts", "event_type"])
+    day_us = np.int64(86_400_000_000)
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        et = tbl.column("event_type").to_numpy(zero_copy_only=False)
+        hour = (us // hour_us) % np.int64(24)
+        dow = ((us // day_us) + np.int64(4)) % np.int64(7)
+        ut, code = np.unique(et, return_inverse=True)
+        key = (code * 24 + hour) * 7 + dow
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(ut[uniq // (24 * 7)], pa.string()),
+                "hour": pa.array((uniq // 7) % 24, pa.int64()),
+                "dow": pa.array(uniq % 7, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return (string_hash_array(et) % np.uint64(8)).astype(np.int32)
+
+    folded = exchange_fold(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by(["event_type", "hour", "dow"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["event_type", "hour", "dow", "cnt"])
+        ),
+        pid_of=pid_of,
+    )
+    cols = ["event_type", "hour", "dow", "cnt"]
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=(object if c == "event_type" else np.int64)) for c in cols})
+    df = folded.to_pandas().groupby(["event_type", "hour", "dow"], as_index=False)["cnt"].sum()
+    out = df[df["cnt"] < K_ANON].reset_index(drop=True)
+    return out[cols]
+
+
+K_ANONYMITY_SQL = f"""
+SELECT event_type,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2, 3
+HAVING count(*) < {K_ANON}
+"""

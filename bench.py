@@ -315,6 +315,7 @@ def run_bench() -> dict:
         ("docs_unigram_pieces", bpe.unigram_pieces),
         ("docs_chi2_keywords", text_analysis.chi2_keywords),
         ("token_dispersion", text_analysis.token_dispersion),
+        ("events_k_anonymity", events.k_anonymity),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

@@ -128,3 +128,67 @@ def test_session7_ops_empty_and_single_row_inputs(ray_session, tmp_path):
             df = res.to_pandas() if hasattr(res, "to_pandas") else res
             # 3-token single doc: below every min-support threshold
             assert len(df) == 0, (fn.__name__, n, len(df))
+        # --- events ---
+        from audio_feature_extraction_ray.pipelines.events import k_anonymity
+
+        if n:
+            sfe = _events_fixture7(tmp_path, [10], ["x"], name=f"sfe7f{n}")
+        else:
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "props": pa.array([], pa.string()),
+                }
+            )
+            d = tmp_path / "sfe7f0"
+            d.mkdir(exist_ok=True)
+            pq.write_table(tbl, d / "events.parquet")
+            sfe = str(d)
+        df = k_anonymity(sfe)
+        assert list(df.columns) == ["event_type", "hour", "dow", "cnt"]
+        assert len(df) == n  # a lone event IS a k-anonymity violation
+
+
+def _events_fixture7(tmp_path, ts_us, types, name="sfe7"):
+    n = len(ts_us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.asarray(ts_us, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array(np.ones(n, dtype=np.float64)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    return str(sf)
+
+
+def test_k_anonymity_planted(ray_session, tmp_path):
+    """A QI combo with K-1 rows is a violation; one with exactly K is not;
+    the boundary is strict (< K). 1970-01-01 is a Thursday (dow 4)."""
+    from audio_feature_extraction_ray.pipelines.events import K_ANON, k_anonymity
+
+    HOUR = 3_600_000_000
+    ts, types = [], []
+    # combo (a, hour 0, thu): exactly K rows -> NOT reported
+    for i in range(K_ANON):
+        ts.append(i * 60_000_000)
+        types.append("a")
+    # combo (b, hour 1, thu): K-1 rows -> reported with cnt K-1
+    for i in range(K_ANON - 1):
+        ts.append(HOUR + i * 60_000_000)
+        types.append("b")
+    # combo (a, hour 2, thu): a single row -> reported
+    ts.append(2 * HOUR)
+    types.append("a")
+    df = k_anonymity(_events_fixture7(tmp_path, ts, types))
+    got = {(r.event_type, r.hour, r.dow): r.cnt for r in df.itertuples()}
+    assert got == {("b", 1, 4): K_ANON - 1, ("a", 2, 4): 1}
