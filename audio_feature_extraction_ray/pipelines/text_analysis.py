@@ -7495,3 +7495,305 @@ SELECT token, f,
          AS dp_1e6
 FROM terms GROUP BY token, f
 """
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT-BIGRAM DIVERSITY RATIO — the corpus-level distinct-2 metric
+# (Li et al. 2016, "A Diversity-Promoting Objective Function"): per source,
+# distinct word bigrams / total word bigrams. Low ratios flag templated or
+# repetitive sources BEFORE they flood a training mix (the corpus-side dual
+# of doc_repetition_stats' per-doc view). Stage 1 emits per-batch
+# (source, bigram) counts routed by bigram hash (exact distinct — no sketch);
+# stage 2 folds counters-only (source, distinct, total) partials through
+# exchange_fold, so the driver sees O(sources x parts) rows, never a bigram.
+
+BIGRAM_DIVERSITY_PARTS = 32
+
+
+def distinct_bigram_ratio(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        empty = pa.table(
+            {"source": pa.array([], pa.string()), "bigram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()), "__pid": pa.array([], pa.int32())}
+        )
+        if nflat < 2:
+            return empty
+        ends = np.cumsum(ntok) - 1  # last token index of each doc
+        valid = np.ones(nflat - 1, dtype=bool)
+        valid[ends[ends < nflat - 1]] = False
+        if not valid.any():
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, nflat - 1), flat.slice(1, nflat - 1), " "
+        ).filter(pa.array(valid))
+        src_flat = np.repeat(tbl.column("source").to_numpy(zero_copy_only=False), ntok)
+        src = src_flat[: nflat - 1][valid]
+        t = pa.table({"source": pa.array(src, pa.string()), "bigram": bg})
+        out = (
+            t.group_by(["source", "bigram"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "bigram", "cnt"])
+        )
+        b = out.column("bigram")
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        pid = (string_hash_array(b) % np.uint64(BIGRAM_DIVERSITY_PARTS)).astype(np.int32)
+        return out.append_column("__pid", pa.array(pid))
+
+    def per_partition(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = tbl.group_by(["source", "bigram"]).aggregate([("cnt", "sum")]).rename_columns(
+            ["source", "bigram", "cnt"]
+        )
+        # each (source, bigram) pair is FINAL here (bigram-hash co-location),
+        # so rows-per-source = this partition's exact distinct contribution
+        out = (
+            g.group_by("source")
+            .aggregate([([], "count_all"), ("cnt", "sum")])
+            .rename_columns(["source", "n_distinct", "n_bigrams"])
+        )
+        return pa.table(
+            {
+                "source": out.column("source"),
+                "n_distinct": out.column("n_distinct").cast(pa.int64()),
+                "n_bigrams": out.column("n_bigrams").cast(pa.int64()),
+            }
+        )
+
+    counters = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("source").aggregate([("n_distinct", "sum"), ("n_bigrams", "sum")])
+        return g.rename_columns(["source", "n_distinct", "n_bigrams"])
+
+    folded = exchange_fold(counters, fold, parts=8)
+    cols = ["source", "n_bigrams", "n_distinct", "distinct_ratio_1e6"]
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=(object if c == "source" else np.int64)) for c in cols})
+    df = folded.to_pandas().groupby("source", as_index=False).sum()
+    d = df["n_distinct"].astype(np.int64)
+    t = df["n_bigrams"].astype(np.int64)
+    df["distinct_ratio_1e6"] = (d * 10**6) // t  # integer-exact, // in SQL too
+    return df[cols].reset_index(drop=True)
+
+
+DISTINCT_BIGRAM_RATIO_SQL = """
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS a FROM documents
+), bg AS (
+  SELECT source, list_extract(a, i) || ' ' || list_extract(a, i + 1) AS bigram
+  FROM toks CROSS JOIN UNNEST(range(1, len(a))) AS t(i)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct,
+       CAST(count(DISTINCT bigram) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+         AS distinct_ratio_1e6
+FROM bg GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# SEEDED-LEXICON TOPIC ASSIGNMENT — the zero-model domain classifier used to
+# stratify a crawl before mixture design: each topic is a seed word list,
+# a doc's topic is the argmax of seed-occurrence counts (ties -> smallest
+# topic name, zero matches -> 'none'). Purely per-row (np.isin over the flat
+# token buffer + segment sums per topic), zero exchanges, output distributed.
+# The seed lists live in one module constant mirrored verbatim into the SQL
+# twin's VALUES table.
+
+TOPIC_SEEDS = {
+    "execution": ["join", "filter", "scan", "sort", "merge", "hash", "agg"],
+    "storage": ["table", "row", "column", "key", "part", "line"],
+    "streaming": ["stream", "batch", "window", "spark"],
+}
+
+
+def topic_seeds(sf_dir: str) -> ray.data.Dataset:
+    topics = sorted(TOPIC_SEEDS)  # argmax tie -> first in sorted order == SQL ORDER BY topic
+    seed_sets = [np.array(sorted(TOPIC_SEEDS[t]), dtype=object) for t in topics]
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        ntok, flat, offs = _token_lists(tbl.column("text").combine_chunks())
+        fl = flat.to_numpy(zero_copy_only=False)
+        scores = np.zeros((tbl.num_rows, len(topics)), dtype=np.int64)
+        for j, seeds in enumerate(seed_sets):
+            scores[:, j] = _segment_sums(np.isin(fl, seeds).astype(np.int64), offs)
+        best = np.argmax(scores, axis=1)  # first max == lexicographically-smallest topic
+        score = scores[np.arange(tbl.num_rows), best]
+        names = np.array(topics, dtype=object)[best]
+        names[score == 0] = "none"
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "topic": pa.array(names, pa.string()),
+                "score": pa.array(score, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def _topic_seed_values() -> str:
+    rows = []
+    for t in sorted(TOPIC_SEEDS):
+        for w in sorted(TOPIC_SEEDS[t]):
+            rows.append(f"('{t}', '{w}')")
+    return ", ".join(rows)
+
+
+TOPIC_SEEDS_SQL = f"""
+WITH seeds(topic, token) AS (VALUES {_topic_seed_values()}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), sc AS (
+  SELECT t.doc_id, s.topic, CAST(count(*) AS BIGINT) AS score
+  FROM tok t JOIN seeds s USING (token) GROUP BY 1, 2
+), w AS (
+  SELECT doc_id, topic, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, topic) AS rn
+  FROM sc
+)
+SELECT d.doc_id, COALESCE(w.topic, 'none') AS topic,
+       COALESCE(w.score, CAST(0 AS BIGINT)) AS score
+FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id AND w.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# BIGRAM COVERAGE CURVE — what fraction of all bigram OCCURRENCES the top-k
+# most frequent bigrams cover, at a few k: the compressibility / phrase-
+# vocabulary-sizing audit (how large a merge or phrase table pays off — the
+# corpus-level dual of docs_bpe_merges' greedy view). Per-batch bigram counts
+# route through the same bigram-hash exchange as docs_bigram_topk; each
+# partition owns its bigrams EXCLUSIVELY, so the global top-k is a subset of
+# the union of per-partition top-K candidates, and each partition's count sum
+# is its exact share of the denominator. Driver fold <= (K+1) x parts rows.
+
+BIGRAM_COVERAGE_KS = (10, 100, 500)
+
+
+def bigram_coverage(sf_dir: str):
+    import pandas as pd
+
+    from ..functions.hashing import string_hash_array
+
+    kmax = max(BIGRAM_COVERAGE_KS)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nflat = len(flat)
+        empty = pa.table(
+            {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64()),
+             "__pid": pa.array([], pa.int32())}
+        )
+        if nflat < 2:
+            return empty
+        ends = np.cumsum(ntok) - 1
+        valid = np.ones(nflat - 1, dtype=bool)
+        valid[ends[ends < nflat - 1]] = False
+        if not valid.any():
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, nflat - 1), flat.slice(1, nflat - 1), " "
+        ).filter(pa.array(valid))
+        de = pc.dictionary_encode(bg)
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        pid = (string_hash_array(uniq) % np.uint64(BIGRAM_DIVERSITY_PARTS)).astype(np.int32)
+        return pa.table(
+            {"bigram": uniq, "n": pa.array(counts, pa.int64()), "__pid": pa.array(pid)}
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        de = pc.dictionary_encode(tbl.column("bigram").combine_chunks())
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        uniq = de.dictionary
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, codes, tbl.column("n").to_numpy())
+        # candidates: local top-kmax under the SQL order (n DESC, bigram ASC);
+        # exact because this partition owns these bigrams exclusively
+        k = min(kmax, len(uniq))
+        order = np.lexsort((np.asarray(uniq).astype(str), -sums))[:k]
+        cand = pa.table(
+            {
+                "bigram": uniq.take(pa.array(order)),
+                "n": pa.array(sums[order], pa.int64()),
+                "is_cand": pa.array(np.ones(k, dtype=np.int64), pa.int64()),
+            }
+        )
+        # one counter row: this partition's exact share of total occurrences
+        tot = pa.table(
+            {
+                "bigram": pa.array([""], pa.string()),
+                "n": pa.array([int(sums.sum())], pa.int64()),
+                "is_cand": pa.array([0], pa.int64()),
+            }
+        )
+        return pa.concat_tables([cand, tot])
+
+    ds = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+    # bounded fold: <= (kmax+1) x parts rows
+    df = ds.to_pandas()
+    cols = ["k", "covered", "n_bigrams", "coverage_1e6"]
+    if df.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    total = int(df.loc[df["is_cand"] == 0, "n"].sum())
+    cand = df[df["is_cand"] == 1].sort_values(
+        ["n", "bigram"], ascending=[False, True], kind="mergesort"
+    )
+    csum = cand["n"].to_numpy(dtype=np.int64).cumsum()
+    rows = []
+    for k in BIGRAM_COVERAGE_KS:
+        covered = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows.append((k, covered, total, (covered * 10**6) // total if total else 0))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+BIGRAM_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS a FROM documents
+), bg AS (
+  SELECT list_extract(a, i) || ' ' || list_extract(a, i + 1) AS bigram
+  FROM toks CROSS JOIN UNNEST(range(1, len(a))) AS t(i)
+), cnt AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, bigram) AS rn FROM cnt
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(sum(r.n) AS BIGINT) AS covered,
+       tot.t AS n_bigrams,
+       CAST(sum(r.n) AS BIGINT) * 1000000 // tot.t AS coverage_1e6
+FROM (VALUES {", ".join(f"({k})" for k in BIGRAM_COVERAGE_KS)}) ks(k)
+JOIN r ON r.rn <= ks.k CROSS JOIN tot
+GROUP BY ks.k, tot.t
+"""

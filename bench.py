@@ -315,6 +315,9 @@ def run_bench() -> dict:
         ("docs_unigram_pieces", bpe.unigram_pieces),
         ("docs_chi2_keywords", text_analysis.chi2_keywords),
         ("token_dispersion", text_analysis.token_dispersion),
+        ("docs_bigram_coverage", text_analysis.bigram_coverage),
+        ("docs_distinct_bigram_ratio", text_analysis.distinct_bigram_ratio),
+        ("docs_topic_seeds", text_analysis.topic_seeds),
         ("events_k_anonymity", events.k_anonymity),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),

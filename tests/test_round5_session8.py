@@ -1,0 +1,137 @@
+"""Round-5 session-8 operators. Oracle parity is covered by the
+parametrized test_queries_oracle harness; these tests pin what SQL
+equality can't see — planted-signal behavior, fixed-point/integer edges,
+and 0-row/1-row flows."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _docs_fixture(tmp_path, texts, sources=None, langs=None, name="sfd8"):
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+            "source": pa.array(sources or ["s"] * n, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "documents.parquet", row_group_size=2)
+    return str(sf)
+
+
+def test_distinct_bigram_ratio_planted(ray_session, tmp_path):
+    """A templated source (one bigram repeated) scores far below a diverse
+    source; the ratio is the exact integer floor((distinct*1e6)//total)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import distinct_bigram_ratio
+
+    texts = ["spam spam spam spam spam"] * 4  # 4 docs x 4 bigrams, 1 distinct
+    texts += ["a b c d e", "f g h i j"]  # 8 bigrams, 8 distinct
+    sources = ["tmpl"] * 4 + ["div"] * 2
+    df = distinct_bigram_ratio(_docs_fixture(tmp_path, texts, sources=sources))
+    df = df.set_index("source")
+    assert int(df.loc["tmpl", "n_bigrams"]) == 16
+    assert int(df.loc["tmpl", "n_distinct"]) == 1
+    assert int(df.loc["tmpl", "distinct_ratio_1e6"]) == (1 * 10**6) // 16
+    assert int(df.loc["div", "n_bigrams"]) == 8
+    assert int(df.loc["div", "n_distinct"]) == 8
+    assert int(df.loc["div", "distinct_ratio_1e6"]) == 10**6
+
+
+def test_distinct_bigram_ratio_single_token_docs(ray_session, tmp_path):
+    """Docs with < 2 tokens contribute no bigrams; a source made only of
+    them disappears from the output (same as the SQL twin's empty join)."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import distinct_bigram_ratio
+
+    texts = ["solo", "alone", "x y"]
+    sources = ["shorts", "shorts", "ok"]
+    df = distinct_bigram_ratio(_docs_fixture(tmp_path, texts, sources=sources))
+    assert set(df["source"]) == {"ok"}
+    assert int(df.set_index("source").loc["ok", "n_bigrams"]) == 1
+
+
+def test_bigram_coverage_exact_curve(ray_session, tmp_path):
+    """Hand-computed corpus: coverage at each k equals the cumulative count
+    of the top-k bigrams under (n DESC, bigram ASC), over the exact total."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        BIGRAM_COVERAGE_KS,
+        bigram_coverage,
+    )
+
+    # bigram counts: 'a b' x 6 (3 docs of 'a b a b' -> 3 each? no: 'a b a b'
+    # has bigrams [a b, b a, a b] -> 2x 'a b', 1x 'b a' per doc)
+    texts = ["a b a b"] * 3 + ["c d"] * 4
+    # totals: 'a b' 6, 'b a' 3, 'c d' 4 -> total 13
+    df = bigram_coverage(_docs_fixture(tmp_path, texts))
+    assert list(df["k"]) == list(BIGRAM_COVERAGE_KS)
+    row10 = df[df["k"] == 10].iloc[0]
+    # only 3 distinct bigrams; top-10 covers everything
+    assert int(row10["covered"]) == 13 and int(row10["n_bigrams"]) == 13
+    assert int(row10["coverage_1e6"]) == 10**6
+
+
+def test_bigram_coverage_tie_and_truncation(ray_session, tmp_path):
+    """k smaller than the distinct-bigram count: ties on n break by bigram
+    ASC exactly as the SQL row_number order."""
+    from audio_feature_extraction_ray.pipelines import text_analysis as ta
+
+    old = ta.BIGRAM_COVERAGE_KS
+    ta.BIGRAM_COVERAGE_KS = (1, 2, 500)
+    try:
+        # 'x y' and 'p q' both count 2 -> rank 1 is 'p q' (ASC); 'z w' count 1
+        texts = ["x y", "x y", "p q", "p q", "z w"]
+        df = ta.bigram_coverage(_docs_fixture(tmp_path, texts)).set_index("k")
+        assert int(df.loc[1, "covered"]) == 2  # 'p q'
+        assert int(df.loc[2, "covered"]) == 4  # 'p q' + 'x y'
+        assert int(df.loc[500, "covered"]) == 5
+        assert int(df.loc[1, "coverage_1e6"]) == (2 * 10**6) // 5
+    finally:
+        ta.BIGRAM_COVERAGE_KS = old
+
+
+def test_topic_seeds_argmax_and_ties(ray_session, tmp_path):
+    """Winner is the max seed-hit count; exact ties go to the
+    lexicographically-smallest topic; zero hits -> 'none'."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import topic_seeds
+
+    texts = [
+        "join filter scan pad",        # execution 3
+        "table row stream batch",      # storage 2 vs streaming 2 -> storage (asc)
+        "pad pad pad",                 # none
+        "window stream table",         # streaming 2 vs storage 1
+        "",                            # empty doc -> none
+    ]
+    df = topic_seeds(_docs_fixture(tmp_path, texts)).to_pandas().set_index("doc_id")
+    assert df.loc[0, "topic"] == "execution" and df.loc[0, "score"] == 3
+    assert df.loc[1, "topic"] == "storage" and df.loc[1, "score"] == 2
+    assert df.loc[2, "topic"] == "none" and df.loc[2, "score"] == 0
+    assert df.loc[3, "topic"] == "streaming" and df.loc[3, "score"] == 2
+    assert df.loc[4, "topic"] == "none" and df.loc[4, "score"] == 0
+
+
+def test_session8_zero_and_one_row_flows(ray_session, tmp_path):
+    """0-row and 1-row inputs flow through every session-8 operator."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        bigram_coverage,
+        distinct_bigram_ratio,
+        topic_seeds,
+    )
+
+    empty = _docs_fixture(tmp_path, [], name="sfd8e")
+    one = _docs_fixture(tmp_path, ["join scan"], name="sfd8o")
+
+    assert len(distinct_bigram_ratio(empty)) == 0
+    assert len(bigram_coverage(empty)) == 0
+    assert topic_seeds(empty).count() == 0
+
+    r1 = distinct_bigram_ratio(one)
+    assert len(r1) == 1 and int(r1.iloc[0]["n_bigrams"]) == 1
+    c1 = bigram_coverage(one)
+    assert int(c1.iloc[0]["covered"]) == 1
+    t1 = topic_seeds(one).to_pandas()
+    assert t1.iloc[0]["topic"] == "execution" and t1.iloc[0]["score"] == 2
