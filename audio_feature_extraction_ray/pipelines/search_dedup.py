@@ -1773,3 +1773,68 @@ WITH a AS (
 SELECT aid AS anchor_id, CAST(count(*) FILTER (WHERE sim >= {BALL_TAU}) AS BIGINT) AS n_in_ball
 FROM s GROUP BY aid ORDER BY aid
 """
+
+
+# ---------------------------------------------------------------------------
+# K-CORE OF THE NEAR-DUP GRAPH — the dense heart: nodes whose every member
+# has >= K near-duplicate neighbors after iterated peeling (stages/graph.py
+# kcore). Where dup_clusters keeps loose chains, the k-core isolates the
+# template farms / mirror nests worth aggressive dedup. Engine peels to the
+# fixpoint and RAISES if that takes more than KCORE_UNROLL rounds — the SQL
+# twin unrolls exactly KCORE_UNROLL peel rounds, so the runtime guard IS the
+# exact-regime contract (the hll_langs_exact idiom). Doc cap = CLUSTER_N for
+# oracle comparability only (the quadratic jaccard join); the stage itself
+# is uncapped pair-scale.
+
+KCORE_K = 3
+KCORE_UNROLL = 8
+
+
+def dup_kcore(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.graph import kcore
+
+    ds = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CLUSTER_N)),
+        batch_format="pyarrow",
+    )
+    pairs = dedup.jaccard_pairs(ds, min_jaccard=CLUSTER_MIN_J)
+    out = kcore(pairs, KCORE_K, max_rounds=KCORE_UNROLL)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "degree": t.column("degree")}),
+        batch_format="pyarrow",
+    )
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: the default inlining re-expands e{i-1}
+    # three times per round, i.e. 3^UNROLL copies of the base parquet scan
+    rounds = []
+    for i in range(KCORE_UNROLL):
+        rounds.append(
+            f"n{i} AS MATERIALIZED (SELECT a AS node FROM e{i} GROUP BY a HAVING count(*) >= {KCORE_K}),\n"
+            f"e{i+1} AS MATERIALIZED (SELECT e{i}.a, e{i}.b FROM e{i} "
+            f"JOIN n{i} x ON e{i}.a = x.node JOIN n{i} y ON e{i}.b = y.node)"
+        )
+    body = ",\n".join(rounds)
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {CLUSTER_N}
+), p AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= {CLUSTER_MIN_J}
+), e0 AS MATERIALIZED (
+  SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+),
+{body}
+SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS degree
+FROM e{KCORE_UNROLL} GROUP BY a HAVING count(*) >= {KCORE_K}
+"""
+
+
+DUP_KCORE_SQL = _kcore_sql()

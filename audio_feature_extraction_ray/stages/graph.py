@@ -670,3 +670,110 @@ def triangle_count(
     partials = probe.groupby("__pid").map_groups(count_hits, batch_format="pyarrow").take_all()
     total = sum(r["partial"] for r in partials)  # bounded: one row per partition
     return pd.DataFrame({"n_triangles": [total]})
+
+
+# ---------------------------------------------------------------------------
+# K-CORE PEELING — iteratively drop nodes of degree < k until a fixpoint:
+# the surviving subgraph (the k-core) is the "dense heart" of the near-dup
+# graph — clusters tight enough that every member has >= k near-duplicates,
+# the aggressive-dedup candidates (vs the loose chains connected_components
+# keeps). Each round is one node-keyed degree exchange + two co-partitioned
+# semi joins; edges are PAIR-scale (candidate output) like all graph-family
+# inputs. The round count is data-dependent but the engine ENFORCES
+# rounds <= max_rounds (raising otherwise), because the SQL twin unrolls
+# exactly max_rounds peel rounds — the same exact-regime-contract-with-
+# runtime-guard idiom as hll_langs_exact.
+
+
+def _group_count(ds: ray.data.Dataset, col: str, num_partitions: int) -> ray.data.Dataset:
+    """(col,) -> per-value count: in-batch combiner + ONE hash exchange +
+    vectorized per-partition segment sum. Output (node, degree)."""
+
+    def combine(tbl: pa.Table) -> pa.Table:
+        node = tbl.column(col).cast(pa.int64()).to_numpy()
+        uniq, cnt = np.unique(node, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, pa.int64()),
+                "degree": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__pid": pa.array(_pid_i64(uniq, num_partitions)),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        if tbl.num_rows == 0:
+            return tbl
+        node = tbl.column("node").to_numpy()
+        deg = tbl.column("degree").to_numpy()
+        order = np.argsort(node, kind="stable")
+        ns, ds_ = node[order], deg[order]
+        head = np.ones(ns.size, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        seg = np.cumsum(head) - 1
+        sums = np.bincount(seg, weights=ds_).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(ns[np.flatnonzero(head)], pa.int64()),
+                "degree": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    num_partitions: int = 16,
+    max_rounds: int = 8,
+) -> ray.data.Dataset:
+    """Nodes of the k-core of the undirected graph given as a<b edge pairs,
+    with their core degree. Raises RuntimeError when peeling hasn't reached
+    the fixpoint within max_rounds (the SQL twin's unroll depth)."""
+    from .join import copartitioned_semi_anti
+
+    def sym(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(a_col).cast(pa.int64())
+        b = tbl.column(b_col).cast(pa.int64())
+        return pa.table(
+            {"a": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    def keep_core(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return tbl.filter(pc.greater_equal(tbl.column("degree"), pa.scalar(k)))
+
+    empty = ray.data.from_arrow(
+        pa.table({"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())})
+    )
+    cur = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    prev_cnt = cur.count()
+    for _ in range(max_rounds):
+        if prev_cnt == 0:
+            return empty
+        deg = _group_count(cur, "a", num_partitions).materialize()
+        surv = deg.map_batches(keep_core, batch_format="pyarrow")
+        nxt = copartitioned_semi_anti(
+            cur, surv, left_key="a", right_key="node", num_partitions=num_partitions
+        )
+        nxt = copartitioned_semi_anti(
+            nxt, surv, left_key="b", right_key="node", num_partitions=num_partitions
+        ).materialize()
+        cnt = nxt.count()
+        if cnt == prev_cnt:
+            # fixpoint: every node of `cur` already has degree >= k
+            return deg.map_batches(keep_core, batch_format="pyarrow")
+        cur, prev_cnt = nxt, cnt
+    raise RuntimeError(
+        f"kcore did not reach the peeling fixpoint in {max_rounds} rounds; "
+        f"raise max_rounds (and the SQL twin's unroll depth) together"
+    )

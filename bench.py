@@ -316,6 +316,7 @@ def run_bench() -> dict:
         ("docs_chi2_keywords", text_analysis.chi2_keywords),
         ("token_dispersion", text_analysis.token_dispersion),
         ("docs_bigram_coverage", text_analysis.bigram_coverage),
+        ("dup_kcore", search_dedup.dup_kcore),
         ("docs_distinct_bigram_ratio", text_analysis.distinct_bigram_ratio),
         ("docs_topic_seeds", text_analysis.topic_seeds),
         ("events_k_anonymity", events.k_anonymity),

@@ -135,3 +135,77 @@ def test_session8_zero_and_one_row_flows(ray_session, tmp_path):
     assert int(c1.iloc[0]["covered"]) == 1
     t1 = topic_seeds(one).to_pandas()
     assert t1.iloc[0]["topic"] == "execution" and t1.iloc[0]["score"] == 2
+
+
+def _edges_ds(pairs):
+    import ray.data
+
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    return ray.data.from_arrow(pa.table({"a": a, "b": b}))
+
+
+def test_kcore_triangle_plus_tail(ray_session):
+    """Triangle {0,1,2} + pendant 3: the 2-core is exactly the triangle,
+    each member with core degree 2."""
+    from audio_feature_extraction_ray.stages.graph import kcore
+
+    out = kcore(_edges_ds([(0, 1), (1, 2), (0, 2), (0, 3)]), 2).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    assert list(out["node"]) == [0, 1, 2]
+    assert list(out["degree"]) == [2, 2, 2]
+
+
+def test_kcore_chain_unravels_over_rounds(ray_session):
+    """A path graph has no 2-core, but peeling removes one layer of
+    endpoints per round — exercises multi-round convergence."""
+    from audio_feature_extraction_ray.stages.graph import kcore
+
+    path = [(i, i + 1) for i in range(6)]
+    out = kcore(_edges_ds(path), 2).to_pandas()
+    assert len(out) == 0
+
+
+def test_kcore_round_guard_raises(ray_session):
+    """The exact-regime contract: exceeding max_rounds raises instead of
+    silently returning a non-fixpoint (the SQL twin unrolls max_rounds)."""
+    import pytest
+
+    from audio_feature_extraction_ray.stages.graph import kcore
+
+    path = [(i, i + 1) for i in range(10)]  # needs ~5 peel rounds
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(_edges_ds(path), 2, max_rounds=2)
+
+
+def test_kcore_vs_naive_networkx_style(ray_session):
+    """Random-ish deterministic graph vs a naive python peeling reference."""
+    from audio_feature_extraction_ray.stages.graph import kcore
+
+    rng = np.random.RandomState(7)
+    n = 40
+    pairs = set()
+    for _ in range(120):
+        a, b = rng.randint(0, n), rng.randint(0, n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+
+    def naive_kcore(edges, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for v in [v for v, nb in adj.items() if len(nb) < k]:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+        return {v: len(nb) for v, nb in adj.items()}
+
+    for k in (2, 3, 4):
+        want = naive_kcore(pairs, k)
+        got = kcore(_edges_ds(pairs), k, max_rounds=40).to_pandas()
+        assert dict(zip(got["node"], got["degree"])) == want
