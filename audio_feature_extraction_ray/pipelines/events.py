@@ -6179,3 +6179,107 @@ FROM events
 GROUP BY 1, 2, 3
 HAVING count(*) < {K_ANON}
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER LAYOUT TILES — the data-layout audit before rewriting a table
+# clustered on two dimensions: interleave the bits of bucketed (user, value)
+# into a 6-bit Morton key and summarize each tile (row count, ts span).
+# Files written in z-key ranges serve BOTH user-range and value-range scans
+# with bounded over-read — this table is what you inspect to pick the bucket
+# widths. Pure integer bit arithmetic (identical expression in the SQL twin),
+# per-batch tile combiner bounded by the 64-tile domain, counters-only
+# exchange_fold, driver traffic O(tiles x parts).
+
+ZORDER_BITS = 3            # 3 bits per dimension -> 8x8 = 64 tiles
+ZORDER_VALUE_BUCKET = 64.0  # value bucket width before clamping to 2^bits-1
+
+
+def zorder_tiles(sf_dir: str):
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["ts", "user_id", "value"])
+    side = 1 << ZORDER_BITS
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        ux = (tbl.column("user_id").to_numpy() % side).astype(np.int64)
+        vx = np.minimum(
+            np.floor(tbl.column("value").to_numpy() / ZORDER_VALUE_BUCKET).astype(np.int64),
+            side - 1,
+        )
+        z = np.zeros(tbl.num_rows, dtype=np.int64)
+        for b in range(ZORDER_BITS):
+            z |= ((ux >> b) & 1) << (2 * b + 1)
+            z |= ((vx >> b) & 1) << (2 * b)
+        order = np.argsort(z, kind="stable")
+        zs, ts = z[order], us[order]
+        head = np.ones(zs.size, dtype=bool)
+        head[1:] = zs[1:] != zs[:-1]
+        starts = np.flatnonzero(head)
+        stops = np.r_[starts[1:], zs.size]
+        return pa.table(
+            {
+                "z": pa.array(zs[starts], pa.int64()),
+                "n": pa.array(stops - starts, pa.int64()),
+                "min_ts": pa.array(
+                    np.minimum.reduceat(ts, starts) if zs.size else np.array([], np.int64),
+                    pa.int64(),
+                ),
+                "max_ts": pa.array(
+                    np.maximum.reduceat(ts, starts) if zs.size else np.array([], np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def fold(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by("z").aggregate([("n", "sum"), ("min_ts", "min"), ("max_ts", "max")])
+        return g.rename_columns(["z", "n", "min_ts", "max_ts"])
+
+    folded = exchange_fold(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        fold,
+        parts=8,
+        pid_of=lambda t: t.column("z").to_numpy(zero_copy_only=False) % 8,
+    )
+    import pandas as pd
+
+    cols = ["z", "n", "min_ts", "max_ts"]
+    if folded is None:
+        df = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+        df["min_ts"] = pd.to_datetime(df["min_ts"])
+        df["max_ts"] = pd.to_datetime(df["max_ts"])
+        return df
+    df = (
+        folded.to_pandas()
+        .groupby("z", as_index=False)
+        .agg(n=("n", "sum"), min_ts=("min_ts", "min"), max_ts=("max_ts", "max"))
+    )
+    df["min_ts"] = pd.to_datetime(df["min_ts"], unit="us")
+    df["max_ts"] = pd.to_datetime(df["max_ts"], unit="us")
+    return df[cols]
+
+
+def _zorder_expr() -> str:
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(f"((ux >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"((vx >> {b}) & 1) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+ZORDER_TILES_SQL = f"""
+WITH b AS (
+  SELECT ts,
+         user_id % {1 << ZORDER_BITS} AS ux,
+         least(CAST(floor(value / {ZORDER_VALUE_BUCKET}) AS BIGINT),
+               {(1 << ZORDER_BITS) - 1}) AS vx
+  FROM events
+)
+SELECT CAST({_zorder_expr()} AS BIGINT) AS z,
+       CAST(count(*) AS BIGINT) AS n,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts
+FROM b GROUP BY 1
+"""

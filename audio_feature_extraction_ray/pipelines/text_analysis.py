@@ -7797,3 +7797,172 @@ FROM (VALUES {", ".join(f"({k})" for k in BIGRAM_COVERAGE_KS)}) ks(k)
 JOIN r ON r.rn <= ks.k CROSS JOIN tot
 GROUP BY ks.k, tot.t
 """
+
+
+# ---------------------------------------------------------------------------
+# NUCLEUS CURATION GATE — per source, keep the minimal top-quality prefix
+# holding at least half the source's total quality mass (the top-p /
+# "nucleus" rule transplanted from sampling to data curation: spend the
+# training budget on the head of each source's quality distribution while
+# preserving every source). Keep rule, identical to the SQL window twin:
+# under (quality DESC, doc_id ASC) order, keep while 2 * exclusive-prefix-
+# mass < total mass. Exact at scale WITHOUT a per-source sort: the quality
+# score lives on a 1e-6 integer grid, so ONE source-keyed exchange of
+# (source, q1e6, cnt) histogram partials (bounded by the grid, not the data)
+# finds each source's flip bucket and how many boundary docs survive; only
+# BOUNDARY-tied doc_ids (one quality bucket per source) ever ship to the
+# driver for the order statistic, behind a raise-on-overflow guard (the
+# exact-regime-contract idiom). Final keep flags are a stateless per-doc map.
+
+NUCLEUS_BOUNDARY_CAP = 200_000
+
+
+def nucleus_by_source(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    def q_of(tbl: pa.Table) -> np.ndarray:
+        return np.floor(quality_scores(tbl.column("text")) * 1e6 + 0.5).astype(np.int64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        q = q_of(tbl)
+        src = tbl.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src, "q1e6": pa.array(q, pa.int64())})
+        out = (
+            t.group_by(["source", "q1e6"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "q1e6", "cnt"])
+        )
+        s = out.column("source")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        pid = (string_hash_array(s) % np.uint64(8)).astype(np.int32)
+        return out.append_column("__pid", pa.array(pid))
+
+    def plan(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = tbl.group_by(["source", "q1e6"]).aggregate([("cnt", "sum")]).rename_columns(
+            ["source", "q1e6", "cnt"]
+        )
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        rows = {"source": [], "q_flip": [], "m": [], "n_boundary": []}
+        for s in np.unique(src):
+            sel = src == s
+            qs = g.column("q1e6").to_numpy()[sel]
+            cn = g.column("cnt").to_numpy()[sel]
+            order = np.argsort(-qs, kind="stable")
+            qs, cn = qs[order].tolist(), cn[order].tolist()  # python ints: masses
+            mass = [q * c for q, c in zip(qs, cn)]
+            tot = sum(mass)
+            ma = 0
+            q_flip, m, nb = None, 0, 0
+            for q, c, mm in zip(qs, cn, mass):
+                if 2 * (ma + (c - 1) * q) < tot:
+                    ma += mm
+                    continue  # bucket fully kept
+                # flip bucket: count kept boundary docs (strict 2*excl < tot)
+                r = tot - 2 * ma
+                if r > 0 and q > 0:
+                    m = min(c, (r - 1) // (2 * q) + 1)
+                else:
+                    m = 0
+                q_flip, nb = q, c
+                break
+            if q_flip is None:
+                q_flip = -1  # every doc kept (single-doc / head-heavy source)
+            rows["source"].append(s)
+            rows["q_flip"].append(q_flip)
+            rows["m"].append(m)
+            rows["n_boundary"].append(nb)
+        return pa.table(
+            {
+                "source": pa.array(rows["source"], pa.string()),
+                "q_flip": pa.array(rows["q_flip"], pa.int64()),
+                "m": pa.array(rows["m"], pa.int64()),
+                "n_boundary": pa.array(rows["n_boundary"], pa.int64()),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "source", "text"])
+    plan_tbl_ds = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(plan, batch_format="pyarrow")
+    )
+    # bounded fold: one row per SOURCE (each source is final in one partition)
+    plans = plan_tbl_ds.to_pandas()
+    q_flip = dict(zip(plans["source"], plans["q_flip"].astype(int)))
+    m_of = dict(zip(plans["source"], plans["m"].astype(int)))
+    # boundary order statistic: only sources with a PARTIAL flip bucket ship
+    # their (single-quality-bucket) doc_ids; raise rather than silently cap
+    need = {s for s in q_flip if 0 < m_of[s]}
+    d_star: dict[str, int] = {}
+    if need:
+        flips = dict(q_flip)
+
+        def boundary(tbl: pa.Table) -> pa.Table:
+            q = q_of(tbl)
+            src = tbl.column("source").to_numpy(zero_copy_only=False)
+            tgt = np.array([flips.get(s, -2) for s in src], dtype=np.int64)
+            sel = q == tgt
+            return pa.table(
+                {
+                    "source": pa.array(src[sel], pa.string()),
+                    "doc_id": tbl.column("doc_id").to_numpy()[sel],
+                }
+            )
+
+        rows = docs.map_batches(boundary, batch_format="pyarrow").take_all()
+        if len(rows) > NUCLEUS_BOUNDARY_CAP:
+            from ..errors import SchemaError
+
+            raise SchemaError(
+                f"nucleus boundary bucket holds {len(rows)} docs > cap "
+                f"{NUCLEUS_BOUNDARY_CAP}; quality ties too dense for the "
+                f"driver-side order statistic"
+            )
+        import pandas as pd
+
+        bdf = pd.DataFrame(rows)
+        if len(bdf):
+            for s, grp in bdf.groupby("source"):
+                if s in need:
+                    ids = np.sort(grp["doc_id"].to_numpy())
+                    d_star[s] = int(ids[m_of[s] - 1])
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        q = q_of(tbl)
+        src = tbl.column("source").to_numpy(zero_copy_only=False)
+        did = tbl.column("doc_id").to_numpy()
+        qf = np.array([q_flip.get(s, 2**62) for s in src], dtype=np.int64)
+        ds_ = np.array([d_star.get(s, -1) for s in src], dtype=np.int64)
+        keep = (q > qf) | ((q == qf) & (did <= ds_))
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "source": tbl.column("source"),
+                "q1e6": pa.array(q, pa.int64()),
+                "keep": pa.array(keep.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
+NUCLEUS_BY_SOURCE_SQL = f"""
+WITH {QUALITY_T_CTE}, q AS (
+  SELECT doc_id, source,
+         CAST(floor(({QUALITY_EXPR}) * 1e6 + 0.5) AS BIGINT) AS q1e6
+  FROM t
+), w AS (
+  SELECT doc_id, source, q1e6,
+         sum(q1e6) OVER (PARTITION BY source ORDER BY q1e6 DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - q1e6 AS excl,
+         sum(q1e6) OVER (PARTITION BY source) AS tot
+  FROM q
+)
+SELECT doc_id, source, q1e6,
+       CAST(CASE WHEN 2 * excl < tot THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM w
+"""

@@ -320,6 +320,8 @@ def run_bench() -> dict:
         ("docs_distinct_bigram_ratio", text_analysis.distinct_bigram_ratio),
         ("docs_topic_seeds", text_analysis.topic_seeds),
         ("events_k_anonymity", events.k_anonymity),
+        ("events_zorder_tiles", events.zorder_tiles),
+        ("docs_nucleus_by_source", text_analysis.nucleus_by_source),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

@@ -209,3 +209,102 @@ def test_kcore_vs_naive_networkx_style(ray_session):
         want = naive_kcore(pairs, k)
         got = kcore(_edges_ds(pairs), k, max_rounds=40).to_pandas()
         assert dict(zip(got["node"], got["degree"])) == want
+
+
+def _events_fixture(tmp_path, ts_us, user_ids, values, types=None, name="sfe8"):
+    n = len(ts_us)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.asarray(ts_us, dtype=np.int64), pa.timestamp("us")),
+            "user_id": pa.array(np.asarray(user_ids, dtype=np.int64)),
+            "event_type": pa.array(types or ["click"] * n, pa.string()),
+            "value": pa.array(np.asarray(values, dtype=np.float64)),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+    sf = tmp_path / name
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "events.parquet", row_group_size=3)
+    return str(sf)
+
+
+def test_zorder_tiles_bit_interleave(ray_session, tmp_path):
+    """Morton key: user bits land on odd positions, value bits on even;
+    hand-checked tiles with exact ts spans."""
+    from audio_feature_extraction_ray.pipelines.events import zorder_tiles
+
+    # (user=1, value bucket 0) -> z = 2 ; (user=0, v=1 i.e. value 64) -> z = 1
+    # (user=3, v=2 -> value 128) -> ux bits 11 -> z odd positions 2+8=10,
+    # vx=2 -> bit1 even position 4 -> z=14
+    sf = _events_fixture(
+        tmp_path,
+        ts_us=[1_000_000, 2_000_000, 3_000_000, 4_000_000],
+        user_ids=[1, 0, 3, 1],
+        values=[1.0, 64.0, 128.0, 10.0],
+    )
+    df = zorder_tiles(sf).set_index("z")
+    assert set(df.index) == {2, 1, 14}
+    assert int(df.loc[2, "n"]) == 2  # events 0 and 3 share the tile
+    assert df.loc[2, "min_ts"].value == 1_000_000_000  # ns
+    assert df.loc[2, "max_ts"].value == 4_000_000_000
+    assert int(df.loc[1, "n"]) == 1 and int(df.loc[14, "n"]) == 1
+
+
+def test_zorder_value_clamp(ray_session, tmp_path):
+    """Values beyond the top bucket clamp to 2^bits - 1 (no key overflow)."""
+    from audio_feature_extraction_ray.pipelines.events import zorder_tiles
+
+    sf = _events_fixture(tmp_path, [1_000_000], [0], [99_999.0], name="sfe8c")
+    df = zorder_tiles(sf)
+    # ux=0, vx=7 -> z = 1 + 4 + 16 = 21
+    assert list(df["z"]) == [21] and int(df.iloc[0]["n"]) == 1
+
+
+def test_nucleus_keep_rule_exact(ray_session, tmp_path):
+    """Keep while 2*exclusive-mass < total, ties at the flip bucket go to
+    the smallest doc_ids — verified against a naive per-source reference
+    on a corpus with deliberate quality ties."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        nucleus_by_source,
+        quality_scores,
+    )
+
+    texts, sources = [], []
+    base = ["alpha beta gamma delta epsilon", "a b", "one two three four five six",
+            "the of and to in is", "zz", "alpha beta gamma delta epsilon"]
+    for rep in range(3):
+        for t in base:
+            texts.append(t)
+            sources.append("s" + str(rep % 2))
+    sf = _docs_fixture(tmp_path, texts, sources=sources, name="sfn8")
+    out = nucleus_by_source(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    q = np.floor(quality_scores(pa.array(texts, pa.string())) * 1e6 + 0.5).astype(np.int64)
+    keep_want = np.zeros(len(texts), dtype=np.int64)
+    for s in set(sources):
+        idx = [i for i in range(len(texts)) if sources[i] == s]
+        order = sorted(idx, key=lambda i: (-q[i], i))
+        tot = int(sum(int(q[i]) for i in idx))
+        excl = 0
+        for i in order:
+            keep_want[i] = 1 if 2 * excl < tot else 0
+            excl += int(q[i])
+    assert list(out["keep"]) == list(keep_want)
+    assert list(out["q1e6"]) == list(q)
+    # ties exist at the flip in this corpus (duplicate texts) — make sure the
+    # test actually exercises the boundary order statistic
+    assert (out["keep"].to_numpy() != (out["q1e6"].to_numpy() > 0)).any()
+
+
+def test_nucleus_degenerate_sources(ray_session, tmp_path):
+    """Single-doc source keeps its doc (0 < tot); all-zero-quality source
+    keeps nothing (0 < 0 is false) — both matching the SQL window rule."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import nucleus_by_source
+
+    texts = ["alpha beta gamma delta", "", ""]
+    sources = ["solo", "zero", "zero"]
+    out = nucleus_by_source(_docs_fixture(tmp_path, texts, sources=sources, name="sfn8d"))
+    df = out.to_pandas().set_index("doc_id")
+    assert int(df.loc[0, "keep"]) == 1
+    assert int(df.loc[1, "keep"]) == 0 and int(df.loc[2, "keep"]) == 0
