@@ -1838,3 +1838,93 @@ FROM e{KCORE_UNROLL} GROUP BY a HAVING count(*) >= {KCORE_K}
 
 
 DUP_KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
+# TRUNCATION RECALL (Matryoshka audit) — before shipping half-width vectors
+# (memory/bandwidth halved at serving time), measure what fraction of each
+# query's exact full-dimension top-K survives when BOTH sides are truncated
+# to the leading TRUNC_DIM coordinates and re-normalized. Two full-probe
+# (= exact) distributed kNN joins share the ivf machinery; the overlap count
+# folds over query_id — bounded by N_QUERIES x K rows, data-size-independent
+# (the query side is the small side by construction, as in ann_bruteforce).
+
+TRUNC_DIM = 32
+
+
+def embedding_trunc_recall(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    corpus = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    queries = _query_side(sf_dir, N_QUERIES)
+    sample = _kmeans_sample(sf_dir)
+
+    def trunc(tbl: pa.Table) -> pa.Table:
+        emb = tbl.column("embedding").combine_chunks()
+        n = len(emb)
+        if n == 0:
+            return tbl
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        dim = flat.size // n
+        m = flat.reshape(n, dim)[:, :TRUNC_DIM]
+        offs = (np.arange(n + 1, dtype=np.int64) * TRUNC_DIM).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(m.ravel(), pa.from_numpy_dtype(m.dtype))
+        )
+        return pa.table({"vec_id": tbl.column("vec_id"), "embedding": arr})
+
+    full = ann.ivf_knn_join(
+        corpus, queries, k=TOP_K, n_clusters=8, nprobe=8, sample=sample
+    )
+    truncated = ann.ivf_knn_join(
+        corpus.map_batches(trunc, batch_format="pyarrow"),
+        queries.map_batches(trunc, batch_format="pyarrow"),
+        k=TOP_K,
+        n_clusters=8,
+        nprobe=8,
+        sample=sample[:, :TRUNC_DIM],
+    )
+    # bounded folds: N_QUERIES x K rows each, independent of corpus size
+    fdf = full.to_pandas()[["query_id", "neighbor_id"]]
+    tdf = truncated.to_pandas()[["query_id", "neighbor_id"]]
+    both = fdf.merge(tdf, on=["query_id", "neighbor_id"], how="inner")
+    n_overlap = both.groupby("query_id").size()
+    out = pd.DataFrame({"query_id": sorted(fdf["query_id"].unique())})
+    out["n_overlap"] = out["query_id"].map(n_overlap).fillna(0).astype(np.int64)
+    out["recall_1e6"] = (out["n_overlap"] * 10**6) // TOP_K
+    return out
+
+
+EMBEDDING_TRUNC_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), c AS (
+  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings
+), rf AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_dot_product(qe, ne)
+             / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) DESC,
+           nid) AS rank
+  FROM q CROSS JOIN c WHERE qid != nid
+), rt AS (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid ORDER BY
+           list_dot_product(list_slice(qe, 1, {TRUNC_DIM}), list_slice(ne, 1, {TRUNC_DIM}))
+             / (sqrt(list_dot_product(list_slice(qe, 1, {TRUNC_DIM}), list_slice(qe, 1, {TRUNC_DIM})))
+                * sqrt(list_dot_product(list_slice(ne, 1, {TRUNC_DIM}), list_slice(ne, 1, {TRUNC_DIM})))) DESC,
+           nid) AS rank
+  FROM q CROSS JOIN c WHERE qid != nid
+)
+SELECT f.qid AS query_id,
+       CAST(count(t.nid) AS BIGINT) AS n_overlap,
+       CAST(count(t.nid) AS BIGINT) * 1000000 // {TOP_K} AS recall_1e6
+FROM (SELECT qid, nid FROM rf WHERE rank <= {TOP_K}) f
+LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= {TOP_K}) t
+  ON f.qid = t.qid AND f.nid = t.nid
+GROUP BY f.qid
+"""

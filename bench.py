@@ -317,6 +317,7 @@ def run_bench() -> dict:
         ("token_dispersion", text_analysis.token_dispersion),
         ("docs_bigram_coverage", text_analysis.bigram_coverage),
         ("dup_kcore", search_dedup.dup_kcore),
+        ("embedding_trunc_recall", search_dedup.embedding_trunc_recall),
         ("docs_distinct_bigram_ratio", text_analysis.distinct_bigram_ratio),
         ("docs_topic_seeds", text_analysis.topic_seeds),
         ("events_k_anonymity", events.k_anonymity),

@@ -308,3 +308,50 @@ def test_nucleus_degenerate_sources(ray_session, tmp_path):
     df = out.to_pandas().set_index("doc_id")
     assert int(df.loc[0, "keep"]) == 1
     assert int(df.loc[1, "keep"]) == 0 and int(df.loc[2, "keep"]) == 0
+
+
+def test_trunc_recall_planted_geometry(ray_session, tmp_path):
+    """Vectors whose full-dim neighbors are destroyed by truncation: the
+    head half is identical across a decoy group, the tail half carries the
+    true similarity — truncation recall must drop for the probe query while
+    a query whose signal lives in the head keeps recall 1.0."""
+    import ray.data
+
+    from audio_feature_extraction_ray.pipelines import search_dedup as sd
+
+    rng = np.random.RandomState(3)
+    dim, half = 64, sd.TRUNC_DIM
+    n = 40
+    m = rng.randn(n, dim) * 0.01
+    # query 0 + its true friends 10..14: same TAIL, random heads
+    tail = rng.randn(dim - half)
+    for i in [0] + list(range(10, 15)):
+        m[i, half:] = tail
+        m[i, :half] = rng.randn(half) * 5.0  # heads dominate after truncation
+    # query 1 + friends 20..24: same HEAD, tiny tails -> truncation keeps them
+    head = rng.randn(half)
+    for i in [1] + list(range(20, 25)):
+        m[i, :half] = head
+        m[i, half:] = rng.randn(dim - half) * 0.001
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    sf = tmp_path / "sfemb8"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=7)
+
+    old = sd.N_QUERIES
+    sd.N_QUERIES = 2
+    try:
+        out = sd.embedding_trunc_recall(str(sf)).set_index("query_id")
+    finally:
+        sd.N_QUERIES = old
+    assert int(out.loc[1, "recall_1e6"]) == 10**6  # head-signal query survives
+    assert int(out.loc[0, "recall_1e6"]) < 10**6   # tail-signal query degrades
+    assert int(out.loc[0, "n_overlap"]) == int(out.loc[0, "recall_1e6"]) * sd.TOP_K // 10**6
