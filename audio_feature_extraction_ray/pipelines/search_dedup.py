@@ -1928,3 +1928,116 @@ LEFT JOIN (SELECT qid, nid FROM rt WHERE rank <= {TOP_K}) t
   ON f.qid = t.qid AND f.nid = t.nid
 GROUP BY f.qid
 """
+
+
+# ---------------------------------------------------------------------------
+# SOFT-DEDUP WEIGHTS — instead of dropping near-duplicates, DOWN-WEIGHT
+# them: every doc in a near-dup cluster of size s gets training weight 1/s,
+# so each duplicated content unit contributes one doc-equivalent of mass
+# (the reweighting alternative to removal discussed alongside SemDeDup).
+# Composes the existing machinery: jaccard candidate pairs -> pointer-
+# jumping CC labels -> ONE label-keyed size exchange -> co-partitioned
+# joins back to the (capped-for-oracle) doc set; singletons keep weight 1.
+# weight_1e6 = 1e6 // s, integer-exact in SQL too.
+
+
+def softdedup_weights(sf_dir: str) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    from ..stages.graph import connected_components
+    from ..stages.join import copartitioned_equijoin
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), CLUSTER_N)),
+        batch_format="pyarrow",
+    )
+    pairs = dedup.jaccard_pairs(docs, min_jaccard=CLUSTER_MIN_J)
+    labels = connected_components(pairs, a_col="a", b_col="b").materialize()
+
+    def size_partial(tbl: pa.Table) -> pa.Table:
+        lbl = tbl.column("label").to_numpy()
+        uniq, cnt = np.unique(lbl, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "sz": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__pid": pa.array((uniq % 16).astype(np.int32)),
+            }
+        )
+
+    def size_finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = tbl.group_by("label").aggregate([("sz", "sum")]).rename_columns(["label", "sz"])
+        return g
+
+    sizes = (
+        labels.map_batches(size_partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(size_finish, batch_format="pyarrow")
+    )
+    node_sz = copartitioned_equijoin(
+        labels,
+        sizes,
+        "label",
+        "label",
+        ["node"],
+        ["sz"],
+        fact_col_types={"node": pa.int64()},
+        dim_col_types={"sz": pa.int64()},
+        key_type=pa.int64(),
+    )
+    joined = copartitioned_equijoin(
+        docs.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow"),
+        node_sz,
+        "doc_id",
+        "node",
+        [],
+        ["sz"],
+        fact_col_types={},
+        dim_col_types={"sz": pa.int64()},
+        key_type=pa.int64(),
+        how="left",
+    )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        sz = tbl.column("sz").to_numpy(zero_copy_only=False)
+        sz = np.where(np.isnan(sz.astype(np.float64)), 1, sz).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "cluster_size": pa.array(sz, pa.int64()),
+                "weight_1e6": pa.array((10**6 // sz).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SOFTDEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id < {CLUSTER_N}
+), e0 AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        >= {CLUSTER_MIN_J}
+), e AS (
+  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+), reach(id, anc) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.anc FROM e JOIN reach ON reach.id = e.b
+), lbl AS (
+  SELECT id, min(anc) AS label FROM reach GROUP BY id
+), sz AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS s FROM lbl GROUP BY label
+)
+SELECT doc.doc_id,
+       COALESCE(sz.s, CAST(1 AS BIGINT)) AS cluster_size,
+       CAST(1000000 AS BIGINT) // COALESCE(sz.s, CAST(1 AS BIGINT)) AS weight_1e6
+FROM (SELECT doc_id FROM documents WHERE doc_id < {CLUSTER_N}) doc
+LEFT JOIN lbl ON lbl.id = doc.doc_id
+LEFT JOIN sz USING (label)
+"""

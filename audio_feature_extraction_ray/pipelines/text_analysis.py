@@ -7966,3 +7966,170 @@ SELECT doc_id, source, q1e6,
        CAST(CASE WHEN 2 * excl < tot THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# TOKEN BURSTINESS (Church-Gale VMR) — variance-to-mean ratio of per-DOC
+# token counts, zeros included: ~1 for Poisson-scattered function words,
+# >> 1 for "bursty" content/boilerplate words that pile into few docs.
+# The doc-level clumping dual of token_dispersion's source-level DP — used
+# to separate topical vocabulary from glue before keyword/idf weighting.
+# Per-doc counts are batch-local (one row = one doc), so the combiner emits
+# (token, df, n, ss) integer partials; ONE token-keyed exchange finalizes.
+# vmr_1e6 = (N*ss - n^2) * 1e6 // (N*n) in python ints (SQL twin: HUGEINT),
+# fully integer-exact. Output stays distributed.
+
+BURST_MIN_N = 5
+
+
+def token_burstiness(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import string_hash_array
+
+    n_docs = int(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(tbl.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        row_of = np.repeat(np.arange(tbl.num_rows, dtype=np.int64), ntok)
+        de = pc.dictionary_encode(flat)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = de.dictionary
+        # per-(doc, token) counts via one bincount over combined keys
+        key = row_of * len(uniq) + codes
+        ukey, c = np.unique(key, return_counts=True)
+        tok_idx = (ukey % len(uniq)).astype(np.int64)
+        df_p = np.bincount(tok_idx, minlength=len(uniq)).astype(np.int64)
+        n_p = np.bincount(tok_idx, weights=c, minlength=len(uniq)).astype(np.int64)
+        ss_p = np.bincount(tok_idx, weights=c.astype(np.int64) ** 2, minlength=len(uniq)).astype(
+            np.int64
+        )
+        pid = (string_hash_array(uniq) % np.uint64(TOKSRC_PARTS)).astype(np.int32)
+        return pa.table(
+            {
+                "token": uniq,
+                "df": pa.array(df_p, pa.int64()),
+                "n": pa.array(n_p, pa.int64()),
+                "ss": pa.array(ss_p, pa.int64()),
+                "__pid": pa.array(pid),
+            }
+        )
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.drop_columns(["__pid"])
+        g = (
+            tbl.group_by("token")
+            .aggregate([("df", "sum"), ("n", "sum"), ("ss", "sum")])
+            .rename_columns(["token", "df", "n", "ss"])
+        )
+        df_ = g.column("df").to_numpy().tolist()
+        n = g.column("n").to_numpy().tolist()
+        ss = g.column("ss").to_numpy().tolist()
+        keep, vmr = [], []
+        nd = n_docs
+        for i in range(len(n)):
+            if n[i] >= BURST_MIN_N:
+                keep.append(i)
+                vmr.append((nd * ss[i] - n[i] * n[i]) * 10**6 // (nd * n[i]))
+        sel = pa.array(keep, pa.int64())
+        return pa.table(
+            {
+                "token": g.column("token").take(sel),
+                "df": g.column("df").take(sel),
+                "n": g.column("n").take(sel),
+                "vmr_1e6": pa.array(vmr, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+TOKEN_BURSTINESS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dc AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), agg AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c * c) AS BIGINT) AS ss
+  FROM dc GROUP BY token
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT token, df, n,
+       CAST((CAST(tot.nd AS HUGEINT) * ss - CAST(n AS HUGEINT) * n) * 1000000
+            // (CAST(tot.nd AS HUGEINT) * n) AS BIGINT) AS vmr_1e6
+FROM agg, tot WHERE n >= {BURST_MIN_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PARETO TAIL INDEX OF DOC LENGTH — the Hill/MLE estimator
+# alpha = 1 + n / sum(ln(x / xmin)) over docs with n_chars >= xmin: how
+# heavy the long-document tail is, which drives packing efficiency and
+# max-sequence-length choices (the doc-length analog of token_zipf_slope).
+# Each ln-term is floored to the 1e12 integer grid BEFORE summing (the
+# token_dispersion idiom — integer sums are order-free, so distribution
+# can't change the answer); the final alpha folds in ONE float expression
+# mirrored verbatim in SQL. Counters-only partials, one-row output.
+
+PARETO_XMIN = 200
+
+
+def length_pareto_alpha(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        x = tbl.column("n_chars").to_numpy()
+        x = x[x >= PARETO_XMIN].astype(np.float64)
+        terms = np.floor(np.log(x / float(PARETO_XMIN)) * 1e12 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([x.size], pa.int64()),
+                "s": pa.array([int(terms.sum())], pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        _read_docs(sf_dir, ["n_chars"]).map_batches(partial, batch_format="pyarrow"),
+        lambda t: (
+            t.group_by([]).aggregate([("n", "sum"), ("s", "sum")]).rename_columns(["n", "s"])
+            if t.num_rows
+            else t
+        ),
+        parts=8,
+    )
+    if folded is None or folded.num_rows == 0:
+        return pd.DataFrame({"n_tail": pd.Series([], dtype=np.int64),
+                             "alpha_1e6": pd.Series([], dtype=np.int64)})
+    n = int(pa.compute.sum(folded.column("n")).as_py())
+    s = int(pa.compute.sum(folded.column("s")).as_py())
+    if n == 0 or s == 0:
+        return pd.DataFrame({"n_tail": [n], "alpha_1e6": [0]}).astype(np.int64)
+    # identical IEEE op order to the SQL twin
+    alpha = 1.0 + float(n) / (float(s) / 1e12)
+    return pd.DataFrame(
+        {"n_tail": [n], "alpha_1e6": [int(np.floor(alpha * 1e6 + 0.5))]}
+    ).astype(np.int64)
+
+
+LENGTH_PARETO_SQL = f"""
+WITH t AS (
+  SELECT CAST(floor(ln(CAST(n_chars AS DOUBLE) / {PARETO_XMIN}) * 1e12 + 0.5) AS BIGINT)
+           AS term
+  FROM documents WHERE n_chars >= {PARETO_XMIN}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       CAST(floor((1.0 + CAST(count(*) AS DOUBLE) / (CAST(sum(term) AS DOUBLE) / 1e12))
+                  * 1e6 + 0.5) AS BIGINT) AS alpha_1e6
+FROM t HAVING count(*) > 0 AND sum(term) != 0
+"""

@@ -323,6 +323,9 @@ def run_bench() -> dict:
         ("events_k_anonymity", events.k_anonymity),
         ("events_zorder_tiles", events.zorder_tiles),
         ("docs_nucleus_by_source", text_analysis.nucleus_by_source),
+        ("token_burstiness", text_analysis.token_burstiness),
+        ("docs_length_pareto", text_analysis.length_pareto_alpha),
+        ("docs_softdedup_weights", search_dedup.softdedup_weights),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),
         ("events_resample_interp", events.resample_interp),

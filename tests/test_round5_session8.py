@@ -355,3 +355,52 @@ def test_trunc_recall_planted_geometry(ray_session, tmp_path):
     assert int(out.loc[1, "recall_1e6"]) == 10**6  # head-signal query survives
     assert int(out.loc[0, "recall_1e6"]) < 10**6   # tail-signal query degrades
     assert int(out.loc[0, "n_overlap"]) == int(out.loc[0, "recall_1e6"]) * sd.TOP_K // 10**6
+
+
+def test_token_burstiness_poisson_vs_bursty(ray_session, tmp_path):
+    """'glue' spread one-per-doc has VMR < 1 (under-dispersed); 'burst'
+    piled into one doc has VMR >> 1; exact integer formula checked by hand."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import token_burstiness
+
+    # 8 docs; 'glue' once in each; 'burst' 8 times in doc 0 only
+    texts = ["glue burst burst burst burst burst burst burst burst"] + ["glue pad"] * 7
+    df = token_burstiness(_docs_fixture(tmp_path, texts, name="sfb8")).to_pandas()
+    df = df.set_index("token")
+    nd = 8
+    # glue: df=8, n=8, ss=8 -> vmr = (8*8 - 64)*1e6 // (8*8) = 0
+    assert int(df.loc["glue", "vmr_1e6"]) == 0
+    # burst: df=1, n=8, ss=64 -> (8*64 - 64)*1e6 // (8*8) = 7_000_000
+    assert int(df.loc["burst", "vmr_1e6"]) == (nd * 64 - 64) * 10**6 // (nd * 8)
+    assert int(df.loc["burst", "df"]) == 1 and int(df.loc["burst", "n"]) == 8
+    # 'pad' has n=7 >= 5: present; below-support tokens are filtered
+    assert "pad" in df.index
+
+
+def test_length_pareto_alpha_exact_grid(ray_session, tmp_path):
+    """alpha matches the naive float computation on the same 1e12 term grid;
+    docs below xmin are excluded."""
+    from audio_feature_extraction_ray.pipelines.text_analysis import (
+        PARETO_XMIN,
+        length_pareto_alpha,
+    )
+
+    lens = [250, 300, 400, 800, 150, 100]  # last two below xmin=200
+    texts = ["x" * (l - 1) + "y" for l in lens]
+    df = length_pareto_alpha(_docs_fixture(tmp_path, texts, name="sfp8"))
+    tail = [l for l in lens if l >= PARETO_XMIN]
+    terms = [int(np.floor(np.log(l / float(PARETO_XMIN)) * 1e12 + 0.5)) for l in tail]
+    alpha = 1.0 + float(len(tail)) / (float(sum(terms)) / 1e12)
+    assert int(df.iloc[0]["n_tail"]) == len(tail)
+    assert int(df.iloc[0]["alpha_1e6"]) == int(np.floor(alpha * 1e6 + 0.5))
+
+
+def test_softdedup_weights_planted_clusters(ray_session, tmp_path):
+    """Three identical docs form one cluster (weight 1/3 each), a pair forms
+    another (1/2), singletons keep weight 1."""
+    from audio_feature_extraction_ray.pipelines.search_dedup import softdedup_weights
+
+    texts = ["alpha beta gamma delta"] * 3 + ["one two three four"] * 2 + ["lonely doc here"]
+    df = softdedup_weights(_docs_fixture(tmp_path, texts, name="sfw8")).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    assert list(df["cluster_size"]) == [3, 3, 3, 2, 2, 1]
+    assert list(df["weight_1e6"]) == [333333, 333333, 333333, 500000, 500000, 1000000]
