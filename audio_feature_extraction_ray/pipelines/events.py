@@ -6283,3 +6283,125 @@ SELECT CAST({_zorder_expr()} AS BIGINT) AS z,
        max(ts) AS max_ts
 FROM b GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# EVENT STUDY (impact windows) — for every marker event, the count and
+# integer-cents value mass of the user's OTHER activity in the preceding
+# [t-W, t) and following (t, t+W] windows: the before/after comparison run
+# ahead of any incident/release analysis. Fully vectorized with the
+# locf_runs merge idiom: events and the four window boundaries per marker
+# are tagged with a per-user run id, ONE lexsort orders them with tie keys
+# that encode < vs <= exactly (left boundaries sort before equal-ts events,
+# right boundaries after), and prefix sums read off every window aggregate —
+# no per-user Python, ONE user-keyed exchange.
+
+IMPACT_MARKER = "error"
+IMPACT_W_US = 2 * 86_400_000_000  # 2 days
+
+
+def impact_study(sf_dir: str) -> ray.data.Dataset:
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "n_pre": pa.array([], pa.int64()),
+                "n_post": pa.array([], pa.int64()),
+                "sum_pre_cents": pa.array([], pa.int64()),
+                "sum_post_cents": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.round(tbl.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        head = _seg_head(uid)
+        rid = np.cumsum(head) - 1
+        m = (
+            pc.equal(tbl.column("event_type"), IMPACT_MARKER)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        mi = np.flatnonzero(m)
+        if mi.size == 0:
+            return empty
+        mrid, mts = rid[mi], ts[mi]
+        # boundary queries: (value, tie) — tie 0 sorts BEFORE equal-ts events
+        # (tie 1), tie 2 AFTER: counts below a tie-0 boundary are ts < v,
+        # below a tie-2 boundary are ts <= v
+        q_rid = np.concatenate([mrid] * 4)
+        q_val = np.concatenate([mts - IMPACT_W_US, mts, mts, mts + IMPACT_W_US])
+        q_tie = np.concatenate(
+            [
+                np.zeros(mi.size, np.int8),      # a: count ts <  t-W ... left
+                np.zeros(mi.size, np.int8),      # b: count ts <  t
+                np.full(mi.size, 2, np.int8),    # c: count ts <= t
+                np.full(mi.size, 2, np.int8),    # d: count ts <= t+W
+            ]
+        )
+        all_rid = np.concatenate([rid, q_rid])
+        all_val = np.concatenate([ts, q_val])
+        all_tie = np.concatenate([np.ones(n, np.int8), q_tie])
+        is_ev = np.concatenate([np.ones(n, bool), np.zeros(q_rid.size, bool)])
+        all_cents = np.concatenate([cents, np.zeros(q_rid.size, np.int64)])
+        order = np.lexsort((all_tie, all_val, all_rid))
+        s_ev = is_ev[order]
+        s_rid = all_rid[order]
+        ccount = np.cumsum(s_ev.astype(np.int64))
+        csum = np.cumsum(np.where(s_ev, all_cents[order], 0))
+        # per-rid exclusive base at each merged position
+        s_head = np.ones(s_rid.size, dtype=bool)
+        s_head[1:] = s_rid[1:] != s_rid[:-1]
+        starts = np.flatnonzero(s_head)
+        base_cnt = np.concatenate([[0], ccount])[starts]
+        base_sum = np.concatenate([[0], csum])[starts]
+        seg = np.cumsum(s_head) - 1
+        # events BEFORE each merged position, within its rid
+        before_cnt = np.concatenate([[0], ccount])[np.arange(s_rid.size)] - base_cnt[seg]
+        before_sum = np.concatenate([[0], csum])[np.arange(s_rid.size)] - base_sum[seg]
+        # positions of the queries in merged order
+        inv = np.empty(order.size, dtype=np.int64)
+        inv[order] = np.arange(order.size)
+        qpos = inv[n:]
+        qc = before_cnt[qpos]
+        qs = before_sum[qpos]
+        k = mi.size
+        a_c, b_c, c_c, d_c = qc[:k], qc[k : 2 * k], qc[2 * k : 3 * k], qc[3 * k :]
+        a_s, b_s, c_s, d_s = qs[:k], qs[k : 2 * k], qs[2 * k : 3 * k], qs[3 * k :]
+        return pa.table(
+            {
+                "event_id": tbl.column("event_id").take(pa.array(mi)),
+                "n_pre": pa.array(b_c - a_c, pa.int64()),
+                "n_post": pa.array(d_c - c_c, pa.int64()),
+                "sum_pre_cents": pa.array(b_s - a_s, pa.int64()),
+                "sum_post_cents": pa.array(d_s - c_s, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ev, kernel)
+
+
+IMPACT_STUDY_SQL = f"""
+WITH m AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = '{IMPACT_MARKER}'
+)
+SELECT m.event_id,
+       CAST(count(*) FILTER (WHERE w.ts < m.ts) AS BIGINT) AS n_pre,
+       CAST(count(*) FILTER (WHERE w.ts > m.ts) AS BIGINT) AS n_post,
+       CAST(COALESCE(sum(CAST(round(w.value * 100) AS BIGINT))
+                FILTER (WHERE w.ts < m.ts), 0) AS BIGINT) AS sum_pre_cents,
+       CAST(COALESCE(sum(CAST(round(w.value * 100) AS BIGINT))
+                FILTER (WHERE w.ts > m.ts), 0) AS BIGINT) AS sum_post_cents
+FROM m LEFT JOIN events w
+  ON w.user_id = m.user_id
+ AND w.ts >= m.ts - INTERVAL {IMPACT_W_US // 86_400_000_000} DAY
+ AND w.ts <= m.ts + INTERVAL {IMPACT_W_US // 86_400_000_000} DAY
+ AND w.ts != m.ts
+GROUP BY m.event_id
+"""

@@ -404,3 +404,41 @@ def test_softdedup_weights_planted_clusters(ray_session, tmp_path):
     df = df.sort_values("doc_id").reset_index(drop=True)
     assert list(df["cluster_size"]) == [3, 3, 3, 2, 2, 1]
     assert list(df["weight_1e6"]) == [333333, 333333, 333333, 500000, 500000, 1000000]
+
+
+def test_impact_study_hand_windows(ray_session, tmp_path):
+    """Hand-built stream: boundary inclusivity ([t-W, t) strictly-before,
+    (t, t+W] strictly-after), same-ts events excluded from both windows."""
+    from audio_feature_extraction_ray.pipelines.events import IMPACT_W_US, impact_study
+
+    W = IMPACT_W_US
+    t0 = 10 * W  # marker ts
+    ts = [t0 - W, t0 - W // 2, t0 - 1, t0, t0, t0 + 1, t0 + W, t0 + W + 1]
+    #     in-pre   in-pre      in-pre  MARKER same-ts in-post in-post beyond
+    types = ["click"] * 3 + ["error", "view", "click", "click", "click"]
+    vals = [1.0, 2.0, 3.0, 99.0, 4.0, 5.0, 6.0, 7.0]
+    sf = _events_fixture(tmp_path, ts, [1] * 8, vals, types=types, name="sfi8")
+    df = impact_study(sf).to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert int(r["n_pre"]) == 3 and int(r["sum_pre_cents"]) == 600
+    assert int(r["n_post"]) == 2 and int(r["sum_post_cents"]) == 1100
+
+
+def test_impact_study_two_markers_same_user(ray_session, tmp_path):
+    """Overlapping windows of two markers count independently; a marker
+    falls inside the other's window like any other event."""
+    from audio_feature_extraction_ray.pipelines.events import IMPACT_W_US, impact_study
+
+    W = IMPACT_W_US
+    t0 = 10 * W
+    ts = [t0, t0 + W // 2, t0 + W // 4]
+    types = ["error", "error", "click"]
+    vals = [1.0, 2.0, 4.0]
+    sf = _events_fixture(tmp_path, ts, [7] * 3, vals, types=types, name="sfi8b")
+    df = impact_study(sf).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # marker 0: post holds click + other marker
+    assert int(df.iloc[0]["n_post"]) == 2 and int(df.iloc[0]["sum_post_cents"]) == 600
+    assert int(df.iloc[0]["n_pre"]) == 0
+    # marker 1: pre holds click + first marker
+    assert int(df.iloc[1]["n_pre"]) == 2 and int(df.iloc[1]["sum_pre_cents"]) == 500
