@@ -2041,3 +2041,159 @@ FROM (SELECT doc_id FROM documents WHERE doc_id < {CLUSTER_N}) doc
 LEFT JOIN lbl ON lbl.id = doc.doc_id
 LEFT JOIN sz USING (label)
 """
+
+
+# ---------------------------------------------------------------------------
+# EMBEDDING OUTLIERS — per-vector squared distance to its label centroid
+# with an exact integer outlier gate (d2 * m > 4 * sum(d2), i.e. more than
+# 4x the label's mean squared distance): the vector-space anomaly audit
+# (mislabeled vectors, encoder glitches, distribution-drift tails) — the
+# embedding analog of events_daily_anomalies. Pass 1 folds quantized
+# centroid sums through the label exchange (bounded by labels x dim);
+# pass 2 is stateless given the broadcast centroids, emitting each term on
+# the 1e12 grid BEFORE the order-free integer sum over dims (dispersion
+# idiom); the label totals fold counters-only and the final flag compares
+# d2 > (4*tot) // m — python-int exact, SQL HUGEINT twin.
+
+
+def embedding_outliers(sf_dir: str) -> ray.data.Dataset:
+    from ..functions.hashing import avalanche64
+    from ..stages.fold import exchange_fold
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def cpartial(tbl: pa.Table) -> pa.Table:
+        m = ann._emb_matrix(tbl)
+        xq = np.rint(m * CENTROID_Q).astype(np.int64)
+        lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lbl, return_inverse=True)
+        k, d = uniq.size, xq.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        n = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), k), pa.int64()),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        lab = tbl.column("label").to_numpy().astype(np.uint64)
+        return (avalanche64(lab) % np.uint64(CENTROID_PARTS)).astype(np.int32)
+
+    folded = exchange_fold(
+        emb.map_batches(cpartial, batch_format="pyarrow"),
+        lambda t: t.group_by(["label", "dim"])
+        .aggregate([("s", "sum"), ("n", "sum")])
+        .rename_columns(["label", "dim", "s", "n"]),
+        parts=CENTROID_PARTS,
+        pid_of=pid_of,
+    )
+    if folded is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {"vec_id": pa.array([], pa.int64()), "label": pa.array([], pa.int64()),
+                 "d2_1e12": pa.array([], pa.int64()), "is_outlier": pa.array([], pa.int64())}
+            )
+        )
+    fl = folded.to_pandas().groupby(["label", "dim"], as_index=False).sum()
+    labels = np.sort(fl["label"].unique())
+    dmax = int(fl["dim"].max()) + 1
+    cmat = np.zeros((labels.size, dmax), dtype=np.float64)
+    lab_index = {int(l): i for i, l in enumerate(labels)}
+    for _, r in fl.iterrows():  # bounded: labels x dim rows
+        # mirror the SQL op order: (s / n) / Q
+        cmat[lab_index[int(r["label"])], int(r["dim"])] = (
+            float(r["s"]) / float(r["n"])
+        ) / CENTROID_Q
+
+    def d2_pass(tbl: pa.Table) -> pa.Table:
+        m = ann._emb_matrix(tbl)
+        lbl = tbl.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.array([lab_index[int(x)] for x in np.unique(lbl)], dtype=np.int64)
+        _, inv = np.unique(lbl, return_inverse=True)
+        c = cmat[li[inv]]
+        diff = m - c
+        terms = np.floor(diff * diff * 1e12 + 0.5).astype(np.int64)
+        d2 = terms.sum(axis=1)  # int64-safe: 64 dims x bounded grid terms
+        return pa.table(
+            {
+                "vec_id": tbl.column("vec_id"),
+                "label": pa.array(lbl, pa.int64()),
+                "d2_1e12": pa.array(d2, pa.int64()),
+            }
+        )
+
+    d2_ds = emb.map_batches(d2_pass, batch_format="pyarrow").materialize()
+
+    def tpartial(tbl: pa.Table) -> pa.Table:
+        lbl = tbl.column("label").to_numpy()
+        d2 = tbl.column("d2_1e12").to_numpy()
+        uniq, inv = np.unique(lbl, return_inverse=True)
+        tot = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(tot, inv, d2)
+        cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq, pa.int64()),
+                "tot": pa.array(tot, pa.int64()),
+                "m": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tf = exchange_fold(
+        d2_ds.map_batches(tpartial, batch_format="pyarrow"),
+        lambda t: t.group_by("label")
+        .aggregate([("tot", "sum"), ("m", "sum")])
+        .rename_columns(["label", "tot", "m"]),
+        parts=CENTROID_PARTS,
+        pid_of=pid_of,
+    )
+    td = tf.to_pandas().groupby("label", as_index=False).sum()
+    thr = {
+        int(r["label"]): (4 * int(r["tot"])) // int(r["m"]) for _, r in td.iterrows()
+    }  # python-int exact (SQL: HUGEINT)
+
+    def flag(tbl: pa.Table) -> pa.Table:
+        lbl = tbl.column("label").to_numpy()
+        d2 = tbl.column("d2_1e12").to_numpy()
+        t = np.array([thr[int(x)] for x in np.unique(lbl)], dtype=np.int64)
+        _, inv = np.unique(lbl, return_inverse=True)
+        out = (d2 > t[inv]).astype(np.int64)
+        return tbl.append_column("is_outlier", pa.array(out, pa.int64()))
+
+    return d2_ds.map_batches(flag, batch_format="pyarrow")
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH u AS (
+  SELECT vec_id, label, i - 1 AS dim,
+         CAST(embedding[i] AS DOUBLE) AS x,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {CENTROID_Q}) AS BIGINT) AS q
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+), c AS (
+  SELECT label, dim, CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM u GROUP BY label, dim
+), t AS (
+  SELECT u.vec_id, u.label,
+         CAST(floor((u.x - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / {CENTROID_Q})
+                    * (u.x - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / {CENTROID_Q})
+                    * 1e12 + 0.5) AS BIGINT) AS term
+  FROM u JOIN c ON u.label = c.label AND u.dim = c.dim
+), d AS (
+  SELECT vec_id, label, CAST(sum(term) AS BIGINT) AS d2
+  FROM t GROUP BY vec_id, label
+), lt AS (
+  SELECT label, sum(CAST(d2 AS HUGEINT)) AS tot, CAST(count(*) AS BIGINT) AS m
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, CAST(d.label AS BIGINT) AS label, d.d2 AS d2_1e12,
+       CAST(CASE WHEN d.d2 > CAST(4 * lt.tot // lt.m AS BIGINT) THEN 1 ELSE 0 END
+            AS BIGINT) AS is_outlier
+FROM d JOIN lt USING (label)
+"""

@@ -442,3 +442,48 @@ def test_impact_study_two_markers_same_user(ray_session, tmp_path):
     assert int(df.iloc[0]["n_pre"]) == 0
     # marker 1: pre holds click + first marker
     assert int(df.iloc[1]["n_pre"]) == 2 and int(df.iloc[1]["sum_pre_cents"]) == 500
+
+
+def test_embedding_outliers_planted(ray_session, tmp_path):
+    """A tight cluster plus one far vector: only the far vector flags; the
+    exact gate d2 > (4*tot)//m verified against a naive reference."""
+    from audio_feature_extraction_ray.pipelines.search_dedup import (
+        CENTROID_Q,
+        embedding_outliers,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    m = rng.randn(20, dim) * 0.05
+    m[7] += 10.0  # the planted outlier
+    labels = np.zeros(20, dtype=np.int32)
+    m2 = rng.randn(10, dim) * 0.05 + 3.0  # second tight label, no outliers
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(30, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in np.vstack([m, m2])], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.concatenate([labels, np.ones(10, np.int32)]), pa.int32()),
+        }
+    )
+    sf = tmp_path / "sfo8"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "embeddings.parquet", row_group_size=6)
+
+    out = embedding_outliers(str(sf)).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert list(out[out["is_outlier"] == 1]["vec_id"]) == [7]
+
+    # naive reference for d2 and the gate, same quantized centroid + grid
+    x = np.vstack([m, m2]).astype(np.float32).astype(np.float64)
+    lab = np.concatenate([labels, np.ones(10, np.int32)])
+    for l in (0, 1):
+        sel = lab == l
+        q = np.rint(x[sel] * CENTROID_Q).astype(np.int64)
+        c = (q.sum(axis=0).astype(np.float64) / sel.sum()) / CENTROID_Q
+        d2 = np.floor((x[sel] - c) ** 2 * 1e12 + 0.5).astype(np.int64).sum(axis=1)
+        tot, cnt = int(d2.sum()), int(sel.sum())
+        want = (d2 > (4 * tot) // cnt).astype(np.int64)
+        got = out[out["label"] == l].sort_values("vec_id")
+        assert list(got["d2_1e12"]) == list(d2)
+        assert list(got["is_outlier"]) == list(want)
