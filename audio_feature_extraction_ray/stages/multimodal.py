@@ -556,3 +556,110 @@ def media_video_frames(sf_dir: str) -> ray.data.Dataset:
         concurrency=4,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# VOICE-ACTIVITY DETECTION — the speech-data curation gate: energy-gated
+# frame classification (voiced iff frame RMS > VAD_REL x the record's peak
+# frame RMS, with an absolute silence floor) merged into contiguous voiced
+# segments. Per record: voiced frame count/ratio, segment count, longest
+# segment — the stats that drive clip filtering and segmentation before ASR
+# feature extraction. Same actor-pool shape as AudioFeatureExtractor
+# (decode per row is inherent; everything after is vectorized over frames).
+
+VAD_REL = 0.25       # relative energy gate vs the record's peak frame RMS
+VAD_ABS_FLOOR = 1e-4  # absolute floor: all-silence records stay all-silence
+
+
+class AudioVadExtractor:
+    def __init__(self, n_fft: int = 256, hop: int = 128):
+        self.n_fft = n_fft
+        self.hop = hop
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ids, nf, nv, nseg, longest, ratio = [], [], [], [], [], []
+        for mid, payload in zip(
+            tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()
+        ):
+            x, _sr = decode_wav(payload)
+            rms = frame_rms(x, self.n_fft, self.hop)
+            thr = max(VAD_ABS_FLOOR, VAD_REL * float(rms.max())) if rms.size else VAD_ABS_FLOOR
+            voiced = rms > thr
+            # contiguous voiced runs
+            edges = np.diff(voiced.astype(np.int8))
+            starts = np.flatnonzero(edges == 1) + 1
+            if voiced.size and voiced[0]:
+                starts = np.r_[0, starts]
+            stops = np.flatnonzero(edges == -1) + 1
+            if voiced.size and voiced[-1]:
+                stops = np.r_[stops, voiced.size]
+            runs = stops - starts
+            ids.append(mid)
+            nf.append(int(voiced.size))
+            nv.append(int(voiced.sum()))
+            nseg.append(int(runs.size))
+            longest.append(int(runs.max()) if runs.size else 0)
+            ratio.append(float(voiced.mean()) if voiced.size else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nf, pa.int64()),
+                "n_voiced": pa.array(nv, pa.int64()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "longest_segment": pa.array(longest, pa.int64()),
+                "voiced_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+
+def synthetic_burst_wav_table(n: int = 24, seed: int = 13, sr: int = 8000) -> pa.Table:
+    """Deterministic burst fixture: each row holds a KNOWN number of tone
+    bursts separated by true silence (so VAD segment counts are assertable)."""
+    rng = np.random.default_rng(seed)
+    payloads, n_bursts = [], []
+    for i in range(n):
+        k = int(rng.integers(1, 5))
+        parts = [np.zeros(int(0.1 * sr))]
+        for _ in range(k):
+            dur = float(rng.uniform(0.08, 0.2))
+            f0 = float(rng.uniform(200.0, 2000.0))
+            t = np.arange(int(dur * sr)) / sr
+            parts.append(0.8 * np.sin(2 * np.pi * f0 * t))
+            parts.append(np.zeros(int(rng.uniform(0.1, 0.2) * sr)))
+        payloads.append(encode_wav(np.concatenate(parts), sr))
+        n_bursts.append(k)
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([sr] * n, pa.int32()),
+            "n_channels": pa.array([1] * n, pa.int32()),
+            "n_bursts": pa.array(n_bursts, pa.int64()),
+        }
+    )
+
+
+def extract_audio_vad(
+    ds: ray.data.Dataset,
+    n_fft: int = 256,
+    hop: int = 128,
+    concurrency: int = 4,
+    batch_size: int = 16,
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioVadExtractor,
+        fn_constructor_kwargs={"n_fft": n_fft, "hop": hop},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def media_audio_vad(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: DSP is not SQL-expressible; segment
+    semantics pinned against planted burst counts in pytest)."""
+    n = 48 if "0.1" in sf_dir else 24
+    ds = ray.data.from_arrow(synthetic_burst_wav_table(n))
+    return extract_audio_vad(ds)

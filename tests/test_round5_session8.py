@@ -487,3 +487,53 @@ def test_embedding_outliers_planted(ray_session, tmp_path):
         got = out[out["label"] == l].sort_values("vec_id")
         assert list(got["d2_1e12"]) == list(d2)
         assert list(got["is_outlier"]) == list(want)
+
+
+def test_audio_vad_planted_bursts(ray_session):
+    """Every record's VAD segment count equals its planted burst count and
+    the voiced ratio sits strictly between 0 and 1 (silence gaps present)."""
+    import ray.data
+
+    from audio_feature_extraction_ray.stages.multimodal import (
+        extract_audio_vad,
+        synthetic_burst_wav_table,
+    )
+
+    tbl = synthetic_burst_wav_table(16)
+    out = extract_audio_vad(ray.data.from_arrow(tbl)).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    want = tbl.column("n_bursts").to_pylist()
+    assert list(out["n_segments"]) == want
+    assert (out["voiced_ratio"] > 0).all() and (out["voiced_ratio"] < 1).all()
+    assert (out["longest_segment"] <= out["n_voiced"]).all()
+    assert (out["n_voiced"] <= out["n_frames"]).all()
+
+
+def test_audio_vad_silence_and_fullsignal(ray_session):
+    """All-silence record -> zero segments; an unbroken tone -> exactly one
+    segment spanning (nearly) all frames."""
+    import ray.data
+
+    from audio_feature_extraction_ray.functions.audio import encode_wav
+    from audio_feature_extraction_ray.stages.multimodal import extract_audio_vad
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    tone = 0.8 * np.sin(2 * np.pi * 440.0 * t)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(np.zeros(sr), sr), encode_wav(tone, sr)], pa.binary()
+            ),
+        }
+    )
+    out = (
+        extract_audio_vad(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert int(out.loc[0, "n_segments"]) == 0 and int(out.loc[0, "n_voiced"]) == 0
+    assert int(out.loc[1, "n_segments"]) == 1
+    assert out.loc[1, "voiced_ratio"] > 0.9
