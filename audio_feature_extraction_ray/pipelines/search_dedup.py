@@ -2197,3 +2197,117 @@ SELECT d.vec_id, CAST(d.label AS BIGINT) AS label, d.d2 AS d2_1e12,
             AS BIGINT) AS is_outlier
 FROM d JOIN lt USING (label)
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF COSINE PAIRS — the WEIGHTED similarity join: near-dup candidates
+# ranked by what actually distinguishes documents (rare terms), where raw
+# Jaccard treats 'the' and a rare entity alike. Weights are integer-exact:
+# w = tf * floor(ln(N/df)*1e3 + 0.5), so dot products and norms are exact
+# integers on BOTH engine and SQL sides (f64 GEMM of integers < 2^53 is
+# exact regardless of summation order) and the final cosine is ONE mirrored
+# IEEE expression floored to 1e6. Doc cap = oracle comparability only (the
+# SQL twin is the quadratic token join), same regime as jaccard_pairs.
+
+TFIDF_COS_N = 300
+TFIDF_COS_TAU_1E6 = 900_000
+
+
+def tfidf_cosine_pairs(sf_dir: str):
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t.column("doc_id"), TFIDF_COS_N)),
+        batch_format="pyarrow",
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame({"a": [], "b": [], "cos_1e6": []}).astype(
+            {"a": "int64", "b": "int64", "cos_1e6": "int64"}
+        )
+        if n < 2:
+            return empty
+        texts = pa.array([t if isinstance(t, str) else "" for t in df["text"]], pa.string())
+        tok_lists = pc.split_pattern(texts, " ")
+        ntok = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(tok_lists)
+        row_of = np.repeat(np.arange(n, dtype=np.int64), ntok)
+        toks = flat.to_numpy(zero_copy_only=False)
+        _, codes = np.unique(toks, return_inverse=True)
+        U = int(codes.max()) + 1 if codes.size else 0
+        # per-(doc, token) tf and per-token df over the SAME capped set
+        key = row_of * U + codes
+        ukey, tf = np.unique(key, return_counts=True)
+        urow, ucode = ukey // U, ukey % U
+        dfreq = np.bincount(ucode, minlength=U).astype(np.int64)
+        idf = np.floor(np.log(float(n) / dfreq.astype(np.float64)) * 1e3 + 0.5).astype(
+            np.int64
+        )
+        w = tf.astype(np.int64) * idf[ucode]
+        dot = np.zeros((n, n), dtype=np.float64)
+        CHUNK = 1 << 15
+        for c0 in range(0, U, CHUNK):
+            sel = (ucode >= c0) & (ucode < c0 + CHUNK)
+            a = np.zeros((n, min(CHUNK, U - c0)), dtype=np.float64)
+            a[urow[sel], ucode[sel] - c0] = w[sel].astype(np.float64)
+            dot += a @ a.T
+        n2 = np.diag(dot)
+        ii, jj = np.triu_indices(n, k=1)
+        ok = (n2[ii] > 0) & (n2[jj] > 0)
+        ii, jj = ii[ok], jj[ok]
+        cos = dot[ii, jj] / (np.sqrt(n2[ii]) * np.sqrt(n2[jj]))
+        c6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+        keep = c6 >= TFIDF_COS_TAU_1E6
+        return pd.DataFrame(
+            {
+                "a": ids[ii[keep]].astype(np.int64),
+                "b": ids[jj[keep]].astype(np.int64),
+                "cos_1e6": c6[keep],
+            }
+        )
+
+    ds = docs.map_batches(
+        lambda t: t.append_column("_g", pa.array(np.zeros(t.num_rows, dtype=np.int32))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("_g").map_groups(
+        lambda g: fn(g.drop(columns=["_g"])), batch_format="pandas"
+    )
+
+
+TFIDF_COSINE_PAIRS_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < {TFIDF_COS_N}
+), tf AS MATERIALIZED (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM d) GROUP BY 1, 2
+), dfq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * CAST(floor(ln(CAST(nn.n AS DOUBLE) / dfq.df) * 1000 + 0.5) AS BIGINT)
+           AS w
+  FROM tf JOIN dfq USING (token), nn
+), nrm AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id
+), dot AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(sum(a.w * b.w) AS BIGINT) AS dp
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT dot.a, dot.b,
+       CAST(floor(CAST(dp AS DOUBLE)
+                  / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS cos_1e6
+FROM dot JOIN nrm x ON x.doc_id = dot.a JOIN nrm y ON y.doc_id = dot.b
+WHERE x.n2 > 0 AND y.n2 > 0
+  AND CAST(floor(CAST(dp AS DOUBLE)
+                 / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+                 * 1e6 + 0.5) AS BIGINT) >= {TFIDF_COS_TAU_1E6}
+"""

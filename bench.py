@@ -328,6 +328,7 @@ def run_bench() -> dict:
         ("docs_length_pareto", text_analysis.length_pareto_alpha),
         ("docs_softdedup_weights", search_dedup.softdedup_weights),
         ("embedding_outliers", search_dedup.embedding_outliers),
+        ("docs_tfidf_cosine_pairs", search_dedup.tfidf_cosine_pairs),
         ("media_audio_vad", lambda sf: __import__("audio_feature_extraction_ray.stages.multimodal", fromlist=["x"]).media_audio_vad(sf)),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),

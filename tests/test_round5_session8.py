@@ -537,3 +537,56 @@ def test_audio_vad_silence_and_fullsignal(ray_session):
     assert int(out.loc[0, "n_segments"]) == 0 and int(out.loc[0, "n_voiced"]) == 0
     assert int(out.loc[1, "n_segments"]) == 1
     assert out.loc[1, "voiced_ratio"] > 0.9
+
+
+def test_tfidf_cosine_pairs_rare_term_weighting(ray_session, tmp_path):
+    """Docs sharing only a RARE term outscore docs sharing only a common
+    term — the whole point of idf weighting (raw Jaccard ties them)."""
+    from audio_feature_extraction_ray.pipelines import search_dedup as sd
+
+    old = sd.TFIDF_COS_TAU_1E6
+    sd.TFIDF_COS_TAU_1E6 = 0
+    try:
+        # 'common' appears in ALL docs (idf -> 0); 'rare' in docs 0,1 only
+        texts = [
+            "common rare alpha",
+            "common rare beta",
+            "common gamma delta",
+            "common epsilon zeta",
+        ]
+        df = sd.tfidf_cosine_pairs(_docs_fixture(tmp_path, texts, name="sfc8")).to_pandas()
+        df = df.set_index(["a", "b"])
+        cos_rare = int(df.loc[(0, 1), "cos_1e6"])
+        cos_common = int(df.loc[(2, 3), "cos_1e6"])
+        assert cos_rare > cos_common
+        # common-only pair: idf('common') = floor(ln(4/4)*1e3+0.5) = 0 -> the
+        # only shared weighted term has weight 0 -> cosine 0
+        assert cos_common == 0
+    finally:
+        sd.TFIDF_COS_TAU_1E6 = old
+
+
+def test_tfidf_cosine_pairs_exact_integer_weights(ray_session, tmp_path):
+    """Hand-computed cosine on a tiny corpus with known tf/df values."""
+    from audio_feature_extraction_ray.pipelines import search_dedup as sd
+
+    old = sd.TFIDF_COS_TAU_1E6
+    sd.TFIDF_COS_TAU_1E6 = 0
+    try:
+        texts = ["x x y", "x y y", "z z z"]
+        df = sd.tfidf_cosine_pairs(_docs_fixture(tmp_path, texts, name="sfc8b")).to_pandas()
+        n = 3
+        idf = {t: int(np.floor(np.log(n / d) * 1e3 + 0.5)) for t, d in
+               {"x": 2, "y": 2, "z": 1}.items()}
+        wa = {"x": 2 * idf["x"], "y": 1 * idf["y"]}
+        wb = {"x": 1 * idf["x"], "y": 2 * idf["y"]}
+        dp = wa["x"] * wb["x"] + wa["y"] * wb["y"]
+        na = wa["x"] ** 2 + wa["y"] ** 2
+        nb = wb["x"] ** 2 + wb["y"] ** 2
+        want = int(np.floor(dp / (np.sqrt(na) * np.sqrt(nb)) * 1e6 + 0.5))
+        got = int(df.set_index(["a", "b"]).loc[(0, 1), "cos_1e6"])
+        assert got == want
+        # doc 2 shares no token with 0/1 -> its pairs score 0
+        assert int(df.set_index(["a", "b"]).loc[(0, 2), "cos_1e6"]) == 0
+    finally:
+        sd.TFIDF_COS_TAU_1E6 = old
