@@ -726,6 +726,37 @@ def simhash_pairs(
     and the distinct are all partition-local vectorized kernels."""
 
     sigs = simhash_signatures(ds, id_col, text_col)
+    return hamming_pairs(
+        sigs,
+        id_col=id_col,
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+        num_partitions=num_partitions,
+    )
+
+
+def hamming_pairs(
+    sigs: ray.data.Dataset,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 6,
+    max_bucket: int = MAX_BUCKET,
+    num_partitions: int = NUM_DEDUP_PARTITIONS,
+) -> ray.data.Dataset:
+    """Banded near-dup pairs over ANY precomputed 64-bit signature column
+    (SimHash, image aHash, ...): the post-signature half of simhash_pairs,
+    factored so other modalities reuse the same banding + popcount +
+    distinct kernels. Signature semantics (4x16-bit bands => every pair
+    with <= 3 flipped bits collides on >= 1 band) are unchanged."""
+
+    if sig_col != "simhash":
+        sigs = sigs.map_batches(
+            lambda t: t.rename_columns(
+                [("simhash" if c == sig_col else c) for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+        )
 
     def bands(tbl: pa.Table) -> pa.Table:
         sh = tbl.column("simhash").to_numpy().view(np.uint64)

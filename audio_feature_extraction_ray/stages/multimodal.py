@@ -663,3 +663,34 @@ def media_audio_vad(sf_dir: str) -> ray.data.Dataset:
     n = 48 if "0.1" in sf_dir else 24
     ds = ray.data.from_arrow(synthetic_burst_wav_table(n))
     return extract_audio_vad(ds)
+
+
+# ---------------------------------------------------------------------------
+# IMAGE NEAR-DUP PAIRS — perceptual-hash dedup, the image-side analog of
+# simhash_pairs_docs: decode (actor pool) -> 64-bit average hash -> the
+# SAME banded-Hamming machinery (stages/dedup.hamming_pairs: 4x16-bit
+# bands, popcount filter, pair-keyed distinct). Catches re-encoded /
+# format-shifted copies byte-level dedup misses — the synthetic fixture's
+# planted pair stores identical pixels as BMP vs PNG.
+
+IMAGE_DUP_MAX_HAMMING = 3  # within the 4-band collision GUARANTEE
+
+
+def media_image_dups(sf_dir: str) -> ray.data.Dataset:
+    """Driver-contract query (rows-only: pixel decode + perceptual hashing
+    is not SQL-expressible; the planted cross-format duplicate and the
+    banding guarantee are pinned in pytest)."""
+    from .dedup import hamming_pairs
+
+    n = 48 if "0.1" in sf_dir else 24
+    ds = ray.data.from_arrow(synthetic_image_table(n))
+    feats = extract_image_features(ds, concurrency=4, batch_size=8)
+    sigs = feats.map_batches(
+        lambda t: t.select(["media_id", "ahash64"]), batch_format="pyarrow"
+    )
+    return hamming_pairs(
+        sigs,
+        id_col="media_id",
+        sig_col="ahash64",
+        max_hamming=IMAGE_DUP_MAX_HAMMING,
+    )

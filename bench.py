@@ -329,6 +329,7 @@ def run_bench() -> dict:
         ("docs_softdedup_weights", search_dedup.softdedup_weights),
         ("embedding_outliers", search_dedup.embedding_outliers),
         ("docs_tfidf_cosine_pairs", search_dedup.tfidf_cosine_pairs),
+        ("media_image_dups", lambda sf: __import__("audio_feature_extraction_ray.stages.multimodal", fromlist=["x"]).media_image_dups(sf)),
         ("media_audio_vad", lambda sf: __import__("audio_feature_extraction_ray.stages.multimodal", fromlist=["x"]).media_audio_vad(sf)),
         ("embedding_kcenter", lambda sf: __import__("audio_feature_extraction_ray.stages.ann", fromlist=["x"]).embedding_kcenter(sf)),
         ("docs_lang_source_mi", text_analysis.lang_source_mi),

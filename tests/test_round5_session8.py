@@ -590,3 +590,40 @@ def test_tfidf_cosine_pairs_exact_integer_weights(ray_session, tmp_path):
         assert int(df.set_index(["a", "b"]).loc[(0, 2), "cos_1e6"]) == 0
     finally:
         sd.TFIDF_COS_TAU_1E6 = old
+
+
+def test_image_dups_planted_cross_format_pair(ray_session):
+    """The planted identical-pixels BMP/PNG pair collides at Hamming 0, and
+    the banded engine output EQUALS the brute-force all-pairs popcount set
+    (<= 3 flips always share a 16-bit band: completeness guarantee)."""
+    import ray.data
+
+    from audio_feature_extraction_ray.stages.multimodal import (
+        IMAGE_DUP_MAX_HAMMING,
+        extract_image_features,
+        media_image_dups,
+        synthetic_image_table,
+    )
+
+    n = 24
+    pairs = media_image_dups("/root/testdata/sf0.001").to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, n - 1) in got or (n - 1, 0) in got
+    ham = dict(((int(a), int(b)), int(h)) for a, b, h in
+               zip(pairs["a"], pairs["b"], pairs["hamming"]))
+    assert ham[min((0, n - 1), (n - 1, 0), key=lambda p: p)] == 0
+    assert pairs["hamming"].max() <= IMAGE_DUP_MAX_HAMMING
+
+    feats = (
+        extract_image_features(ray.data.from_arrow(synthetic_image_table(n)))
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    h = feats["ahash64"].to_numpy().astype(np.int64).view(np.uint64)
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(h[i] ^ h[j])).count("1") <= IMAGE_DUP_MAX_HAMMING:
+                want.add((int(feats["media_id"].iloc[i]), int(feats["media_id"].iloc[j])))
+    norm_got = {(min(a, b), max(a, b)) for a, b in got}
+    assert norm_got == want
