@@ -6405,3 +6405,105 @@ FROM m LEFT JOIN events w
  AND w.ts != m.ts
 GROUP BY m.event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PARTITION-SKEW AUDIT — the "which key should I partition on" diagnostic
+# run before committing a layout: for each candidate routing key (user_id
+# mod P, calendar-day mod P, event-type leading byte mod P) the bucket-count
+# distribution's max/mean ratio over NONEMPTY buckets. A ratio near 1e6
+# means balanced; a hot key shows up as max >> mean long before it melts a
+# real shuffle. Counters-only per-batch bincounts (bounded by 3 x P rows per
+# block), ONE key-name-keyed exchange_fold, 3-row output — all integer
+# arithmetic mirrored by the SQL twin.
+
+SKEW_P = 64
+
+
+def partition_skew(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    ev = read_events(sf_dir, ["ts", "user_id", "event_type"])
+    day_us = np.int64(86_400_000_000)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        us = tbl.column("ts").cast(pa.int64()).to_numpy()
+        uid = tbl.column("user_id").to_numpy()
+        et = tbl.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        de = pc.dictionary_encode(et)
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # leading-codepoint lookup over the DISTINCT type values only
+        fb = np.array([ord(s[0]) if s else 0 for s in de.dictionary.to_pylist()],
+                      dtype=np.int64)
+        first_byte = fb[codes]
+        names, buckets = [], []
+        for name, b in (
+            ("user_mod", uid % SKEW_P),
+            ("day_mod", (us // day_us) % SKEW_P),
+            ("type_ascii", first_byte % SKEW_P),
+        ):
+            cnt = np.bincount(b.astype(np.int64), minlength=SKEW_P).astype(np.int64)
+            nz = np.flatnonzero(cnt)
+            names.append((name, nz, cnt[nz]))
+        key = np.concatenate([[n] * len(nz) for n, nz, _ in names])
+        bkt = np.concatenate([nz for _, nz, _ in names])
+        n = np.concatenate([c for _, _, c in names])
+        return pa.table(
+            {
+                "key_name": pa.array(key, pa.string()),
+                "bucket": pa.array(bkt, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    def pid_of(tbl: pa.Table) -> np.ndarray:
+        from ..functions.hashing import string_hash_array
+
+        k = tbl.column("key_name")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return (string_hash_array(k) % np.uint64(4)).astype(np.int32)
+
+    folded = exchange_fold(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        lambda t: t.group_by(["key_name", "bucket"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["key_name", "bucket", "n"]),
+        parts=4,
+        pid_of=pid_of,
+    )
+    cols = ["key_name", "n_buckets", "max_n", "total", "skew_1e6"]
+    if folded is None:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=(object if c == "key_name" else np.int64)) for c in cols}
+        )
+    df = folded.to_pandas().groupby(["key_name", "bucket"], as_index=False)["n"].sum()
+    rows = []
+    for k, grp in df.groupby("key_name"):
+        nb, mx, tot = len(grp), int(grp["n"].max()), int(grp["n"].sum())
+        rows.append((k, nb, mx, tot, mx * nb * 10**6 // tot))
+    return pd.DataFrame(rows, columns=cols)
+
+
+PARTITION_SKEW_SQL = f"""
+WITH b AS (
+  SELECT 'user_mod' AS key_name, user_id % {SKEW_P} AS bucket FROM events
+  UNION ALL
+  SELECT 'day_mod', CAST(epoch_us(ts) // {86_400_000_000} % {SKEW_P} AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'type_ascii', ascii(event_type) % {SKEW_P} FROM events
+), c AS (
+  SELECT key_name, bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2
+)
+SELECT key_name,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(n) AS BIGINT) AS max_n,
+       CAST(sum(n) AS BIGINT) AS total,
+       CAST(max(n) AS BIGINT) * CAST(count(*) AS BIGINT) * 1000000
+         // CAST(sum(n) AS BIGINT) AS skew_1e6
+FROM c GROUP BY key_name
+"""

@@ -323,6 +323,7 @@ def run_bench() -> dict:
         ("events_k_anonymity", events.k_anonymity),
         ("events_zorder_tiles", events.zorder_tiles),
         ("events_impact_study", events.impact_study),
+        ("events_partition_skew", events.partition_skew),
         ("docs_nucleus_by_source", text_analysis.nucleus_by_source),
         ("token_burstiness", text_analysis.token_burstiness),
         ("docs_length_pareto", text_analysis.length_pareto_alpha),

@@ -627,3 +627,38 @@ def test_image_dups_planted_cross_format_pair(ray_session):
                 want.add((int(feats["media_id"].iloc[i]), int(feats["media_id"].iloc[j])))
     norm_got = {(min(a, b), max(a, b)) for a, b in got}
     assert norm_got == want
+
+
+def test_partition_skew_hand_buckets(ray_session, tmp_path):
+    """Hand-built skew: all events on one user -> user_mod ratio == n_buckets
+    x 1e6 over 1 bucket (perfectly skewed = 1e6 with a single bucket), vs a
+    spread key staying near 1e6."""
+    from audio_feature_extraction_ray.pipelines.events import SKEW_P, partition_skew
+
+    n = 12
+    ts = [i * 86_400_000_000 for i in range(n)]  # one event per day: day_mod spread
+    sf = _events_fixture(tmp_path, ts, [5] * n, [1.0] * n,
+                         types=["click"] * n, name="sfs8")
+    df = partition_skew(sf).set_index("key_name")
+    # user_mod: single bucket holds everything -> max==total, nb==1 -> 1e6
+    assert int(df.loc["user_mod", "n_buckets"]) == 1
+    assert int(df.loc["user_mod", "skew_1e6"]) == 10**6
+    # day_mod: 12 distinct days spread over 12 buckets, one each -> balanced
+    assert int(df.loc["day_mod", "n_buckets"]) == n
+    assert int(df.loc["day_mod", "max_n"]) == 1
+    assert int(df.loc["day_mod", "skew_1e6"]) == 10**6
+    assert int(df.loc["type_ascii", "total"]) == n
+
+
+def test_partition_skew_detects_hot_bucket(ray_session, tmp_path):
+    """A hot user among spread users drives the user_mod ratio above 1e6 by
+    exactly max*nb*1e6//total."""
+    from audio_feature_extraction_ray.pipelines.events import partition_skew
+
+    users = [1] * 30 + [2, 3, 4, 5, 6, 7]
+    n = len(users)
+    ts = [i * 3_600_000_000 for i in range(n)]
+    sf = _events_fixture(tmp_path, ts, users, [1.0] * n, name="sfs8h")
+    df = partition_skew(sf).set_index("key_name")
+    assert int(df.loc["user_mod", "max_n"]) == 30
+    assert int(df.loc["user_mod", "skew_1e6"]) == 30 * 7 * 10**6 // 36
