@@ -6423,6 +6423,7 @@ SKEW_P = 64
 def partition_skew(sf_dir: str):
     import pandas as pd
 
+    from ..functions.hashing import string_hash_array
     from ..stages.fold import exchange_fold
 
     ev = read_events(sf_dir, ["ts", "user_id", "event_type"])
@@ -6461,8 +6462,6 @@ def partition_skew(sf_dir: str):
         )
 
     def pid_of(tbl: pa.Table) -> np.ndarray:
-        from ..functions.hashing import string_hash_array
-
         k = tbl.column("key_name")
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
@@ -6506,4 +6505,173 @@ SELECT key_name,
        CAST(max(n) AS BIGINT) * CAST(count(*) AS BIGINT) * 1000000
          // CAST(sum(n) AS BIGINT) AS skew_1e6
 FROM c GROUP BY key_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# PEAK SESSION CONCURRENCY — the capacity-planning scan: the maximum number
+# of simultaneously-open sessions (start <= t <= end, gap-rule sessions from
+# the shared sessionize arithmetic) and the earliest instant achieving it.
+# Exact and distributed via an endpoint sweep: (+1 at start, -1 after end)
+# endpoints range-partition on sampled ts bounds (the pack_sequences
+# global-prefix-sum shape), each partition sorts (ts, kind) and cumsums
+# locally, partition delta-totals prefix-sum on the driver (P scalars), and
+# two bounded per-partition reductions produce the global max + argmin ts.
+# Tie rule (starts before ends at equal ts => touching sessions overlap) is
+# mirrored by the SQL twin's j.smin <= i.smin <= j.smax count.
+
+CONC_PARTITIONS = 32
+
+
+def session_concurrency(sf_dir: str):
+    import pandas as pd
+
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def sess_kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({"smin": pa.array([], pa.int64()), "smax": pa.array([], pa.int64())})
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        gap = np.zeros(n, dtype=bool)
+        if n > 1:
+            gap[1:] = (ts[1:] - ts[:-1]) / 1e6 > SESSION_GAP_S
+        sess_head = head | gap
+        starts = np.flatnonzero(sess_head)
+        ends = np.append(starts[1:] - 1, n - 1)
+        return pa.table(
+            {"smin": pa.array(ts[starts], pa.int64()), "smax": pa.array(ts[ends], pa.int64())}
+        )
+
+    sessions = partitioned_ordered(ev, sess_kernel)
+
+    # sampled ts bounds for order-aligned endpoint partitions
+    import pyarrow.parquet as pq
+
+    ev_path = f"{sf_dir}/events.parquet"
+    n_ev = pq.read_metadata(ev_path).num_rows
+    frac = min(1.0, 10_000 / max(1, n_ev))
+    sample = (
+        ray.data.read_parquet(ev_path, columns=["ts"]).random_sample(frac, seed=13).take_all()
+    )
+    s_ts = np.sort(np.array([int(pd.Timestamp(r["ts"]).value // 1000) for r in sample], np.int64))
+    idx = (np.arange(1, CONC_PARTITIONS) * s_ts.size) // CONC_PARTITIONS
+    bounds = s_ts[np.minimum(idx, s_ts.size - 1)] if s_ts.size else np.array([], np.int64)
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        smin = tbl.column("smin").to_numpy()
+        smax = tbl.column("smax").to_numpy()
+        ts = np.concatenate([smin, smax])
+        kind = np.concatenate([np.zeros(smin.size, np.int8), np.ones(smax.size, np.int8)])
+        delta = np.where(kind == 0, np.int64(1), np.int64(-1))
+        return pa.table(
+            {
+                "ts": pa.array(ts, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "delta": pa.array(delta, pa.int64()),
+                "__pid": pa.array(np.searchsorted(bounds, ts, side="right").astype(np.int32)),
+            }
+        )
+
+    def local_scan(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.sort_by([("ts", "ascending"), ("kind", "ascending")])
+        d = tbl.column("delta").to_numpy()
+        run = np.cumsum(d)
+        return pa.table(
+            {
+                "ts": tbl.column("ts"),
+                "kind": tbl.column("kind"),
+                "__pid": tbl.column("__pid"),
+                "__local_run": pa.array(run, pa.int64()),
+                "__local_tot": pa.array(np.full(d.size, run[-1] if d.size else 0), pa.int64()),
+            }
+        )
+
+    scanned = (
+        sessions.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(local_scan, batch_format="pyarrow")
+        .materialize()
+    )
+    from ray.data.aggregate import Max
+
+    # bounded: <= CONC_PARTITIONS + 1 rows (one per __pid group)
+    tot_rows = scanned.groupby("__pid").aggregate(Max("__local_tot", alias_name="t")).take_all()
+    totals = np.zeros(CONC_PARTITIONS + 1, dtype=np.int64)
+    for r in tot_rows:
+        totals[int(r["__pid"])] = int(r["t"])
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def reduce_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"mx": pa.array([], pa.int64())})
+        pid = tbl.column("__pid").to_numpy()
+        run = tbl.column("__local_run").to_numpy() + offsets[pid]
+        return pa.table({"mx": pa.array([int(run.max())], pa.int64())})
+
+    from ..stages.fold import exchange_fold
+
+    def fold_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table({"mx": pa.array([int(t.column("mx").to_numpy().max())], pa.int64())})
+
+    gmax_tbl = exchange_fold(
+        scanned.map_batches(reduce_partial, batch_format="pyarrow"), fold_max, parts=4
+    )
+    if gmax_tbl is None or gmax_tbl.num_rows == 0:
+        return pd.DataFrame({"max_concurrent": pd.Series([], dtype=np.int64),
+                             "at_ts": pd.Series([], dtype="datetime64[us]")})
+    gmax = int(gmax_tbl.column("mx").to_numpy().max())
+
+    def argmin_partial(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({"t": pa.array([], pa.int64())})
+        pid = tbl.column("__pid").to_numpy()
+        run = tbl.column("__local_run").to_numpy() + offsets[pid]
+        kind = tbl.column("kind").to_numpy()
+        ts = tbl.column("ts").to_numpy()
+        sel = (run == gmax) & (kind == 0)
+        if not sel.any():
+            return pa.table({"t": pa.array([], pa.int64())})
+        return pa.table({"t": pa.array([int(ts[sel].min())], pa.int64())})
+
+    def fold_min(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        return pa.table({"t": pa.array([int(t.column("t").to_numpy().min())], pa.int64())})
+
+    t_tbl = exchange_fold(
+        scanned.map_batches(argmin_partial, batch_format="pyarrow"), fold_min, parts=4
+    )
+    at_us = int(t_tbl.column("t").to_numpy().min())
+    return pd.DataFrame(
+        {"max_concurrent": [gmax], "at_ts": [pd.to_datetime(at_us, unit="us")]}
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('microsecond', lag(ts) OVER w, ts) / 1000000.0
+                   > {SESSION_GAP_S} THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS session_id
+  FROM g
+), sess AS MATERIALIZED (
+  SELECT user_id, session_id, min(ts) AS smin, max(ts) AS smax
+  FROM s GROUP BY 1, 2
+), conc AS (
+  SELECT i.user_id, i.session_id, i.smin AS t, CAST(count(*) AS BIGINT) AS c
+  FROM sess i JOIN sess j ON j.smin <= i.smin AND j.smax >= i.smin
+  GROUP BY 1, 2, 3
+)
+SELECT c AS max_concurrent, t AS at_ts
+FROM conc ORDER BY c DESC, t LIMIT 1
 """

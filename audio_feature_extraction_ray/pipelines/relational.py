@@ -3709,3 +3709,78 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
        CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
 FROM orders GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# JOIN-FANOUT HISTOGRAM — the join-planning audit: the distribution of
+# lineitems per order (how many 1-row, 2-row, ... k-row groups the fact side
+# fans into). Read before choosing broadcast vs co-partition and before
+# trusting a skew-free plan: a heavy tail here is exactly what makes an
+# m:n join explode. Stage 1: per-order counts through ONE order-keyed
+# exchange (bincount combiner per batch); stage 2: count-of-counts collapse
+# (<= sqrt(2N) distinct sizes, the top_user_share bound) through a second
+# counters-only fold. All integers.
+
+
+def order_fanout_hist(sf_dir: str):
+    import pandas as pd
+
+    from ..stages.fold import exchange_fold
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        k = tbl.column("l_orderkey").to_numpy()
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "__pid": pa.array((uniq % 32).astype(np.int32)),
+            }
+        )
+
+    per_key = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("__pid")
+        .map_groups(
+            lambda g: g.drop_columns(["__pid"])
+            .group_by("k")
+            .aggregate([("n", "sum")])
+            .rename_columns(["k", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def hist_partial(tbl: pa.Table) -> pa.Table:
+        n = tbl.column("n").to_numpy()
+        size, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "fanout": pa.array(size, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    folded = exchange_fold(
+        per_key.map_batches(hist_partial, batch_format="pyarrow"),
+        lambda t: t.group_by("fanout")
+        .aggregate([("n_orders", "sum")])
+        .rename_columns(["fanout", "n_orders"]),
+        parts=8,
+        pid_of=lambda t: t.column("fanout").to_numpy(zero_copy_only=False) % 8,
+    )
+    cols = ["fanout", "n_orders"]
+    if folded is None:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    df = folded.to_pandas().groupby("fanout", as_index=False)["n_orders"].sum()
+    return df[cols].astype(np.int64)
+
+
+ORDER_FANOUT_HIST_SQL = """
+WITH c AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS fanout FROM lineitem GROUP BY 1
+)
+SELECT fanout, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY fanout
+"""

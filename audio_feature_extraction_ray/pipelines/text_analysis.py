@@ -7913,6 +7913,7 @@ def nucleus_by_source(sf_dir: str) -> ray.data.Dataset:
                 }
             )
 
+        # bounded: boundary docs <= NUCLEUS_BOUNDARY_CAP (raise-guarded below)
         rows = docs.map_batches(boundary, batch_format="pyarrow").take_all()
         if len(rows) > NUCLEUS_BOUNDARY_CAP:
             from ..errors import SchemaError

@@ -662,3 +662,40 @@ def test_partition_skew_detects_hot_bucket(ray_session, tmp_path):
     df = partition_skew(sf).set_index("key_name")
     assert int(df.loc["user_mod", "max_n"]) == 30
     assert int(df.loc["user_mod", "skew_1e6"]) == 30 * 7 * 10**6 // 36
+
+
+def test_order_fanout_hist_planted(ray_session, tmp_path):
+    """Hand-built lineitem table: known group sizes -> exact histogram."""
+    from audio_feature_extraction_ray.pipelines.relational import order_fanout_hist
+
+    keys = [1] * 4 + [2] * 4 + [3] * 2 + [4]
+    tbl = pa.table({"l_orderkey": pa.array(np.array(keys, dtype=np.int64))})
+    sf = tmp_path / "sffan"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(tbl, sf / "lineitem.parquet", row_group_size=3)
+    df = order_fanout_hist(str(sf)).set_index("fanout")
+    assert int(df.loc[4, "n_orders"]) == 2
+    assert int(df.loc[2, "n_orders"]) == 1
+    assert int(df.loc[1, "n_orders"]) == 1
+
+
+def test_session_concurrency_hand_intervals(ray_session, tmp_path):
+    """Three users with overlapping sessions: peak and its earliest instant
+    computed by hand; a touching boundary (start == another session's end)
+    counts as overlap (the <= tie rule)."""
+    from audio_feature_extraction_ray.pipelines.events import session_concurrency
+
+    m = 60_000_000  # one minute in us
+    # user 1: events at 0..10 min (one session, smin=0, smax=10m)
+    # user 2: events at 5 and 12 min (gap 7 min < 30 min -> one session 5..12m)
+    # user 3: single event exactly at 10 min (session 10..10m) -> touches u1
+    ts, users = [], []
+    for t in (0, 10):
+        ts.append(t * m); users.append(1)
+    for t in (5, 12):
+        ts.append(t * m); users.append(2)
+    ts.append(10 * m); users.append(3)
+    sf = _events_fixture(tmp_path, ts, users, [1.0] * len(ts), name="sfcc8")
+    df = session_concurrency(sf)
+    assert int(df.iloc[0]["max_concurrent"]) == 3  # at t=10m all three open
+    assert df.iloc[0]["at_ts"].value == 10 * m * 1000  # ns
