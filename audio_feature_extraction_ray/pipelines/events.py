@@ -6675,3 +6675,91 @@ WITH g AS (
 SELECT c AS max_concurrent, t AS at_ts
 FROM conc ORDER BY c DESC, t LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# BOT / AUTOMATION FLAGS — the crawl-hygiene gate before events feed any
+# engagement signal: automated clients beat human traffic by inter-arrival
+# REGULARITY, so flag users whose gap coefficient-of-variation is tiny at
+# meaningful volume. CV^2 = (g*S2 - S^2) / S^2 with S = sum gaps (us),
+# S2 = sum gap^2, g = gap count — integer-exact on a 1e6 grid (python ints;
+# SQL twin in HUGEINT), one user-keyed ordered kernel, zero extra exchanges.
+
+BOT_MIN_GAPS = 5
+BOT_CV2_1E6 = 10_000  # CV < 0.1
+
+
+def bot_flags(sf_dir: str) -> ray.data.Dataset:
+    ev = read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "cv2_1e6": pa.array([], pa.int64()),
+                "is_bot": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        uid = tbl.column("user_id").to_numpy()
+        ts = tbl.column("ts").cast(pa.int64()).to_numpy()
+        head = _seg_head(uid)
+        starts = np.flatnonzero(head)
+        # gaps quantized to SECONDS before squaring (orders_gap_stats idiom:
+        # keeps vectorized int64 sums exact — overflow would need ~1e6 gaps
+        # of ~30 years each per user)
+        d = np.diff(ts) // np.int64(1_000_000)
+        gap_ok = np.ones(n - 1, dtype=bool)
+        gap_ok[starts[1:] - 1] = False  # diffs crossing user boundaries
+        seg = (np.cumsum(head) - 1)[1:]
+        nu = starts.size
+        g = np.bincount(seg[gap_ok], minlength=nu).astype(np.int64)
+        s_sum = np.zeros(nu, dtype=np.int64)
+        s_sq = np.zeros(nu, dtype=np.int64)
+        np.add.at(s_sum, seg[gap_ok], d[gap_ok])
+        np.add.at(s_sq, seg[gap_ok], d[gap_ok] * d[gap_ok])
+        keep = np.flatnonzero(g >= BOT_MIN_GAPS)
+        if keep.size == 0:
+            return empty
+        users = uid[starts]
+        out_cv, out_b = [], []
+        for i in keep:  # one iteration per USER aggregate (burstiness idiom)
+            gi, S, S2 = int(g[i]), int(s_sum[i]), int(s_sq[i])  # python-int
+            cv2 = (gi * S2 - S * S) * 10**6 // (S * S) if S > 0 else 0  # exact
+            out_cv.append(cv2)
+            out_b.append(1 if cv2 < BOT_CV2_1E6 else 0)
+        return pa.table(
+            {
+                "user_id": pa.array(users[keep], pa.int64()),
+                "n_gaps": pa.array(g[keep], pa.int64()),
+                "cv2_1e6": pa.array(out_cv, pa.int64()),
+                "is_bot": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return partitioned_ordered(ev, kernel)
+
+
+BOT_FLAGS_SQL = f"""
+WITH d AS (
+  SELECT user_id,
+         date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), ts) // 1000000 AS gap
+  FROM events
+), a AS (
+  SELECT user_id,
+         CAST(count(gap) AS BIGINT) AS g,
+         sum(CAST(gap AS HUGEINT)) AS s,
+         sum(CAST(gap AS HUGEINT) * gap) AS s2
+  FROM d WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, g AS n_gaps,
+       CAST(CASE WHEN s > 0 THEN (g * s2 - s * s) * 1000000 // (s * s)
+                 ELSE 0 END AS BIGINT) AS cv2_1e6,
+       CAST(CASE WHEN s > 0 AND (g * s2 - s * s) * 1000000 // (s * s)
+                      < {BOT_CV2_1E6} THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM a WHERE g >= {BOT_MIN_GAPS}
+"""

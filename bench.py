@@ -326,6 +326,7 @@ def run_bench() -> dict:
         ("events_partition_skew", events.partition_skew),
         ("orders_fanout_hist", relational.order_fanout_hist),
         ("events_session_concurrency", events.session_concurrency),
+        ("events_bot_flags", events.bot_flags),
         ("docs_nucleus_by_source", text_analysis.nucleus_by_source),
         ("token_burstiness", text_analysis.token_burstiness),
         ("docs_length_pareto", text_analysis.length_pareto_alpha),

@@ -699,3 +699,40 @@ def test_session_concurrency_hand_intervals(ray_session, tmp_path):
     df = session_concurrency(sf)
     assert int(df.iloc[0]["max_concurrent"]) == 3  # at t=10m all three open
     assert df.iloc[0]["at_ts"].value == 10 * m * 1000  # ns
+
+
+def test_bot_flags_regular_vs_human(ray_session, tmp_path):
+    """Metronome user (constant 60 s gaps) flags as bot with cv2 == 0; a
+    jittery user stays human; the integer CV^2 matches the hand formula on
+    second-quantized gaps."""
+    from audio_feature_extraction_ray.pipelines.events import bot_flags
+
+    m = 1_000_000
+    ts, users = [], []
+    for i in range(10):  # bot: exactly 60 s apart
+        ts.append(i * 60 * m); users.append(1)
+    human_gaps = [30, 300, 45, 1200, 90, 600, 15, 2000, 75]  # seconds
+    t = 0
+    ts.append(t); users.append(2)
+    for g in human_gaps:
+        t += g * m
+        ts.append(t); users.append(2)
+    sf = _events_fixture(tmp_path, ts, users, [1.0] * len(ts), name="sfbot")
+    df = bot_flags(sf).to_pandas().set_index("user_id")
+    assert int(df.loc[1, "is_bot"]) == 1 and int(df.loc[1, "cv2_1e6"]) == 0
+    assert int(df.loc[2, "is_bot"]) == 0
+    g = len(human_gaps)
+    S = sum(human_gaps)
+    S2 = sum(x * x for x in human_gaps)
+    assert int(df.loc[2, "cv2_1e6"]) == (g * S2 - S * S) * 10**6 // (S * S)
+    assert int(df.loc[2, "n_gaps"]) == g
+
+
+def test_bot_flags_min_support(ray_session, tmp_path):
+    """Users with fewer than BOT_MIN_GAPS gaps are not judged at all."""
+    from audio_feature_extraction_ray.pipelines.events import BOT_MIN_GAPS, bot_flags
+
+    m = 1_000_000
+    ts = [i * 60 * m for i in range(BOT_MIN_GAPS)]  # gaps = BOT_MIN_GAPS - 1
+    sf = _events_fixture(tmp_path, ts, [9] * len(ts), [1.0] * len(ts), name="sfbot2")
+    assert len(bot_flags(sf).to_pandas()) == 0
